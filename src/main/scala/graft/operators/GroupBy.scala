@@ -1,0 +1,403 @@
+package graft.operators
+
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Which key levels receive "All" subtotal rows.
+  *
+  * Mirrors the reference's `margins=` argument
+  * (`/root/reference/pandas_plus/groupby/core.py:1994-2051`
+  * `add_row_margin`): for every non-empty subset S of the requested
+  * levels, a subtotal row set aggregated over S is appended with the
+  * S-positions labelled `"All"` — exactly a SQL GROUPING SETS
+  * expansion, which is how it is executed here.
+  */
+sealed trait Margins
+object Margins {
+  case object None extends Margins
+  /** Subtotals for every level plus the grand total (margins=True). */
+  case object All extends Margins
+  /** Subtotals only for the given key positions (margins=[levels]). */
+  final case class Levels(levels: Seq[Int]) extends Margins
+}
+
+/** One aggregation to compute: `op` over `value`, output column `name`.
+  *
+  * `exact` selects order-insensitive decimal accumulation for
+  * floating sums/means ([[graft.functions.Num]]) — the scale-safe
+  * deterministic path. `ord` is required by order-dependent ops
+  * (first/last). `ddof` parameterizes var/std.
+  */
+final case class AggSpec(
+    op: String,
+    value: Column,
+    name: String,
+    exact: Boolean = false,
+    ddof: Int = 1,
+    ord: Option[Column] = scala.None)
+
+/** Spark-native analogue of the reference's `GroupBy`
+  * (`/root/reference/pandas_plus/groupby/core.py:146`): a reusable
+  * grouping of `df` by `keys` over which many aggregations can run.
+  *
+  * Design notes (Spark-first, not a port):
+  *   - The reference factorizes keys once and reuses the codes; the
+  *     Spark equivalent of "reuse the factorization" is reusing a
+  *     key-partitioned, persisted DataFrame — [[persisted]] — so
+  *     repeated aggregations skip the shuffle. Catalyst owns
+  *     everything else the reference hand-built (partial/final
+  *     aggregation, chunking, thread budgets; see SURVEY §4).
+  *   - `mask` is an inline filter evaluated *inside* the aggregate
+  *     (`F.sum(when(mask, v))`), never a materialized copy — same
+  *     semantics, zero extra pass (reference `core.py:493-519`).
+  *   - Null keys are dropped by default, matching pandas
+  *     `dropna=True` (reference kernels skip code −1,
+  *     `numba.py:441-443`).
+  *   - `transform=true` runs the same aggregate as a window function
+  *     over the key partition, returning input-shaped rows
+  *     (reference `core.py:694-702`).
+  */
+final class GroupBy(
+    val df: DataFrame,
+    val keys: Seq[Column],
+    val sort: Boolean = true,
+    val dropNullKeys: Boolean = true)
+    extends Serializable {
+
+  private[operators] val keyNames: Seq[String] = df.select(keys: _*).columns.toSeq
+  require(keyNames.distinct.size == keyNames.size,
+    s"duplicate key names: $keyNames — alias expression keys with .as(...)")
+
+  private[operators] def keyCols: Seq[Column] = keyNames.map(col)
+
+  /** Input with every key materialized as a named column. */
+  private[operators] lazy val dfWithKeys: DataFrame =
+    keys.zip(keyNames).foldLeft(df) { case (d, (k, n)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, k)
+    }
+
+  /** Rows that participate in grouping (null keys dropped by default). */
+  private[operators] lazy val base: DataFrame =
+    if (dropNullKeys)
+      dfWithKeys.filter(keyNames.map(col(_).isNotNull).reduce(_ && _))
+    else dfWithKeys
+
+  /** The "reuse the factorization" lever at cluster scale: hash-
+    * partition by the keys once and persist, so every subsequent
+    * aggregation on this GroupBy is shuffle-free map-side work.
+    */
+  def persisted: GroupBy =
+    new GroupBy(base.repartition(keyCols: _*).persist(), keyCols, sort, dropNullKeys)
+
+  // ---------------------------------------------------------------- core
+
+  private def masked(mask: Option[Column], c: Column): Column =
+    mask.map(m => when(m, c)).getOrElse(c)
+
+  /** Build the expression for one spec. `over` switches every
+    * aggregate call into a window function over the key partition
+    * (transform mode) — composed results (exact mean, general-ddof
+    * var) lift each constituent aggregate individually so the
+    * surrounding arithmetic stays row-level.
+    */
+  private[operators] def aggExpr(
+      spec: AggSpec,
+      mask: Option[Column],
+      over: Option[WindowSpec] = None): Column = {
+    def lift(c: Column): Column = over.map(c.over).getOrElse(c)
+    val v = masked(mask, spec.value)
+    val e = spec.op match {
+      case "sum" if spec.exact => lift(F.sum(v.cast(Num.SumDec))).cast(DoubleType)
+      case "sum"               => lift(F.sum(v))
+      case "mean" if spec.exact =>
+        Num.safeDiv(lift(F.sum(v.cast(Num.SumDec))).cast(DoubleType),
+          lift(F.count(v)).cast(DoubleType))
+      case "mean"   => lift(F.avg(v))
+      case "min"    => lift(F.min(v))
+      case "max"    => lift(F.max(v))
+      case "count"  => lift(F.count(v))
+      case "size"   => lift(F.count(masked(mask, lit(1))))
+      case "median" => lift(F.median(v))
+      case "first" =>
+        val ord = spec.ord.getOrElse(sys.error("first requires ord column"))
+        lift(F.min_by(v, when(v.isNotNull, ord)))
+      case "last" =>
+        val ord = spec.ord.getOrElse(sys.error("last requires ord column"))
+        lift(F.max_by(v, when(v.isNotNull, ord)))
+      case "var" =>
+        spec.ddof match {
+          case 1 => lift(F.var_samp(v))
+          case 0 => lift(F.var_pop(v))
+          case d => Num.varianceExpr(v, d, lift)
+        }
+      case "std" =>
+        spec.ddof match {
+          case 1 => lift(F.stddev_samp(v))
+          case 0 => lift(F.stddev_pop(v))
+          case d => sqrt(Num.varianceExpr(v, d, lift))
+        }
+      case other => sys.error(s"unknown aggregation op: $other")
+    }
+    e.as(spec.name)
+  }
+
+  /** Generic aggregation entry point every public op funnels through —
+    * the analogue of the reference's `_apply_gb_func`
+    * (`core.py:618-747`), except all of steps 1–5 of its pipeline
+    * (factorize → dispatch → kernels → combine) collapse into one
+    * Catalyst `groupBy().agg()` (partial → shuffle → final).
+    */
+  def aggregate(
+      specs: Seq[AggSpec],
+      mask: Option[Column] = None,
+      transform: Boolean = false,
+      margins: Margins = Margins.None,
+      observedOnly: Boolean = true): DataFrame = {
+    require(specs.nonEmpty, "no aggregations requested")
+    if (transform) {
+      require(margins == Margins.None, "margins with transform is undefined")
+      transformAgg(specs, mask)
+    } else {
+      margins match {
+        case Margins.None => plainAgg(specs, mask, observedOnly)
+        case m            => marginAgg(specs, mask, observedOnly, m)
+      }
+    }
+  }
+
+  private def plainAgg(
+      specs: Seq[AggSpec],
+      mask: Option[Column],
+      observedOnly: Boolean): DataFrame = {
+    // observed_only drops groups with zero mask-passing rows; without a
+    // mask every factorized group is observed (reference core.py:704-717).
+    val needSize = observedOnly && mask.isDefined
+    val exprs = specs.map(aggExpr(_, mask)) ++
+      (if (needSize) Seq(F.count(masked(mask, lit(1))).as(GroupBy.SizeCol)) else Nil)
+    var out = base.groupBy(keyCols: _*).agg(exprs.head, exprs.tail: _*)
+    if (needSize) out = out.filter(col(GroupBy.SizeCol) > 0).drop(GroupBy.SizeCol)
+    if (sort) out.orderBy(keyCols: _*) else out
+  }
+
+  private def transformAgg(specs: Seq[AggSpec], mask: Option[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols: _*)
+    val keysOk =
+      if (dropNullKeys) keyNames.map(col(_).isNotNull).reduce(_ && _) else lit(true)
+    specs.foldLeft(dfWithKeys) { (d, spec) =>
+      d.withColumn(spec.name, when(keysOk, aggExpr(spec, mask, Some(w))))
+    }
+  }
+
+  /** GROUPING SETS expansion of the reference's margin rows (see
+    * [[Margins]]); super-aggregate positions are relabelled "All"
+    * (keys become strings, as in the reference's mixed-label index).
+    */
+  private def marginAgg(
+      specs: Seq[AggSpec],
+      mask: Option[Column],
+      observedOnly: Boolean,
+      margins: Margins): DataFrame = {
+    val levels = margins match {
+      case Margins.All        => keyNames.indices
+      case Margins.Levels(ls) => ls
+      case Margins.None       => Nil
+    }
+    val subsets = (1 to levels.size).flatMap(levels.combinations(_).toSeq)
+    val sets: Seq[Seq[Column]] =
+      keyCols +: subsets.map(s =>
+        keyNames.indices.filterNot(s.contains).map(i => col(keyNames(i))))
+    val needSize = observedOnly && mask.isDefined
+    val gCols = keyNames.zipWithIndex.map { case (n, i) => F.grouping(col(n)).as(s"__g_$i") }
+    val exprs = specs.map(aggExpr(_, mask)) ++ gCols ++
+      (if (needSize) Seq(F.count(masked(mask, lit(1))).as(GroupBy.SizeCol)) else Nil)
+    var out = base
+      .groupingSets(sets, keyCols: _*)
+      .agg(exprs.head, exprs.tail: _*)
+    if (needSize) out = out.filter(col(GroupBy.SizeCol) > 0).drop(GroupBy.SizeCol)
+    val relabelled = keyNames.zipWithIndex.foldLeft(out) { case (d, (n, i)) =>
+      d.withColumn(n,
+          when(col(s"__g_$i") === 1, lit("All")).otherwise(col(n).cast(StringType)))
+        .drop(s"__g_$i")
+    }
+    if (sort) relabelled.orderBy(keyCols: _*) else relabelled
+  }
+
+  // ------------------------------------------------------- public surface
+
+  private def named(values: Seq[Column]): Seq[(Column, String)] =
+    values.zip(df.select(values: _*).columns)
+
+  private def one(
+      op: String,
+      values: Seq[Column],
+      mask: Option[Column],
+      transform: Boolean,
+      margins: Margins,
+      observedOnly: Boolean,
+      exact: Boolean = false,
+      ddof: Int = 1,
+      ord: Option[Column] = None): DataFrame =
+    aggregate(
+      named(values).map { case (v, n) => AggSpec(op, v, n, exact, ddof, ord) },
+      mask, transform, margins, observedOnly)
+
+  /** Rows per group, null values included (reference `core.py:749`). */
+  def size(
+      mask: Option[Column] = None,
+      transform: Boolean = false,
+      margins: Margins = Margins.None,
+      name: String = "size"): DataFrame =
+    aggregate(Seq(AggSpec("size", lit(1), name)), mask, transform, margins)
+
+  /** Non-null values per group (reference `core.py:778`). */
+  def count(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, margins: Margins = Margins.None,
+      observedOnly: Boolean = true): DataFrame =
+    one("count", values, mask, transform, margins, observedOnly)
+
+  def sum(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, margins: Margins = Margins.None,
+      observedOnly: Boolean = true, exact: Boolean = false): DataFrame =
+    one("sum", values, mask, transform, margins, observedOnly, exact = exact)
+
+  def mean(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, margins: Margins = Margins.None,
+      observedOnly: Boolean = true, exact: Boolean = false): DataFrame =
+    one("mean", values, mask, transform, margins, observedOnly, exact = exact)
+
+  def min(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, margins: Margins = Margins.None,
+      observedOnly: Boolean = true): DataFrame =
+    one("min", values, mask, transform, margins, observedOnly)
+
+  def max(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, margins: Margins = Margins.None,
+      observedOnly: Boolean = true): DataFrame =
+    one("max", values, mask, transform, margins, observedOnly)
+
+  def median(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("median", values, mask, transform, Margins.None, observedOnly)
+
+  def variance(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("var", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
+
+  def std(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("std", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
+
+  /** First non-null value per group in `ord` order (reference
+    * `core.py:1096`; Spark needs the explicit order the reference
+    * gets from physical row order — SURVEY §7.4).
+    */
+  def first(values: Seq[Column], ord: Column, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("first", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
+
+  def last(values: Seq[Column], ord: Column, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("last", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
+
+  /** Func-list agg with the reference's zip semantics: `funcs(i)` is
+    * applied to `values(i)` — a 1:1 zip, NOT a cross-product
+    * (`core.py:1216-1242`, mismatch error `core.py:1222-1226`).
+    */
+  def agg(funcs: Seq[String], values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, margins: Margins = Margins.None,
+      observedOnly: Boolean = true, exact: Boolean = false): DataFrame = {
+    require(funcs.size == values.size,
+      s"Number of functions (${funcs.size}) must match number of value columns (${values.size})")
+    val specs = funcs.zip(named(values)).map { case (f, (v, n)) =>
+      AggSpec(f, v, n, exact)
+    }
+    aggregate(specs, mask, transform, margins, observedOnly)
+  }
+
+  /** `agg(values1) / agg(values2)` per group (reference `core.py:1248`). */
+  def ratio(num: Column, den: Column, op: String = "sum",
+      mask: Option[Column] = None, name: String = "ratio",
+      exact: Boolean = false): DataFrame = {
+    val specs = Seq(AggSpec(op, num, "__num", exact), AggSpec(op, den, "__den", exact))
+    aggregate(specs, mask)
+      .withColumn(name,
+        Num.safeDiv(col("__num").cast(DoubleType), col("__den").cast(DoubleType)))
+      .drop("__num", "__den")
+  }
+
+  /** `agg(mask=subset && global) / agg(mask=global)` (reference
+    * `core.py:1296`): the share of each group's (globally masked)
+    * total that falls in the subset.
+    */
+  def subsetRatio(value: Column, subset: Column, op: String = "sum",
+      globalMask: Option[Column] = None, name: String = "subset_ratio",
+      exact: Boolean = false): DataFrame = {
+    val g = globalMask.getOrElse(lit(true))
+    val specs = Seq(
+      AggSpec(op, when(subset && g, value), "__num", exact),
+      AggSpec(op, when(g, value), "__den", exact))
+    aggregate(specs, None)
+      .withColumn(name,
+        Num.safeDiv(col("__num").cast(DoubleType), col("__den").cast(DoubleType)))
+      .drop("__num", "__den")
+  }
+
+  /** Group total as % of the grand total (reference `core.py:1332`).
+    * The grand total is a window over the (small) aggregated result,
+    * not a second scan of the input.
+    */
+  def density(value: Column, op: String = "sum", mask: Option[Column] = None,
+      name: String = "density", exact: Boolean = false): DataFrame = {
+    // With exact=true the per-group sums stay decimal through the
+    // grand-total window, so numerator and denominator are both exact
+    // and the final double division is order-insensitive.
+    val aggC =
+      if (exact && op == "sum") F.sum(masked(mask, value).cast(Num.SumDec)).as("__agg")
+      else aggExpr(AggSpec(op, value, "__agg"), mask)
+    val out = base.groupBy(keyCols: _*).agg(aggC)
+      .withColumn(name,
+        Num.safeDiv(col("__agg").cast(DoubleType),
+          F.sum(col("__agg"))
+            .over(Window.partitionBy()).cast(DoubleType)) * 100)
+      .drop("__agg")
+    if (sort) out.orderBy(keyCols: _*) else out
+  }
+
+  /** Per-group row count over the full (unmasked) input — the
+    * reference's `key_count` (`core.py:766`).
+    */
+  def keyCount(name: String = "key_count"): DataFrame =
+    size(name = name)
+
+  /** group-label → sorted row ids (reference `groups`, `core.py:323`);
+    * distributed as collect_list, for moderate group sizes only.
+    */
+  def groupsOf(rowId: Column, name: String = "row_ids"): DataFrame =
+    base.groupBy(keyCols: _*)
+      .agg(F.sort_array(F.collect_list(rowId)).as(name))
+}
+
+object GroupBy {
+  private[operators] val SizeCol = "__observed_size"
+
+  def apply(df: DataFrame, keys: Seq[Column], sort: Boolean = true,
+      dropNullKeys: Boolean = true): GroupBy =
+    new GroupBy(df, keys, sort, dropNullKeys)
+
+  /** Top-level value_counts (reference `core.py:2054`). */
+  def valueCounts(df: DataFrame, value: Column, normalize: Boolean = false,
+      mask: Option[Column] = None): DataFrame = {
+    val gb = new GroupBy(df, Seq(value))
+    val counts = gb.size(mask = mask, name = "count")
+    if (!normalize) counts
+    else counts
+      .withColumn("proportion",
+        col("count").cast(DoubleType) /
+          F.sum(col("count")).over(Window.partitionBy()))
+      .drop("count")
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import graft.operators.{AggSpec, GroupBy, Margins}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Differential semantics tests on the reference's canonical fixture
+  * (`/root/reference/tests/test_groupby/test_core.py:29-37`):
+  * key = [1,1,2,1,3,3,6,1,6], values = [-1,0.3,4,3.5,8,6,3,1,12.6],
+  * mask = key != 1. Expected values are the pandas-oracle results the
+  * reference's own tests assert.
+  */
+class GroupBySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // (ord, key, value) — ord mirrors the physical row order pandas sees.
+  def fixture: DataFrame = Seq(
+    (0, 1, -1.0), (1, 1, 0.3), (2, 2, 4.0), (3, 1, 3.5), (4, 3, 8.0),
+    (5, 3, 6.0), (6, 6, 3.0), (7, 1, 1.0), (8, 6, 12.6)
+  ).toDF("ord", "key", "value")
+
+  def gb = new GroupBy(fixture, Seq(col("key")))
+
+  def asMap(df: DataFrame, value: String = "value"): Map[Any, Any] =
+    df.collect().map(r => r.get(0) -> r.getAs[Any](value)).toMap
+
+  test("sum per group matches pandas oracle") {
+    assert(asMap(gb.sum(Seq(col("value")))) ===
+      Map(1 -> 3.8, 2 -> 4.0, 3 -> 14.0, 6 -> 15.6))
+  }
+
+  test("masked sum: mask filters inside the aggregate, groups with no masked rows drop") {
+    val m = Some(col("key") =!= 1)
+    assert(asMap(gb.sum(Seq(col("value")), mask = m)) ===
+      Map(2 -> 4.0, 3 -> 14.0, 6 -> 15.6))
+  }
+
+  test("observedOnly=false keeps fully-masked groups (null agg)") {
+    val m = Some(col("key") =!= 1)
+    val out = asMap(gb.sum(Seq(col("value")), mask = m, observedOnly = false))
+    assert(out.keySet === Set(1, 2, 3, 6))
+    assert(out(1) == null)
+  }
+
+  test("null keys are dropped (pandas dropna=True parity)") {
+    val df = Seq((Some(1), 1.0), (None, 2.0), (Some(1), 3.0), (None, 4.0))
+      .toDF("key", "value")
+    val out = new GroupBy(df, Seq(col("key"))).sum(Seq(col("value")))
+    assert(out.collect().map(r => (r.get(0), r.getDouble(1))).toSeq === Seq((1, 4.0)))
+  }
+
+  test("null values skipped by sum/mean/count; size counts them") {
+    val df = Seq((1, Some(1.0)), (1, None), (2, None)).toDF("key", "value")
+    val g = new GroupBy(df, Seq(col("key")))
+    assert(asMap(g.sum(Seq(col("value")))) === Map(1 -> 1.0, 2 -> null))
+    assert(asMap(g.count(Seq(col("value"))), "value") === Map(1 -> 1L, 2 -> 0L))
+    assert(asMap(g.size(), "size") === Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("mean/min/max/median per group") {
+    assert(asMap(gb.mean(Seq(col("value"))))(3) === 7.0)
+    assert(asMap(gb.min(Seq(col("value"))))(1) === -1.0)
+    assert(asMap(gb.max(Seq(col("value"))))(6) === 12.6)
+    assert(asMap(gb.median(Seq(col("value"))))(1) === 0.65)
+  }
+
+  test("first/last return first/last non-null in ord order") {
+    val df = Seq((0, 1, None), (1, 1, Some(5.0)), (2, 1, Some(7.0)), (3, 1, None))
+      .toDF("ord", "key", "value")
+    val g = new GroupBy(df, Seq(col("key")))
+    assert(asMap(g.first(Seq(col("value")), col("ord"))) === Map(1 -> 5.0))
+    assert(asMap(g.last(Seq(col("value")), col("ord"))) === Map(1 -> 7.0))
+  }
+
+  test("var matches pandas ddof=1; ddof=0 and ddof=2 variants") {
+    val v = asMap(gb.variance(Seq(col("value"))))
+    assert(math.abs(v(3).asInstanceOf[Double] - 2.0) < 1e-12)
+    val v0 = asMap(gb.variance(Seq(col("value")), ddof = 0))
+    assert(math.abs(v0(3).asInstanceOf[Double] - 1.0) < 1e-12)
+    // ddof = 2 on a 2-element group: n - ddof = 0 → null, not error (ANSI-safe)
+    val v2 = asMap(gb.variance(Seq(col("value")), ddof = 2))
+    assert(v2(3) == null)
+  }
+
+  test("agg zips funcs to columns 1:1 and rejects mismatched lengths") {
+    val out = gb.agg(Seq("sum", "max"),
+      Seq(col("value").as("s"), col("value").as("m")))
+    assert(out.columns.toSeq === Seq("key", "s", "m"))
+    val e = intercept[IllegalArgumentException] {
+      gb.agg(Seq("sum"), Seq(col("value"), col("value")))
+    }
+    assert(e.getMessage.contains("must match"))
+  }
+
+  test("transform broadcasts the group aggregate back to input shape") {
+    val out = gb.sum(Seq(col("value").as("total")), transform = true)
+    assert(out.count() === 9)
+    val row = out.filter(col("ord") === 0).select("total").head.getDouble(0)
+    assert(math.abs(row - 3.8) < 1e-12)
+  }
+
+  test("transform leaves null-key rows null") {
+    val df = Seq((Some(1), 1.0), (None, 2.0)).toDF("key", "value")
+    val out = new GroupBy(df, Seq(col("key")))
+      .sum(Seq(col("value").as("t")), transform = true)
+    assert(out.filter(col("key").isNull).select("t").head.isNullAt(0))
+  }
+
+  test("margins=All emits per-level All rows plus grand total") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("k1", "k2", "value")
+    val out = new GroupBy(df, Seq(col("k1"), col("k2")))
+      .sum(Seq(col("value")), margins = Margins.All)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out === Map(
+      ("a", "x") -> 1.0, ("a", "y") -> 2.0, ("b", "x") -> 3.0,
+      ("a", "All") -> 3.0, ("b", "All") -> 3.0,
+      ("All", "x") -> 4.0, ("All", "y") -> 2.0, ("All", "All") -> 6.0))
+  }
+
+  test("margins=Levels(0) only adds All rows for level 0") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("k1", "k2", "value")
+    val out = new GroupBy(df, Seq(col("k1"), col("k2")))
+      .sum(Seq(col("value")), margins = Margins.Levels(Seq(0)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a", "x"), ("a", "y"), ("b", "x"), ("All", "x"), ("All", "y")))
+  }
+
+  test("ratio / subsetRatio / density") {
+    val r = asMap(gb.ratio(col("value") * 2, col("value"), name = "r"), "r")
+    assert(math.abs(r(3).asInstanceOf[Double] - 2.0) < 1e-12)
+
+    val sr = asMap(gb.subsetRatio(col("value"), col("value") > 6.0), "subset_ratio")
+    assert(math.abs(sr(3).asInstanceOf[Double] - 8.0 / 14.0) < 1e-12)
+
+    val d = asMap(gb.density(col("value"), exact = true), "density")
+    assert(math.abs(d.values.map(_.asInstanceOf[Double]).sum - 100.0) < 1e-9)
+  }
+
+  test("groupsOf returns sorted row ids per group") {
+    val out = gb.groupsOf(col("ord")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1) === Seq(0, 1, 3, 7))
+  }
+
+  test("persisted GroupBy returns identical results") {
+    val p = gb.persisted
+    assert(asMap(p.sum(Seq(col("value")))) === asMap(gb.sum(Seq(col("value")))))
+    p.df.unpersist()
+  }
+}
