@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AggSpec, GroupBy, Margins}
+import graft.operators.{AggSpec, GroupBy, Margins, RollingOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,7 +44,22 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  private def all: Seq[Q] = coreAgg
+  private def all: Seq[Q] = coreAgg ++ windowOps
+
+  /** events-table helpers: user_id grouping, ts ordering ((user_id, ts)
+    * is unique in the testdata), event-level output sorted by event_id.
+    */
+  private def evGb(s: SparkSession, dir: String): GroupBy =
+    new GroupBy(T(s, dir, "events"), Seq(col("user_id")))
+  private def evOut(df: DataFrame, cols: String*): DataFrame =
+    df.select(("event_id" +: "user_id" +: cols).map(col): _*).orderBy("event_id")
+  /** value with nulls injected (error rows) to exercise skipNa. */
+  private def nullableValue: Column =
+    when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+  private val nullableValueSql =
+    "CASE WHEN event_type = 'error' THEN NULL ELSE value END"
+  private val cumFrameSql =
+    "PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
   private def coreAgg: Seq[Q] = Seq(
     Q("q1_agg",
@@ -230,6 +245,146 @@ object SparkEntry {
       Some("""SELECT o_orderstatus,
         | LIST(o_orderkey ORDER BY o_orderkey) AS row_ids
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
+  private def windowOps: Seq[Q] = Seq(
+    Q("cum_sum",
+      (s, dir) => evOut(new RollingOps(evGb(s, dir))
+        .cumsum(col("value"), col("ts"), exact = true), "cumsum"),
+      Some(s"""SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER ($cumFrameSql) AS DOUBLE) AS cumsum
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("cum_sum_masked",
+      (s, dir) => evOut(new RollingOps(evGb(s, dir))
+        .cumsum(nullableValue, col("ts"), mask = Some(col("event_type") =!= "click"),
+          exact = true), "cumsum"),
+      Some(s"""SELECT event_id, user_id,
+        | CAST(SUM(CAST(CASE WHEN event_type <> 'click' THEN $nullableValueSql END
+        |   AS DECIMAL(28,6))) OVER ($cumFrameSql) AS DOUBLE) AS cumsum
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("cum_sum_poison",
+      (s, dir) => evOut(new RollingOps(evGb(s, dir))
+        .cumsum(nullableValue, col("ts"), skipNa = false, exact = true), "cumsum"),
+      Some(s"""SELECT event_id, user_id,
+        | CASE WHEN COUNT(CASE WHEN $nullableValueSql IS NULL THEN 1 END)
+        |        OVER ($cumFrameSql) = 0
+        |   THEN CAST(SUM(CAST($nullableValueSql AS DECIMAL(28,6)))
+        |        OVER ($cumFrameSql) AS DOUBLE) END AS cumsum
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("cum_minmax",
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir)).cummin(col("value"), col("ts"))
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .cummax(col("value"), col("ts"))
+        evOut(d2, "cummin", "cummax")
+      },
+      Some(s"""SELECT event_id, user_id,
+        | MIN(value) OVER ($cumFrameSql) AS cummin,
+        | MAX(value) OVER ($cumFrameSql) AS cummax
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("cum_count",
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir)).cumcount(col("ts"))
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .cumcount(col("ts"), mask = Some(col("event_type") =!= "click"),
+            name = "cumcount_m")
+        evOut(d2, "cumcount", "cumcount_m")
+      },
+      Some(s"""SELECT event_id, user_id,
+        | COUNT(*) OVER ($cumFrameSql) - 1 AS cumcount,
+        | COUNT(CASE WHEN event_type <> 'click' THEN 1 END)
+        |   OVER ($cumFrameSql) - 1 AS cumcount_m
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("shift_lead_lag",
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir))
+          .shift(col("value"), col("ts"), 1, name = "lag1")
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .shift(col("value"), col("ts"), -2, name = "lead2")
+        evOut(d2, "lag1", "lead2")
+      },
+      Some("""SELECT event_id, user_id,
+        | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS lag1,
+        | LEAD(value, 2) OVER (PARTITION BY user_id ORDER BY ts) AS lead2
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("diff_n",
+      (s, dir) => evOut(new RollingOps(evGb(s, dir))
+        .diff(col("value"), col("ts"), 1, name = "diff1"), "diff1"),
+      Some("""SELECT event_id, user_id,
+        | value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS diff1
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    Q("roll_sum_mean",
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir)).rollingSum(
+          col("value"), col("ts"), 50, minPeriods = Some(1), exact = true)
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id")))).rollingMean(
+          col("value"), col("ts"), 50, minPeriods = Some(1), exact = true)
+        evOut(d2, "rolling_sum", "rolling_mean")
+      },
+      Some("""SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |   / COUNT(value) OVER w AS rolling_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("roll_minmax",
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir))
+          .rollingMin(col("value"), col("ts"), 10)
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .rollingMax(col("value"), col("ts"), 10, minPeriods = Some(1))
+        evOut(d2, "rolling_min", "rolling_max")
+      },
+      Some("""SELECT event_id, user_id,
+        | CASE WHEN COUNT(value) OVER w >= 10 THEN MIN(value) OVER w END AS rolling_min,
+        | MAX(value) OVER w AS rolling_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("roll_sum_masked",
+      (s, dir) => evOut(new RollingOps(evGb(s, dir)).rollingSum(
+        col("value"), col("ts"), 10, minPeriods = Some(3),
+        mask = Some(col("event_type") =!= "click"), exact = true), "rolling_sum"),
+      Some("""SELECT e.event_id, e.user_id, s.rolling_sum
+        |FROM events e LEFT JOIN (
+        |  SELECT user_id, ts,
+        |    CASE WHEN COUNT(value) OVER w >= 3
+        |      THEN CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) END AS rolling_sum
+        |  FROM events WHERE event_type <> 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |) s ON e.user_id = s.user_id AND e.ts = s.ts
+        |ORDER BY e.event_id""".stripMargin)),
+
+    Q("sessionize",
+      (s, dir) => {
+        // ts arrives as long nanos (nanosAsLong) or as a timestamp,
+        // depending on session config; 12h gap either way.
+        val ev = T(s, dir, "events")
+        val (tsVal, gap) = ev.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => (col("ts"), 4.32e13)
+          case _ => (unix_micros(col("ts")), 4.32e10)
+        }
+        evOut(new RollingOps(new GroupBy(ev, Seq(col("user_id"))))
+          .groupNearbyMembers(tsVal, col("ts"), gap), "subgroup")
+      },
+      Some(s"""SELECT event_id, user_id,
+        | CAST(SUM(flag) OVER ($cumFrameSql) AS BIGINT) AS subgroup
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts) > 43200000000 THEN 1 ELSE 0 END AS flag
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Grouped rolling / cumulative / positional-shift operators —
+  * the reference's `numba.py` window kernels re-expressed as Spark
+  * window functions (`/root/reference/pandas_plus/groupby/core.py:
+  * 1520-1910`).
+  *
+  * Ordering: the reference relies on physical row order; Spark has
+  * none, so every op takes an explicit `ord` column (SURVEY §7.4).
+  * For masked variants `ord` must be unique within each group (it is
+  * also the join-back key).
+  *
+  * Mask semantics (the genuinely tricky parity items, SURVEY §2.3):
+  *   - '''Cumulative''': masked rows pass through the previous
+  *     accumulator (`numba.py:1663-1667`). A windowed aggregate over
+  *     `when(mask, v)` with an unbounded-preceding frame reproduces
+  *     this exactly: masked rows contribute nothing but still read
+  *     the running value. Likewise null values under `skipNa=true`
+  *     carry the accumulator (`numba.py` cumsum docstring:
+  *     `[1, nan, 3] → [1, 1, 4]`) — which is precisely what
+  *     null-skipping SQL aggregates do. No joins needed.
+  *   - '''Rolling''': masked rows are removed from the window stream
+  *     entirely and emit null (`numba.py:1212-1213`); the window
+  *     advances only over mask-passing rows. Computed on the
+  *     filtered sub-stream and joined back on (keys, ord) — a
+  *     co-partitioned shuffle join on the same keys, no driver
+  *     materialization.
+  */
+final class RollingOps(val gb: GroupBy) extends AnyVal {
+
+  private def keysOk: Column =
+    if (gb.dropNullKeys) gb.keyNames.map(col(_).isNotNull).reduce(_ && _)
+    else lit(true)
+
+  private def aggOf(op: String, v: Column): Column = op match {
+    case "sum"   => F.sum(v)
+    case "mean"  => F.avg(v)
+    case "min"   => F.min(v)
+    case "max"   => F.max(v)
+    case "count" => F.count(v)
+    case other   => sys.error(s"unknown rolling/cumulative op: $other")
+  }
+
+  /** Windowed aggregate with optional order-insensitive decimal
+    * accumulation for sum/mean (see [[graft.functions.Num]]) — running
+    * double sums are association-order-dependent and differ across
+    * engines/partitionings in the last ulps; exact mode removes that.
+    */
+  private def liftAgg(op: String, v: Column, exact: Boolean,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = op match {
+    case "sum" if exact =>
+      F.sum(v.cast(graft.functions.Num.SumDec)).over(w)
+        .cast(org.apache.spark.sql.types.DoubleType)
+    case "mean" if exact =>
+      graft.functions.Num.safeDiv(
+        F.sum(v.cast(graft.functions.Num.SumDec)).over(w)
+          .cast(org.apache.spark.sql.types.DoubleType),
+        F.count(v).over(w).cast(org.apache.spark.sql.types.DoubleType))
+    case _ => aggOf(op, v).over(w)
+  }
+
+  // ------------------------------------------------------------ cumulative
+
+  /** Shared cumulative driver (reference `_cumulative_reduce`,
+    * `numba.py:1613-1674`). `skipNa=false` poisons the accumulator
+    * from the first (unmasked) null onward, matching the non-nan
+    * ScalarFuncs variants (`numba.py:288-296`).
+    */
+  def cumAgg(op: String, value: Column, ord: Column,
+      mask: Option[Column] = None, skipNa: Boolean = true,
+      name: String = "cum", exact: Boolean = false): DataFrame = {
+    val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = mask.map(m => when(m, value)).getOrElse(value)
+    val out0 = liftAgg(op, v, exact, cum)
+    val out =
+      if (skipNa) out0
+      else {
+        val nullFlag = mask.map(m => m && value.isNull).getOrElse(value.isNull)
+        when(F.count(when(nullFlag, lit(1))).over(cum) === 0, out0)
+      }
+    gb.dfWithKeys.withColumn(name, when(keysOk, out))
+  }
+
+  def cumsum(value: Column, ord: Column, mask: Option[Column] = None,
+      skipNa: Boolean = true, name: String = "cumsum",
+      exact: Boolean = false): DataFrame =
+    cumAgg("sum", value, ord, mask, skipNa, name, exact)
+
+  def cummin(value: Column, ord: Column, mask: Option[Column] = None,
+      skipNa: Boolean = true, name: String = "cummin"): DataFrame =
+    cumAgg("min", value, ord, mask, skipNa, name)
+
+  def cummax(value: Column, ord: Column, mask: Option[Column] = None,
+      skipNa: Boolean = true, name: String = "cummax"): DataFrame =
+    cumAgg("max", value, ord, mask, skipNa, name)
+
+  /** 0-based running ordinal per group, counting all rows including
+    * null values (reference `cumcount`, `numba.py:1816-1868`; masked
+    * rows carry the previous count, leading masked rows yield −1 —
+    * kernel-faithful).
+    */
+  def cumcount(ord: Column, mask: Option[Column] = None,
+      name: String = "cumcount"): DataFrame = {
+    val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val counted = mask.map(m => when(m, lit(1))).getOrElse(lit(1))
+    gb.dfWithKeys.withColumn(name,
+      when(keysOk, F.count(counted).over(cum) - 1))
+  }
+
+  // ------------------------------------------------------------ shift/diff
+
+  /** Lag (n>0) / lead (n<0) within group in `ord` order (reference
+    * `core.py:1789-1838`). Masked rows emit null and are skipped by
+    * the shift stream (`numba.py:1533-1583`).
+    */
+  def shift(value: Column, ord: Column, n: Int = 1,
+      mask: Option[Column] = None, name: String = "shift"): DataFrame =
+    mask match {
+      case None =>
+        val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+        val e = if (n >= 0) lag(value, n).over(w) else lead(value, -n).over(w)
+        gb.dfWithKeys.withColumn(name, when(keysOk, e))
+      case Some(_) =>
+        subStream(value, ord, mask, name) { (v, w) =>
+          if (n >= 0) lag(v, n).over(w.orderBy(col("__ord"))) else lead(v, -n).over(w.orderBy(col("__ord")))
+        }
+    }
+
+  /** `x[i] − x[i−n]` within group (reference `core.py:1840-1889`). */
+  def diff(value: Column, ord: Column, n: Int = 1,
+      mask: Option[Column] = None, name: String = "diff"): DataFrame =
+    mask match {
+      case None =>
+        val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+        val lagged = if (n >= 0) lag(value, n).over(w) else lead(value, -n).over(w)
+        gb.dfWithKeys.withColumn(name, when(keysOk, value - lagged))
+      case Some(_) =>
+        subStream(value, ord, mask, name) { (v, w) =>
+          val ww = w.orderBy(col("__ord"))
+          v - (if (n >= 0) lag(v, n).over(ww) else lead(v, -n).over(ww))
+        }
+    }
+
+  // -------------------------------------------------------------- rolling
+
+  /** Rolling aggregate over the last `window` rows per group;
+    * `minPeriods` (default = window) counts '''non-null values in the
+    * window''' (`numba.py:1240`). Masked variant computes over the
+    * filtered sub-stream and joins back — masked rows are null and do
+    * not advance the window.
+    */
+  def rollingAgg(op: String, value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling", exact: Boolean = false): DataFrame = {
+    val mp = minPeriods.getOrElse(window)
+    mask match {
+      case None =>
+        val frame = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+          .rowsBetween(-(window - 1), Window.currentRow)
+        gb.dfWithKeys.withColumn(name,
+          when(keysOk && F.count(value).over(frame) >= mp,
+            liftAgg(op, value, exact, frame)))
+      case Some(_) =>
+        subStream(value, ord, mask, name) { (v, w) =>
+          val frame = w.orderBy(col("__ord")).rowsBetween(-(window - 1), Window.currentRow)
+          when(F.count(v).over(frame) >= mp, liftAgg(op, v, exact, frame))
+        }
+    }
+  }
+
+  def rollingSum(value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling_sum", exact: Boolean = false): DataFrame =
+    rollingAgg("sum", value, ord, window, minPeriods, mask, name, exact)
+
+  def rollingMean(value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling_mean", exact: Boolean = false): DataFrame =
+    rollingAgg("mean", value, ord, window, minPeriods, mask, name, exact)
+
+  def rollingMin(value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling_min", exact: Boolean = false): DataFrame =
+    rollingAgg("min", value, ord, window, minPeriods, mask, name, exact)
+
+  def rollingMax(value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling_max", exact: Boolean = false): DataFrame =
+    rollingAgg("max", value, ord, window, minPeriods, mask, name, exact)
+
+  /** Compute `build(__v, partitionWindow)` over the mask-filtered
+    * sub-stream and left-join the result back on (keys, ord). Both
+    * sides shuffle on the same keys, so Catalyst co-partitions the
+    * join with the window stage; masked-out rows emit null.
+    */
+  private def subStream(value: Column, ord: Column, mask: Option[Column],
+      name: String)(build: (Column, org.apache.spark.sql.expressions.WindowSpec) => Column): DataFrame = {
+    val keyC = gb.keyCols
+    val sub = gb.base.filter(mask.get)
+      .select(keyC :+ ord.as("__ord") :+ value.as("__v"): _*)
+    val w = Window.partitionBy(keyC: _*)
+    val subOut = sub
+      .withColumn(name, build(col("__v"), w))
+      .select(keyC :+ col("__ord") :+ col(name): _*)
+    gb.dfWithKeys
+      .withColumn("__ord", ord)
+      .join(subOut, gb.keyNames :+ "__ord", "left")
+      .drop("__ord")
+  }
+
+  // -------------------------------------------------------- sessionization
+
+  /** Split each group into sub-groups wherever the gap between
+    * consecutive (ord-ordered, monotonic) values exceeds `maxDiff` —
+    * the reference's `group_nearby_members` (`core.py:1891-1910`,
+    * kernel `numba.py:1021-1063`). Emits a 0-based per-group
+    * sub-group index (`name`); pair with the group keys for a global
+    * identity. The streaming twin is `session_window(ts, gap)`
+    * (graft.streaming).
+    */
+  def groupNearbyMembers(value: Column, ord: Column, maxDiff: Double,
+      name: String = "subgroup"): DataFrame = {
+    val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gap = when(value - lag(value, 1).over(w) > maxDiff, lit(1)).otherwise(lit(0))
+    gb.dfWithKeys.withColumn(name, when(keysOk, F.sum(gap).over(cum)))
+  }
+}
+
+object RollingOps {
+  import scala.language.implicitConversions
+  implicit def toRollingOps(gb: GroupBy): RollingOps = new RollingOps(gb)
+}

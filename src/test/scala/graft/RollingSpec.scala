@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{GroupBy, RollingOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel-faithful semantics tests for rolling/cumulative ops,
+  * mirroring the reference's documented examples
+  * (`/root/reference/pandas_plus/groupby/numba.py` cumsum docstring,
+  * `numba.py:1663-1667` masked carry, `numba.py:1212-1213` masked
+  * rolling, `tests/test_groupby/test_rolling_mask.py`).
+  */
+class RollingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def df(rows: (Int, Int, Option[Double], Boolean)*): DataFrame =
+    rows.toSeq.toDF("ord", "key", "value", "m")
+
+  def ops(d: DataFrame) = new RollingOps(new GroupBy(d, Seq(col("key"))))
+
+  def vals(d: DataFrame, c: String): Seq[Any] =
+    d.orderBy("ord").select(c).collect().map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+
+  test("cumsum skipNa=true carries the accumulator through nulls (reference doc example)") {
+    // [1, nan, 3 | 4, 5, nan] → [1, 1, 4 | 4, 9, 9]
+    val d = df((0, 0, Some(1.0), true), (1, 0, None, true), (2, 0, Some(3.0), true),
+      (3, 1, Some(4.0), true), (4, 1, Some(5.0), true), (5, 1, None, true))
+    assert(vals(ops(d).cumsum(col("value"), col("ord")), "cumsum") ===
+      Seq(1.0, 1.0, 4.0, 4.0, 9.0, 9.0))
+  }
+
+  test("cumsum skipNa=false poisons from the first null") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, None, true), (2, 0, Some(3.0), true))
+    assert(vals(ops(d).cumsum(col("value"), col("ord"), skipNa = false), "cumsum") ===
+      Seq(1.0, null, null))
+  }
+
+  test("masked cumsum passes the previous accumulator through masked rows") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(10.0), false), (2, 0, Some(3.0), true))
+    assert(vals(ops(d).cumsum(col("value"), col("ord"),
+      mask = Some(col("m"))), "cumsum") === Seq(1.0, 1.0, 4.0))
+  }
+
+  test("masked rows before the first unmasked row are null") {
+    val d = df((0, 0, Some(9.0), false), (1, 0, Some(1.0), true))
+    assert(vals(ops(d).cumsum(col("value"), col("ord"),
+      mask = Some(col("m"))), "cumsum") === Seq(null, 1.0))
+  }
+
+  test("cumcount counts all rows; masked rows carry; leading masked row is -1") {
+    val d = df((0, 0, None, false), (1, 0, Some(1.0), true), (2, 0, None, true))
+    assert(vals(ops(d).cumcount(col("ord")), "cumcount") === Seq(0L, 1L, 2L))
+    assert(vals(ops(d).cumcount(col("ord"), mask = Some(col("m"))), "cumcount") ===
+      Seq(-1L, 0L, 1L))
+  }
+
+  test("cummin/cummax with skipNa") {
+    val d = df((0, 0, Some(3.0), true), (1, 0, Some(1.0), true), (2, 0, None, true),
+      (3, 0, Some(2.0), true))
+    assert(vals(ops(d).cummin(col("value"), col("ord")), "cummin") ===
+      Seq(3.0, 1.0, 1.0, 1.0))
+    assert(vals(ops(d).cummax(col("value"), col("ord")), "cummax") ===
+      Seq(3.0, 3.0, 3.0, 3.0))
+  }
+
+  test("shift lag/lead within group; masked shift skips masked rows and emits null there") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), false), (2, 0, Some(3.0), true))
+    assert(vals(ops(d).shift(col("value"), col("ord"), 1), "shift") ===
+      Seq(null, 1.0, 2.0))
+    assert(vals(ops(d).shift(col("value"), col("ord"), -1), "shift") ===
+      Seq(2.0, 3.0, null))
+    // masked: stream is [row0, row2]; row1 emits null; row2's lag is row0
+    assert(vals(ops(d).shift(col("value"), col("ord"), 1,
+      mask = Some(col("m"))), "shift") === Seq(null, null, 1.0))
+  }
+
+  test("diff within group") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(4.0), true), (2, 0, Some(9.0), true))
+    assert(vals(ops(d).diff(col("value"), col("ord"), 1), "diff") ===
+      Seq(null, 3.0, 5.0))
+  }
+
+  test("rolling sum window=2: minPeriods defaults to window; counts non-null in window") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), true), (2, 0, None, true),
+      (3, 0, Some(4.0), true))
+    // windows: [1]=1 non-null<2→null; [1,2]=3; [2,null]: 1 non-null→null; [null,4]: 1→null
+    assert(vals(ops(d).rollingSum(col("value"), col("ord"), 2), "rolling_sum") ===
+      Seq(null, 3.0, null, null))
+    assert(vals(ops(d).rollingSum(col("value"), col("ord"), 2,
+      minPeriods = Some(1)), "rolling_sum") === Seq(1.0, 3.0, 2.0, 4.0))
+  }
+
+  test("rolling mean/min/max") {
+    val d = df((0, 0, Some(2.0), true), (1, 0, Some(4.0), true), (2, 0, Some(6.0), true))
+    assert(vals(ops(d).rollingMean(col("value"), col("ord"), 2,
+      minPeriods = Some(1)), "rolling_mean") === Seq(2.0, 3.0, 5.0))
+    assert(vals(ops(d).rollingMin(col("value"), col("ord"), 2,
+      minPeriods = Some(1)), "rolling_min") === Seq(2.0, 2.0, 4.0))
+    assert(vals(ops(d).rollingMax(col("value"), col("ord"), 2,
+      minPeriods = Some(1)), "rolling_max") === Seq(2.0, 4.0, 6.0))
+  }
+
+  test("masked rolling: window advances only over masked-in rows; masked rows null") {
+    // stream without row1: [1, 3, 4]; window=2 sums: [null(1<2mp), 4, 7]
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(99.0), false),
+      (2, 0, Some(3.0), true), (3, 0, Some(4.0), true))
+    assert(vals(ops(d).rollingSum(col("value"), col("ord"), 2,
+      mask = Some(col("m"))), "rolling_sum") === Seq(null, null, 4.0, 7.0))
+  }
+
+  test("window larger than group: minPeriods guard holds") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), true))
+    assert(vals(ops(d).rollingSum(col("value"), col("ord"), 50), "rolling_sum") ===
+      Seq(null, null))
+    assert(vals(ops(d).rollingSum(col("value"), col("ord"), 50,
+      minPeriods = Some(1)), "rolling_sum") === Seq(1.0, 3.0))
+  }
+
+  test("groupNearbyMembers splits on gaps > maxDiff, per group") {
+    val d = Seq((0, 0, 1.0), (1, 0, 2.0), (2, 0, 10.0), (3, 0, 11.0), (4, 1, 5.0))
+      .toDF("ord", "key", "value")
+    val out = new RollingOps(new GroupBy(d, Seq(col("key"))))
+      .groupNearbyMembers(col("value"), col("ord"), 3.0)
+    assert(vals(out, "subgroup") === Seq(0L, 0L, 1L, 1L, 0L))
+  }
+
+  test("null-key rows emit null from window ops") {
+    val d = Seq((0, Some(1), Some(1.0)), (1, None, Some(2.0)))
+      .toDF("ord", "key", "value")
+    val out = new RollingOps(new GroupBy(d, Seq(col("key"))))
+      .cumsum(col("value"), col("ord"))
+    assert(vals(out, "cumsum") === Seq(1.0, null))
+  }
+}
