@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AggSpec, GroupBy, Margins, RollingOps}
+import graft.operators.{AggSpec, GroupBy, Margins, Reshape, RollingOps, SelectionOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,7 +44,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  private def all: Seq[Q] = coreAgg ++ windowOps
+  private def all: Seq[Q] = coreAgg ++ windowOps ++ reshapeOps
 
   /** events-table helpers: user_id grouping, ts ordering ((user_id, ts)
     * is unique in the testdata), event-level output sorted by event_id.
@@ -385,6 +385,92 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts) > 43200000000 THEN 1 ELSE 0 END AS flag
         |  FROM events)
         |ORDER BY event_id""".stripMargin))
+  )
+
+  private def ordersOrd = Seq(col("o_orderdate"), col("o_orderkey"))
+  private val ordersOrdSql = "o_orderdate, o_orderkey"
+
+  private def reshapeOps: Seq[Q] = Seq(
+    Q("sel_head",
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .head(2, ordersOrd)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY $ordersOrdSql) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("sel_tail",
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .tail(2, ordersOrd)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("sel_nth",
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .nth(-2, ordersOrd)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("ct_crosstab",
+      (s, dir) => Reshape.crosstab(T(s, dir, "orders"),
+        Seq(col("o_orderstatus")), col("o_orderpriority"),
+        margins = Margins.All, fillZero = true),
+      Some("""SELECT
+        | CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'All' ELSE o_orderstatus END AS o_orderstatus,
+        | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        | COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        | COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        | COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        | COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW",
+        | COUNT(*) AS "All"
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ()) ORDER BY 1""".stripMargin)),
+
+    Q("ct_crosstab_sum",
+      (s, dir) => Reshape.crosstab(T(s, dir, "orders"),
+        Seq(col("o_orderstatus")), col("o_orderpriority"),
+        value = Some(("sum", col("o_totalprice"))), exact = true),
+      Some(s"""SELECT o_orderstatus,
+        | ${dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS "1-URGENT",
+        | ${dsum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS "2-HIGH",
+        | ${dsum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS "3-MEDIUM",
+        | ${dsum("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS "4-NOT SPECIFIED",
+        | ${dsum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("pretty_cut",
+      (s, dir) => {
+        val bin = Reshape.prettyCut(col("o_totalprice"), Seq(50000d, 150000d, 300000d))
+        GroupBy.valueCounts(T(s, dir, "orders"), bin.as("price_bin"))
+      },
+      Some("""SELECT CASE
+        |   WHEN o_totalprice <= 50000 THEN ' <= 50000.0'
+        |   WHEN o_totalprice <= 150000 THEN '50000.0 - 150000.0'
+        |   WHEN o_totalprice <= 300000 THEN '150000.0 - 300000.0'
+        |   ELSE ' > 300000.0' END AS price_bin,
+        | COUNT(*) AS count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("bools_cat",
+      (s, dir) => {
+        val label = Reshape.boolsToCategorical(Seq(
+          "disc" -> (col("l_discount") > 0.05),
+          "bulk" -> (col("l_quantity") > 25),
+          "taxed" -> (col("l_tax") > 0.04)))
+        GroupBy.valueCounts(T(s, dir, "lineitem"), label.as("flags"))
+      },
+      Some("""SELECT COALESCE(NULLIF(concat_ws(' & ',
+        |   CASE WHEN l_discount > 0.05 THEN 'disc' END,
+        |   CASE WHEN l_quantity > 25 THEN 'bulk' END,
+        |   CASE WHEN l_tax > 0.04 THEN 'taxed' END), ''), 'None') AS flags,
+        | COUNT(*) AS count
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

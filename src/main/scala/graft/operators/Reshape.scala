@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Per-group positional row selection (reference `core.py:1428-1518`).
+  * The reference selects by physical row position; here position is
+  * defined by explicit `ord` columns (SURVEY §7.4) — pass enough
+  * columns to make the ordering total or ties make selection
+  * nondeterministic.
+  */
+final class SelectionOps(val gb: GroupBy) extends AnyVal {
+
+  private def rn(ord: Seq[Column], descending: Boolean): Column = {
+    val cols = if (descending) ord.map(_.desc) else ord
+    row_number().over(Window.partitionBy(gb.keyCols: _*).orderBy(cols: _*))
+  }
+
+  /** First n rows per group (reference `head`, `core.py:1428`). */
+  def head(n: Int, ord: Seq[Column], posName: String = "__pos"): DataFrame =
+    gb.base.withColumn(posName, rn(ord, descending = false))
+      .filter(col(posName) <= n).drop(posName)
+
+  /** Last n rows per group (reference `tail`, `core.py:1461`);
+    * original row order is preserved by callers via their own sort.
+    */
+  def tail(n: Int, ord: Seq[Column], posName: String = "__pos"): DataFrame =
+    gb.base.withColumn(posName, rn(ord, descending = true))
+      .filter(col(posName) <= n).drop(posName)
+
+  /** nth row per group, 0-based; negative n counts from the end
+    * (reference `nth`, `core.py:1493`).
+    */
+  def nth(n: Int, ord: Seq[Column], posName: String = "__pos"): DataFrame = {
+    val (r, target) = if (n >= 0) (rn(ord, descending = false), n + 1)
+                      else (rn(ord, descending = true), -n)
+    gb.base.withColumn(posName, r).filter(col(posName) === target).drop(posName)
+  }
+}
+
+object SelectionOps {
+  import scala.language.implicitConversions
+  implicit def toSelectionOps(gb: GroupBy): SelectionOps = new SelectionOps(gb)
+}
+
+/** Pivot/crosstab and array-to-categorical utilities (reference
+  * `core.py:1913-1991` crosstab, `util.py:689-763` pretty_cut,
+  * `util.py:796-892` bools_to_categorical).
+  */
+object Reshape {
+
+  /** Pivot table: group by `index` + `columns`, aggregate `value`,
+    * unstack `columns` into result columns; optional margins ("All"
+    * row/column) via the GROUPING SETS path of [[GroupBy]].
+    *
+    * Scale note: the column key's distinct-value domain becomes the
+    * output schema, so it must be small (pivot semantics); pass
+    * `domain` to avoid the extra distinct scan. Missing cells are
+    * null-filled (`fillZero` for counting aggs).
+    */
+  def crosstab(
+      df: DataFrame,
+      index: Seq[Column],
+      columns: Column,
+      value: Option[(String, Column)] = None, // (aggFunc, valueColumn)
+      margins: Margins = Margins.None,
+      domain: Option[Seq[String]] = None,
+      mask: Option[Column] = None,
+      fillZero: Boolean = false,
+      exact: Boolean = false): DataFrame = {
+    val colName = df.select(columns).columns.head
+    val (aggFunc, valueCol) = value.getOrElse(("size", lit(1)))
+    val gb = new GroupBy(df, index :+ columns)
+    val spec = AggSpec(aggFunc, valueCol, "__cell", exact = exact)
+    // margins relabel super-aggregate positions "All"; pivoting the
+    // margin-augmented frame yields the "All" row(s) and column.
+    val flat = gb.aggregate(Seq(spec), mask = mask, margins = margins)
+    val indexNames = df.select(index: _*).columns.toSeq
+    val pivoted = flat
+      .groupBy(indexNames.map(col): _*)
+      .pivot(colName, domain.map(_ ++ marginCol(margins, gb, colName)).getOrElse {
+        flat.select(colName).distinct().collect().map(_.get(0).toString).toSeq.sorted
+      })
+      .agg(F.first(col("__cell")))
+      .orderBy(indexNames.map(col): _*)
+    if (fillZero) pivoted.na.fill(0) else pivoted
+  }
+
+  private def marginCol(margins: Margins, gb: GroupBy, colName: String): Seq[String] = {
+    val colLevel = gb.keyNames.indexOf(colName)
+    margins match {
+      case Margins.None => Nil
+      case Margins.All => Seq("All")
+      case Margins.Levels(ls) => if (ls.contains(colLevel)) Seq("All") else Nil
+    }
+  }
+
+  /** Bin a numeric column by sorted edges into human-readable labels
+    * (reference `pretty_cut`, `util.py:689-763`): ` <= b0`,
+    * `b0 - b1` (float) / `b0+1 - b1` (integer), ` > bn`; value v maps
+    * to the first edge with `v <= edge`; NaN/null → null (missing).
+    */
+  def prettyCut(value: Column, bins: Seq[Double],
+      integer: Boolean = false): Column = {
+    val sorted = bins.sorted
+    val labels = prettyCutLabels(sorted, integer)
+    val first = when(value.isNull || isnan(value.cast("double")), lit(null))
+    val mid = sorted.zip(labels.init).foldLeft(first) { case (acc, (edge, lbl)) =>
+      acc.when(value <= edge, lit(lbl))
+    }
+    mid.otherwise(lit(labels.last))
+  }
+
+  /** The label set prettyCut produces — exposed so callers (and SQL
+    * oracles) can reference the exact strings.
+    */
+  def prettyCutLabels(sortedBins: Seq[Double], integer: Boolean): Seq[String] = {
+    def fmt(d: Double): String =
+      if (integer) d.toLong.toString
+      else {
+        val prec = sortedBins.map(b => BigDecimal(b.toString).scale).max.max(1)
+        s"%.${prec}f".format(d)
+      }
+    val firstL = s" <= ${fmt(sortedBins.head)}"
+    val midL = sortedBins.zip(sortedBins.tail).map { case (l, r) =>
+      val lf = if (integer) (l + 1).toLong.toString else fmt(l)
+      val rf = fmt(r)
+      if (lf == rf) lf else s"$lf - $rf"
+    }
+    (firstL +: midL) :+ s" > ${fmt(sortedBins.last)}"
+  }
+
+  /** Encode a set of boolean flag columns into one label per row:
+    * names of the true flags joined by `sep`, all-false → `naRep`
+    * (reference `bools_to_categorical`, `util.py:796-892`).
+    */
+  def boolsToCategorical(flags: Seq[(String, Column)], sep: String = " & ",
+      naRep: String = "None", allowDuplicates: Boolean = true): Column = {
+    require(!flags.exists(_._1 == naRep),
+      s"na_rep=$naRep clashes with one of the column names")
+    val parts = flags.map { case (n, c) => when(c, lit(n)) }
+    val joined = concat_ws(sep, parts: _*)
+    val trueCount = flags.map { case (_, c) =>
+      when(c, lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val labeled = when(joined === "", lit(naRep)).otherwise(joined)
+    if (allowDuplicates) labeled
+    else when(trueCount > 1, raise_error(
+      lit("Some rows have more than one True value and allow_duplicates is False")))
+      .otherwise(labeled)
+  }
+}

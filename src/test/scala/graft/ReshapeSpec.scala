@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{GroupBy, Margins, Reshape, SelectionOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ReshapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def sel(d: DataFrame) = new SelectionOps(new GroupBy(d, Seq(col("key"))))
+
+  def fixture: DataFrame = Seq(
+    (0, 1, 10.0), (1, 1, 11.0), (2, 1, 12.0), (3, 2, 20.0), (4, 2, 21.0)
+  ).toDF("ord", "key", "value")
+
+  test("head/tail/nth select by position per group") {
+    assert(sel(fixture).head(2, Seq(col("ord"))).select("ord")
+      .collect().map(_.getInt(0)).sorted === Array(0, 1, 3, 4))
+    assert(sel(fixture).tail(1, Seq(col("ord"))).select("ord")
+      .collect().map(_.getInt(0)).sorted === Array(2, 4))
+    assert(sel(fixture).nth(1, Seq(col("ord"))).select("ord")
+      .collect().map(_.getInt(0)).sorted === Array(1, 4))
+    // negative n counts from the end
+    assert(sel(fixture).nth(-1, Seq(col("ord"))).select("ord")
+      .collect().map(_.getInt(0)).sorted === Array(2, 4))
+    // out-of-range n yields no rows for short groups
+    assert(sel(fixture).nth(2, Seq(col("ord"))).select("ord")
+      .collect().map(_.getInt(0)).sorted === Array(2))
+  }
+
+  test("crosstab pivots counts with margins and zero fill") {
+    val d = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("k", "c")
+    val out = Reshape.crosstab(d, Seq(col("k")), col("c"),
+      margins = Margins.All, fillZero = true)
+    val rows = out.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.columns.toSeq === Seq("k", "All", "x", "y") ||
+      out.columns.toSeq === Seq("k", "x", "y", "All"))
+    val xi = out.columns.indexOf("x") - 1
+    val yi = out.columns.indexOf("y") - 1
+    val ai = out.columns.indexOf("All") - 1
+    def tup(t: (Long, Long, Long)): Array[Long] = Array(t._1, t._2, t._3)
+    assert(tup(rows("a"))(xi) === 2L); assert(tup(rows("a"))(yi) === 1L)
+    assert(tup(rows("a"))(ai) === 3L)
+    assert(tup(rows("b"))(yi) === 0L) // zero-filled missing cell
+    assert(tup(rows("All"))(ai) === 4L) // grand total
+  }
+
+  test("crosstab with sum aggfunc leaves missing cells null") {
+    val d = Seq(("a", "x", 1.0), ("b", "y", 2.0)).toDF("k", "c", "v")
+    val out = Reshape.crosstab(d, Seq(col("k")), col("c"),
+      value = Some(("sum", col("v"))))
+    val row = out.filter(col("k") === "a").head
+    assert(row.getAs[Any](out.columns.indexOf("y")) == null)
+  }
+
+  test("prettyCut labels and binning match the reference format") {
+    assert(Reshape.prettyCutLabels(Seq(5d, 10d, 15d), integer = true) ===
+      Seq(" <= 5", "6 - 10", "11 - 15", " > 15"))
+    assert(Reshape.prettyCutLabels(Seq(0.5, 1.25), integer = false) ===
+      Seq(" <= 0.50", "0.50 - 1.25", " > 1.25"))
+    val d = Seq(Some(1.0), Some(5.0), Some(10.0), Some(15.0), Some(20.0),
+      Some(Double.NaN), None).toDF("x")
+    val out = d.select(Reshape.prettyCut(col("x"), Seq(5d, 10d, 15d),
+      integer = true).as("bin")).collect().map(r => Option(r.getString(0)))
+    assert(out === Seq(Some(" <= 5"), Some(" <= 5"), Some("6 - 10"),
+      Some("11 - 15"), Some(" > 15"), None, None))
+  }
+
+  test("boolsToCategorical joins true flag names; all-false is naRep") {
+    val d = Seq((true, false, false), (false, true, false), (true, false, true),
+      (false, true, true), (false, false, false)).toDF("A", "B", "C")
+    val out = d.select(Reshape.boolsToCategorical(Seq(
+      "A" -> col("A"), "B" -> col("B"), "C" -> col("C"))).as("l"))
+      .collect().map(_.getString(0))
+    assert(out === Seq("A", "B", "A & C", "B & C", "None"))
+  }
+
+  test("boolsToCategorical rejects clashing naRep and duplicate trues when disallowed") {
+    intercept[IllegalArgumentException] {
+      Reshape.boolsToCategorical(Seq("None" -> lit(true)))
+    }
+    val d = Seq((true, true)).toDF("A", "B")
+    val ex = intercept[Exception] {
+      d.select(Reshape.boolsToCategorical(Seq("A" -> col("A"), "B" -> col("B")),
+        allowDuplicates = false).as("l")).collect()
+    }
+    assert(ex.getMessage.contains("more than one True"))
+  }
+}
