@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{AggSpec, GroupBy, Margins, Reshape, RollingOps, SelectionOps}
+import graft.functions.NanOps
+import graft.operators.{AggSpec, GroupBy, GroupScatter, Margins, Reshape, RollingOps, SelectionOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -44,7 +45,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  private def all: Seq[Q] = coreAgg ++ windowOps ++ reshapeOps
+  private def all: Seq[Q] = coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit
 
   /** events-table helpers: user_id grouping, ts ordering ((user_id, ts)
     * is unique in the testdata), event-level output sorted by event_id.
@@ -471,6 +472,68 @@ object SparkEntry {
         |   CASE WHEN l_tax > 0.04 THEN 'taxed' END), ''), 'None') AS flags,
         | COUNT(*) AS count
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+
+  private def nanAndFit: Seq[Q] = Seq(
+    Q("nan_reduce",
+      (s, dir) => NanOps.reduce(T(s, dir, "lineitem"), Seq(
+          NanOps.Red("sum", col("l_extendedprice"), "nansum", exact = true),
+          NanOps.Red("count", col("l_extendedprice"), "n"),
+          NanOps.Red("mean", col("l_extendedprice"), "nanmean", exact = true),
+          NanOps.Red("min", col("l_extendedprice"), "nanmin"),
+          NanOps.Red("max", col("l_extendedprice"), "nanmax"),
+          NanOps.Red("var", col("l_discount"), "v"),
+          NanOps.Red("std", col("l_discount"), "s"),
+          NanOps.Red("sum", NanOps.nbDot(
+            Seq(col("l_quantity"), col("l_discount")), Seq(2.0, 100.0)),
+            "dot_sum", exact = true)))
+        .select(col("nansum"), col("n"), col("nanmean"), col("nanmin"),
+          col("nanmax"), round(col("v"), 8).as("nanvar"),
+          round(col("s"), 8).as("nanstd"), col("dot_sum")),
+      Some(s"""SELECT ${dsum("l_extendedprice")} AS nansum,
+        | COUNT(l_extendedprice) AS n,
+        | ${dmean("l_extendedprice")} AS nanmean,
+        | MIN(l_extendedprice) AS nanmin, MAX(l_extendedprice) AS nanmax,
+        | ROUND(VAR_SAMP(l_discount), 8) AS nanvar,
+        | ROUND(STDDEV_SAMP(l_discount), 8) AS nanstd,
+        | ${dsum("l_quantity * 2.0 + l_discount * 100.0")} AS dot_sum
+        |FROM lineitem""".stripMargin)),
+
+    Q("group_scatter_bins",
+      (s, dir) => GroupScatter.binnedMeans(T(s, dir, "lineitem"),
+          col("l_quantity"), col("l_extendedprice"), 10,
+          tieBreak = Seq(liOrd), exact = true)
+        .withColumn("bin", col("bin").cast("long")),
+      Some(s"""SELECT bin, ${dmean("l_quantity")} AS x_mean,
+        | ${dmean("l_extendedprice")} AS y_mean, COUNT(*) AS n
+        |FROM (SELECT l_quantity, l_extendedprice,
+        |  NTILE(10) OVER (ORDER BY l_quantity, l_orderkey*10 + l_linenumber) AS bin
+        |  FROM lineitem)
+        |GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    Q("linreg",
+      (s, dir) => {
+        val (coefs, r2) = GroupScatter.fit(T(s, dir, "lineitem"),
+          col("l_quantity"), col("l_extendedprice"), exact = true)
+        import s.implicits._
+        Seq((coefs(0), coefs(1), r2)).toDF("slope", "intercept", "r2")
+      },
+      Some("""WITH mom AS (SELECT
+        |  CAST(SUM(CAST(1.0 AS DECIMAL(38,6))) AS DOUBLE) AS m0,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS m1,
+        |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS m2,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS b0,
+        |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS b1,
+        |  CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        |  FROM lineitem),
+        |c1 AS (SELECT *, (m0*b1 - m1*b0) / (m0*m2 - m1*m1) AS slope FROM mom),
+        |c2 AS (SELECT *, (b0 - m1*slope) / m0 AS intercept FROM c1)
+        |SELECT slope, intercept,
+        | 1 - (syy - 2*(intercept*b0 + slope*b1)
+        |        + (intercept*intercept*m0 + intercept*slope*m1
+        |           + slope*intercept*m1 + slope*slope*m2))
+        |     / (syy - b0*b0/m0) AS r2
+        |FROM c2""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

@@ -1,0 +1,109 @@
+package graft.api
+
+import graft.functions.Num
+import graft.operators.{GroupBy, Margins, RollingOps, SelectionOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{DoubleType, NumericType}
+
+/** The user-facing veneer — the analogue of the reference's
+  * pandas-compatible API layer and convenience extensions
+  * (`/root/reference/pandas_plus/groupby/api.py`,
+  * `monkey_patch.py:97-126` `install_groupby_fast`,
+  * `extensions.py:11-91`). `import graft.api.Implicits._` plays the
+  * role of the monkey-patch install.
+  */
+object Implicits {
+
+  implicit class GraftDataFrameOps(val df: DataFrame) extends AnyVal {
+
+    /** `df.groupby_fast(...)` (reference `monkey_patch.py:55-94`). */
+    def groupByFast(keys: Column*): GroupBy = new GroupBy(df, keys)
+    def groupByFast(key: String, rest: String*): GroupBy =
+      new GroupBy(df, (key +: rest).map(col))
+
+    // ---- extensions.py aliases -------------------------------------
+
+    /** value_counts (`vc`). */
+    def vc(c: Column, normalize: Boolean = false): DataFrame =
+      GroupBy.valueCounts(df, c, normalize)
+
+    /** sort_values ascending (`sv`) / descending (`svd`). */
+    def sv(cols: Column*): DataFrame = df.orderBy(cols: _*)
+    def svd(cols: Column*): DataFrame = df.orderBy(cols.map(_.desc): _*)
+
+    /** drop_duplicates (`dd`). */
+    def dd(cols: String*): DataFrame =
+      if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+    /** groupby(observed=True) (`gb`). */
+    def gb(keys: Column*): GroupBy = new GroupBy(df, keys)
+
+    /** Column projection by name regex / substring (`filter_cols`). */
+    def filterCols(regex: String = null, like: String = null): DataFrame = {
+      val keep = df.columns.filter { c =>
+        (regex != null && c.matches(regex)) || (like != null && c.contains(like))
+      }
+      df.select(keep.map(col).toSeq: _*)
+    }
+
+    def dropCols(cols: String*): DataFrame = df.drop(cols: _*)
+
+    /** ×100 rounded (`pc`, reference default precision 1). */
+    def pc(c: Column, prec: Int = 1): Column = round(c * 100, prec)
+
+    /** x / Σx × to (`normalize`) — global-sum window over the column. */
+    def normalize(c: Column, to: Double = 1.0): Column =
+      Num.safeDiv(c.cast(DoubleType),
+        F.sum(c).over(Window.partitionBy()).cast(DoubleType)) * to
+
+    /** Numeric columns only (`select_numeric`). */
+    def selectNumeric(): DataFrame =
+      df.select(df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType] => col(f.name)
+      }.toSeq: _*)
+  }
+
+  /** Column-selection + rolling façade on GroupBy, mirroring
+    * `SeriesGroupBy`/`DataFrameGroupBy.__getitem__` sharing the
+    * grouper (`api.py:813-833`) and `.rolling(window, min_periods)`
+    * (`api.py:527-662`).
+    */
+  implicit class GraftGroupByOps(val gbv: GroupBy) {
+    /** `gb("col1", "col2")`-style selection bound to the grouper. */
+    def cols(values: Column*): SelectedGroupBy = new SelectedGroupBy(gbv, values)
+    def rolling(window: Int, minPeriods: Option[Int] = None): RollingFacade =
+      new RollingFacade(gbv, window, minPeriods)
+    def selection: SelectionOps = new SelectionOps(gbv)
+    def windows: RollingOps = new RollingOps(gbv)
+  }
+
+  final class SelectedGroupBy(gb: GroupBy, values: Seq[Column]) {
+    def sum(mask: Option[Column] = None, exact: Boolean = false): DataFrame =
+      gb.sum(values, mask = mask, exact = exact)
+    def mean(mask: Option[Column] = None, exact: Boolean = false): DataFrame =
+      gb.mean(values, mask = mask, exact = exact)
+    def min(mask: Option[Column] = None): DataFrame = gb.min(values, mask = mask)
+    def max(mask: Option[Column] = None): DataFrame = gb.max(values, mask = mask)
+    def count(mask: Option[Column] = None): DataFrame = gb.count(values, mask = mask)
+    def median(mask: Option[Column] = None): DataFrame = gb.median(values, mask = mask)
+    def variance(ddof: Int = 1): DataFrame = gb.variance(values, ddof)
+    def std(ddof: Int = 1): DataFrame = gb.std(values, ddof)
+  }
+
+  final class RollingFacade(gb: GroupBy, window: Int, minPeriods: Option[Int]) {
+    private def ops = new RollingOps(gb)
+    def sum(value: Column, ord: Column, mask: Option[Column] = None,
+        exact: Boolean = false): DataFrame =
+      ops.rollingSum(value, ord, window, minPeriods, mask, exact = exact)
+    def mean(value: Column, ord: Column, mask: Option[Column] = None,
+        exact: Boolean = false): DataFrame =
+      ops.rollingMean(value, ord, window, minPeriods, mask, exact = exact)
+    def min(value: Column, ord: Column, mask: Option[Column] = None): DataFrame =
+      ops.rollingMin(value, ord, window, minPeriods, mask)
+    def max(value: Column, ord: Column, mask: Option[Column] = None): DataFrame =
+      ops.rollingMax(value, ord, window, minPeriods, mask)
+  }
+}

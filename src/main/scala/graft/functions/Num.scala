@@ -28,6 +28,11 @@ object Num {
     */
   val SumDec: DecimalType = DecimalType(28, 6)
 
+  /** Wider variant for higher-order moment sums (x², x·y on large
+    * magnitudes): 32 integer digits.
+    */
+  val MomentDec: DecimalType = DecimalType(38, 6)
+
   /** Order-insensitive sum of a floating column: exact decimal
     * accumulation, double result. Null iff no non-null inputs.
     */
