@@ -1,7 +1,8 @@
 package graft
 
-import graft.functions.NanOps
-import graft.operators.{AggSpec, GroupBy, GroupScatter, Margins, Reshape, RollingOps, SelectionOps}
+import graft.functions.{NanOps, TextFunctions}
+import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Margins, Multimodal, Reshape, RollingOps, SelectionOps, Similarity}
+import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,7 +46,8 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  private def all: Seq[Q] = coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit
+  private def all: Seq[Q] =
+    coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps
 
   /** events-table helpers: user_id grouping, ts ordering ((user_id, ts)
     * is unique in the testdata), event-level output sorted by event_id.
@@ -534,6 +536,176 @@ object SparkEntry {
         |           + slope*intercept*m1 + slope*slope*m2))
         |     / (syy - b0*b0/m0) AS r2
         |FROM c2""".stripMargin))
+  )
+
+  private def pipelineOps: Seq[Q] = Seq(
+    Q("dedup_exact",
+      (s, dir) => Dedup.exact(T(s, dir, "documents"), col("doc_id"),
+        Seq(md5(col("text")).as("h"))).orderBy(col("keep_id")),
+      Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    Q("dedup_ngram",
+      (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 2, threshold = 0.2)
+        .orderBy(col("ida"), col("idb")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+        |   FROM w),
+        | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+        |ORDER BY ida, idb""".stripMargin)),
+
+    // MinHash+LSH and SimHash candidate generation use engine-internal
+    // hash functions — no SQL oracle (rows-only check); the spec
+    // validates them against the exact Jaccard pairs.
+    Q("dedup_minhash",
+      (s, dir) => Dedup.minHashPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), threshold = 0.5)
+        .orderBy(col("ida"), col("idb")),
+      None),
+
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simHashPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), maxDistance = 4)
+        .orderBy(col("ida"), col("idb")),
+      None),
+
+    Q("emb_cosine_topk",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+            col("vec_id"), col("embedding"), 5, exact = true)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        | t AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |   unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        |   FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id),
+        | d AS (SELECT qid, nid,
+        |   CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+        |   CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS na,
+        |   CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS nb
+        |   FROM t GROUP BY 1, 2)
+        |SELECT qid, nid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, nid) AS rank
+        |FROM d QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    Q("emb_lsh_topk",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+            col("vec_id"), col("embedding"), 5, planes = 6)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    Q("text_stats",
+      (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextFunctions.tokenCountRegex(col("text")).cast("long").as("n_tok"),
+        TextFunctions.punctCount(col("text")).cast("long").as("n_punct"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+        TextFunctions.meanWordLength(col("text")).as("mean_wlen"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_ws,
+        | len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok,
+        | len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+        | len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |   / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
+        | len(replace(text, ' ', ''))::DOUBLE
+        |   / len(string_split(text, ' '))::DOUBLE AS mean_wlen,
+        | least(1.0, n_chars / 400.0) * 0.5 +
+        |   least(1.0, (len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |     / len(string_split(text, ' '))::DOUBLE) * 5.0) * 0.5 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_langid",
+      (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("pred"))
+        .orderBy(col("doc_id")),
+      Some("""WITH c AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('the','of','and','is','to'))) AS c_en,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS c_de,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','est','les'))) AS c_fr,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('el','los','es','y','las'))) AS c_es
+        |  FROM documents),
+        |b AS (SELECT *, GREATEST(c_en, c_de, c_fr, c_es) AS best FROM c)
+        |SELECT doc_id, lang,
+        | CASE WHEN c_en = best AND best > 0 THEN 'en'
+        |      WHEN c_de = best AND best > 0 THEN 'de'
+        |      WHEN c_fr = best AND best > 0 THEN 'fr'
+        |      WHEN c_es = best AND best > 0 THEN 'es'
+        |      ELSE 'und' END AS pred
+        |FROM b ORDER BY doc_id""".stripMargin)),
+
+    Q("text_fingerprint",
+      (s, dir) => T(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ' '),
+        |       w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_decode",
+      (s, dir) => {
+        val bin = Multimodal.attachBinary(T(s, dir, "documents"),
+          col("doc_id"), col("text"), mime = "text/plain")
+        Multimodal.decodeBatch(bin).toDF()
+          .select(col("id"), col("meta.n_bytes").as("n_bytes"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("features")(0).cast("double").as("f0"),
+            col("features")(1).cast("double").as("f1"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id, strlen(text) AS n_bytes,
+        | 64 + (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024) AS width,
+        | 64 + (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024) AS height,
+        | (CAST(CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) AS FLOAT)
+        |   / CAST(65535 AS FLOAT))::DOUBLE AS f0,
+        | (CAST(CAST('0x' || substr(md5(text), 13, 4) AS BIGINT) AS FLOAT)
+        |   / CAST(65535 AS FLOAT))::DOUBLE AS f1
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("win_tumbling",
+      (s, dir) => EventStreams.tumbling(T(s, dir, "events"), "1 day")
+        .withColumn("bucket", unix_micros(col("bucket")))
+        .orderBy(col("bucket"), col("event_type")),
+      Some(s"""SELECT epoch_us(time_bucket(INTERVAL '1 day', ts)) AS bucket, event_type,
+        | COUNT(*) AS n, ${dsum("value")} AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("win_sessions",
+      (s, dir) => EventStreams.sessions(T(s, dir, "events"), "12 hours")
+        .withColumn("session_start", unix_micros(col("session_start")))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH f AS (SELECT user_id, ts,
+        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts) > 43200000000 THEN 1 ELSE 0 END AS flag
+        |  FROM events),
+        |g AS (SELECT user_id, ts, SUM(flag) OVER
+        |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start, COUNT(*) AS n
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

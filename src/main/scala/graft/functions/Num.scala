@@ -33,6 +33,15 @@ object Num {
     */
   val MomentDec: DecimalType = DecimalType(38, 6)
 
+  /** Dot-product-term variant (embedding similarity): 8 fractional
+    * digits. The scale is deliberately coarse: engines convert double
+    * to decimal through double arithmetic, whose rounding agrees with
+    * exact conversion only when value·10^scale is far below 2^53 —
+    * at scale 8 a unit-magnitude term has ~2e-10 boundary-flip
+    * probability, at scale 15+ it is ~3%.
+    */
+  val DotDec: DecimalType = DecimalType(38, 8)
+
   /** Order-insensitive sum of a floating column: exact decimal
     * accumulation, double result. Null iff no non-null inputs.
     */

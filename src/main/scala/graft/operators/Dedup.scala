@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for large text corpora — the
+  * training-data-pipeline extension surface (no reference
+  * counterpart; designed Spark-first for the 100 TB case).
+  *
+  * All stages are hash-partitioned joins/aggregations on shingle or
+  * bucket keys — no driver-side state, no all-pairs comparison except
+  * within LSH buckets (by construction small).
+  */
+object Dedup {
+
+  /** Exact dedup by one or more key expressions (hash-groupBy):
+    * per distinct key, the minimum id (the row to keep) and the
+    * duplicate count.
+    */
+  def exact(df: DataFrame, id: Column, keys: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(F.min(id).as("keep_id"), F.count(lit(1)).as("n_dups"))
+
+  /** Distinct (id, word n-gram shingle) pairs of a text column —
+    * the shared first stage of the similarity-based dedups.
+    */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int,
+      sep: String = " "): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      split(text, java.util.regex.Pattern.quote(sep)).as("__w"))
+    val sh =
+      if (n == 1) explode(col("__w"))
+      else explode(expr(
+        s"transform(sequence(0, size(__w) - $n), i -> " +
+          s"array_join(slice(__w, i + 1, $n), '$sep'))"))
+    base.select(col("doc_id"), sh.as("shingle")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for every pair of ids sharing at
+    * least one shingle, thresholded. The inverted-index self-join on
+    * the shingle key is the canonical distributed formulation: shuffle
+    * by shingle, pairs emerge co-partitioned; nothing is quadratic in
+    * the corpus (only in per-shingle posting lists — cap hot shingles
+    * upstream if the corpus has degenerate boilerplate).
+    */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(df, id, text, n)
+    val counts = sh.groupBy("doc_id").agg(F.count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(F.count(lit(1)).as("i"))
+    inter
+      .join(counts.as("ca"), col("ida") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("idb") === col("cb.doc_id"))
+      .select(col("ida"), col("idb"),
+        (col("i").cast(DoubleType) * lit(1.0) /
+          (col("ca.n_sh") + col("cb.n_sh") - col("i")).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k permutation-style hash functions
+    * `h_j(s) = (a_j·x + b_j) mod p` over a 64-bit base shingle hash
+    * x, minimized per document in ONE aggregation pass (k min
+    * aggregates, no per-hash shuffle). Deterministic: a/b derive from
+    * a seeded generator.
+    */
+  def minHashSignatures(sh: DataFrame, k: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    // 2^31−1: a·x stays under 2^62, so the mulmod never overflows a
+    // long (ANSI-safe)
+    val p = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val abs = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+    val x = pmod(xxhash64(col("shingle")), lit(p))
+    val mins = abs.zipWithIndex.map { case ((a, b), j) =>
+      F.min(pmod(x * lit(a) + lit(b), lit(p))).as(s"h$j")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+  }
+
+  private def pmod(x: Column, m: Column): Column = ((x % m) + m) % m
+
+  /** LSH banding: split the signature into `bands` rows-per-band
+    * slices, hash each slice → (band, bucket) keys; documents sharing
+    * any (band, bucket) are candidate near-duplicates. Candidate pairs
+    * are scored by signature agreement (the MinHash Jaccard
+    * estimator).
+    */
+  def minHashCandidates(signatures: DataFrame, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val buckets = signatures.select(col("doc_id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))")))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+    pairs
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), z -> z))")
+          .cast(DoubleType) / expr("size(siga)"))
+      .drop("siga", "sigb")
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** End-to-end MinHash+LSH near-dup pairs. */
+  def minHashPairs(df: DataFrame, id: Column, text: Column, n: Int = 2,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame =
+    minHashCandidates(minHashSignatures(shingles(df, id, text, n), k, seed),
+      bands, threshold)
+
+  /** 64-bit SimHash per document: each word hash votes ±1 on its bit
+    * positions; the sign vector packs into one long. One aggregation
+    * pass (64 sums).
+    */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val words = df.select(id.as("doc_id"),
+      explode(split(text, " ")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { b =>
+      F.sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
+    }
+    words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs with Hamming distance ≤
+    * `maxDistance`. Candidates block on 16-bit quarters of the hash
+    * (pigeonhole: distance ≤ 3 ⇒ one quarter matches exactly), so the
+    * join key is selective at scale; the exact popcount filter runs
+    * only on blocked pairs.
+    */
+  def simHashPairs(df: DataFrame, id: Column, text: Column,
+      maxDistance: Int = 3): DataFrame = {
+    val hashed = simHash(df, id, text)
+    val blocks = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("block"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

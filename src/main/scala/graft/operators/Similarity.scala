@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.DoubleType
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — training-data-pipeline extension surface.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *     query set against the corpus; one scan, no corpus shuffle.
+  *     The baseline and the verifier for the approximate path.
+  *   - [[lshTopK]] — random-hyperplane LSH: corpus is bucketed by
+  *     sign-bit keys (one map pass), queries probe only their bucket.
+  *     At 100 TB the bucket join replaces the full cross product;
+  *     recall is tunable via `planes` (and multi-probe, not
+  *     implemented here).
+  */
+object Similarity {
+
+  /** Row-level cosine similarity of two float-array columns —
+    * codegen-friendly higher-order functions, double accumulation.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    Num.safeDiv(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbours of each query vector (`queries` must be
+    * broadcast-small; the corpus side streams). `exact=true` computes
+    * the dot products via explode + decimal sums — order-insensitive,
+    * for oracle comparison; the default zip_with path is the fast
+    * production one.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, k: Int, exact: Boolean = false): DataFrame = {
+    val q = queries.select(id.as("qid"), vec.as("qv"))
+    val c = corpus.select(id.as("nid"), vec.as("nv"))
+    val scored =
+      if (!exact)
+        c.join(broadcast(q), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      else {
+        val terms = c.join(broadcast(q), col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            explode(zip_with(col("qv"), col("nv"),
+              (x, y) => struct((x.cast(DoubleType) * y.cast(DoubleType)).as("xy"),
+                (x.cast(DoubleType) * x.cast(DoubleType)).as("xx"),
+                (y.cast(DoubleType) * y.cast(DoubleType)).as("yy")))).as("t"))
+        terms.groupBy("qid", "nid")
+          .agg(
+            F.sum(col("t.xy").cast(Num.DotDec)).cast(DoubleType).as("dot"),
+            F.sum(col("t.xx").cast(Num.DotDec)).cast(DoubleType).as("na"),
+            F.sum(col("t.yy").cast(Num.DotDec)).cast(DoubleType).as("nb"))
+          .select(col("qid"), col("nid"),
+            Num.safeDiv(col("dot"), sqrt(col("na")) * sqrt(col("nb"))).as("cos"))
+      }
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `planes` × `dim` doubles from a
+    * seeded generator (java.util.Random is a fixed LCG — stable across
+    * JVMs).
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket key of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** LSH-bucketed ANN: candidates share the query's bucket; exact
+    * cosine ranks within. Trades recall for a bucket-key equijoin.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(F.size(vec)).head().getInt(0)
+    val hp = hyperplanes(planes, dim, seed)
+    val c = corpus.select(id.as("nid"), vec.as("nv"),
+      lshBucket(vec, hp).as("bucket"))
+    val q = queries.select(id.as("qid"), vec.as("qv"),
+      lshBucket(vec, hp).as("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LLM-data-pipeline operator semantics: dedup family cross-checks
+  * (MinHash/SimHash candidates vs exact Jaccard), ANN recall vs brute
+  * force, text heuristics, multimodal batch plumbing, and the
+  * streaming twins running as a real Structured Streaming query.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("exact dedup keeps min id per key") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "t")
+    val out = Dedup.exact(d, col("id"), Seq(col("t")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("a" -> (1L, 2L), "b" -> (3L, 1L)))
+  }
+
+  test("minhash candidates recover the exact-jaccard near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      n = 2, threshold = 0.5).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("simhash of identical texts is identical; near-dups are close") {
+    val d = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "completely different words here"))
+      .toDF("id", "t")
+    val h = Dedup.simHash(d, col("id"), col("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 10)
+  }
+
+  test("lsh ANN hits are a subset of brute-force ranking universe and recall is sane") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(embs, queries, col("vec_id"),
+      col("embedding"), 3).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(embs, queries, col("vec_id"),
+      col("embedding"), 3, planes = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random embeddings cluster weakly, so single-probe recall is
+    // modest by nature; require overlap, not high recall
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(lsh.nonEmpty && recall > 0.0, s"lsh recall $recall")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val d = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 2f))).toDF("a", "b", "c")
+    val r = d.select(Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("text functions: tokens, stopwords, langid, fingerprint") {
+    val d = Seq("the cat sat of the mat").toDF("t")
+    val r = d.select(
+      TextFunctions.tokenCountWs(col("t")),
+      TextFunctions.stopwordRatio(col("t")),
+      TextFunctions.langId(col("t")),
+      TextFunctions.fingerprint(col("t"))).head
+    assert(r.getInt(0) === 6)
+    assert(math.abs(r.getDouble(1) - 3.0 / 6.0) < 1e-12)
+    assert(r.getString(2) === "en")
+    assert(r.getLong(3) >= 0 && r.getLong(3) < 1000000007L)
+    // fingerprint is a pure function of the text
+    val r2 = d.select(TextFunctions.fingerprint(col("t"))).head
+    assert(r2.getLong(0) === r.getLong(3))
+  }
+
+  test("multimodal decodeBatch: schema, determinism, batch shape") {
+    val bin = Multimodal.attachBinary(docs.limit(10), col("doc_id"), col("text"))
+    assert(bin.columns.toSeq === Seq("id", "bytes", "n_bytes", "mime"))
+    val out = Multimodal.decodeBatch(bin)
+    val rows = out.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(d => d.meta.width >= 64 && d.meta.width < 64 + 1024))
+    assert(rows.forall(_.features.length === 4))
+    // deterministic across runs
+    val again = Multimodal.decodeBatch(bin).collect()
+    assert(rows.map(_.meta).toSeq === again.map(_.meta).toSeq)
+    // expression twin agrees with the batched codec
+    val exprW = bin.select(col("id"),
+      Multimodal.stubWidth(decode(col("bytes"), "UTF-8")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(d => exprW(d.id) === d.meta.width.toLong))
+  }
+
+  test("frame sampling offsets are evenly spaced") {
+    val d = Seq(100).toDF("n")
+    val out = d.select(Multimodal.frameSampleOffsets(col("n"), 4)).head.getSeq[Int](0)
+    assert(out === Seq(0, 25, 50, 75))
+  }
+
+  test("tumbling/sessions run as a real structured streaming query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toFile
+    // stage the batch events as a file stream source
+    val ev = EventStreams.withEventTime(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    ev.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir.getAbsolutePath)
+    val agg = EventStreams.tumbling(stream, "1 day")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_tumbling")
+      .option("checkpointLocation", out.getAbsolutePath)
+      .start()
+    q.processAllAvailable()
+    val streamed = spark.table("graft_tumbling")
+      .select("bucket", "event_type", "n", "sum_value")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    q.stop()
+    val batch = EventStreams.tumbling(ev, "1 day")
+      .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session aggregation matches groupNearbyMembers-derived sessions") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val sessions = EventStreams.sessions(ev, "12 hours")
+    val total = sessions.agg(sum("n")).head.getLong(0)
+    assert(total === ev.count()) // every event lands in exactly one session
+    assert(sessions.count() > ev.select("user_id").distinct().count())
+  }
+}
