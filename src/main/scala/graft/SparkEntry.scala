@@ -242,6 +242,42 @@ object SparkEntry {
       Some("""SELECT o_orderstatus, COUNT(*) AS key_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("gb_unobserved",
+      (s, dir) => {
+        // observed_only=False with a categorical domain: counts per
+        // (segment, nation) reindexed to the full cartesian domain,
+        // unobserved combos zero-filled.
+        val cust = T(s, dir, "customer")
+        val gb = new GroupBy(cust, Seq(col("c_mktsegment"), col("c_nationkey")))
+        val counts = gb.size(name = "n")
+        val domain = cust.select(col("c_mktsegment")).distinct()
+          .crossJoin(T(s, dir, "nation")
+            .select(col("n_nationkey").as("c_nationkey")))
+        gb.reindex(counts, domain, fill = Some(0L))
+      },
+      Some("""SELECT s.c_mktsegment, n.n_nationkey AS c_nationkey,
+        | COALESCE(c.n, 0) AS n
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) s
+        |CROSS JOIN nation n
+        |LEFT JOIN (SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |           FROM customer GROUP BY 1, 2) c
+        |  ON s.c_mktsegment = c.c_mktsegment AND n.n_nationkey = c.c_nationkey
+        |ORDER BY 1, 2""".stripMargin)),
+
+    Q("gb_mean_ts",
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregate(Seq(
+          AggSpec("mean", unix_micros(col("l_shipdate").cast("timestamp")), "m_us", exact = true),
+          AggSpec("size", lit(1), "n")))
+        // datetime mean (reference mean_from_sum_count integer-division
+        // semantics, util.py:1290): epoch seconds, floored
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("m_us") / 1000000.0).cast("long").as("mean_ship_s"), col("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | CAST(FLOOR(CAST(SUM(CAST(epoch_us(l_shipdate) AS DECIMAL(28,6))) AS DOUBLE)
+        |   / COUNT(l_shipdate) / 1000000.0) AS BIGINT) AS mean_ship_s,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("gb_groups",
       (s, dir) => new GroupBy(T(s, dir, "orders"), Seq(col("o_orderstatus")))
         .groupsOf(col("o_orderkey")).orderBy(col("o_orderstatus")),

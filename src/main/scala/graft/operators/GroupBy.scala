@@ -373,6 +373,21 @@ final class GroupBy(
   def keyCount(name: String = "key_count"): DataFrame =
     size(name = name)
 
+  /** Reindex an aggregation result of this GroupBy onto a full key
+    * domain — the reference's `observed_only=False` for categorical
+    * keys (`core.py:704-717`, cartesian domain `util.py:1280-1287`):
+    * unobserved key combinations appear with `fill` (or null).
+    * `domain` must carry the key columns; build it as a cross-join of
+    * per-level distinct values (cheap: domain cardinality is the
+    * output cardinality, guard it at scale like any pivot domain).
+    */
+  def reindex(result: DataFrame, domain: DataFrame,
+      fill: Option[Long] = scala.None): DataFrame = {
+    val joined = domain.join(result, keyNames, "left")
+    val out = fill.map(v => joined.na.fill(v)).getOrElse(joined)
+    if (sort) out.orderBy(keyCols: _*) else out
+  }
+
   /** group-label → sorted row ids (reference `groups`, `core.py:323`);
     * distributed as collect_list, for moderate group sizes only.
     */
