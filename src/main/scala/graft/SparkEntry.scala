@@ -721,6 +721,33 @@ object SparkEntry {
         |   / CAST(65535 AS FLOAT))::DOUBLE AS f1
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Q("emb_dup_pairs",
+      (s, dir) => Dedup.embeddingPairs(T(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.4, exact = true)
+        .orderBy(col("ida"), col("idb")),
+      Some("""WITH t AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |   unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+        |   FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id),
+        | d AS (SELECT ida, idb,
+        |   CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+        |   CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS na,
+        |   CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS nb
+        |   FROM t GROUP BY 1, 2)
+        |SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos
+        |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+        |ORDER BY ida, idb""".stripMargin)),
+
+    Q("win_sliding",
+      (s, dir) => EventStreams.sliding(T(s, dir, "events"), "2 days", "1 day")
+        .withColumn("bucket", unix_micros(col("bucket")))
+        .orderBy(col("bucket"), col("event_type")),
+      Some("""SELECT epoch_us(start) AS bucket, event_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |  unnest([time_bucket(INTERVAL '1 day', ts),
+        |          time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day']) AS start
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("win_tumbling",
       (s, dir) => EventStreams.tumbling(T(s, dir, "events"), "1 day")
         .withColumn("bucket", unix_micros(col("bucket")))

@@ -123,6 +123,54 @@ object Dedup {
     minHashCandidates(minHashSignatures(shingles(df, id, text, n), k, seed),
       bands, threshold)
 
+  /** Embedding-cosine near-duplicate pairs. With `planes` set,
+    * candidates come from shared random-hyperplane LSH buckets (the
+    * scale path — one map pass + bucket equijoin); without it, the
+    * exact all-pairs path (quadratic: small corpora / verification
+    * only). `exact` uses order-insensitive decimal dot products.
+    */
+  def embeddingPairs(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, planes: Option[Int] = scala.None,
+      exact: Boolean = false, seed: Long = 42L): DataFrame = {
+    val a = df.select(id.as("ida"), vec.as("va"))
+    val b = df.select(id.as("idb"), vec.as("vb"))
+    val pairs = planes match {
+      case scala.Some(p) =>
+        val dim = df.select(F.size(vec)).head().getInt(0)
+        val hp = Similarity.hyperplanes(p, dim, seed)
+        val ab = df.select(id.as("ida"), vec.as("va"),
+          Similarity.lshBucket(vec, hp).as("bucket"))
+        val bb = df.select(id.as("idb"), vec.as("vb"),
+          Similarity.lshBucket(vec, hp).as("bucket"))
+        ab.join(bb, Seq("bucket")).filter(col("ida") < col("idb"))
+      case scala.None =>
+        a.join(b, col("ida") < col("idb"))
+    }
+    val scored =
+      if (!exact)
+        pairs.select(col("ida"), col("idb"),
+          Similarity.cosine(col("va"), col("vb")).as("cos"))
+      else {
+        val terms = pairs.select(col("ida"), col("idb"),
+          explode(zip_with(col("va"), col("vb"), (x, y) =>
+            struct((x.cast(DoubleType) * y.cast(DoubleType)).as("xy"),
+              (x.cast(DoubleType) * x.cast(DoubleType)).as("xx"),
+              (y.cast(DoubleType) * y.cast(DoubleType)).as("yy")))).as("t"))
+        terms.groupBy("ida", "idb")
+          .agg(
+            F.sum(col("t.xy").cast(graft.functions.Num.DotDec))
+              .cast(DoubleType).as("dot"),
+            F.sum(col("t.xx").cast(graft.functions.Num.DotDec))
+              .cast(DoubleType).as("na"),
+            F.sum(col("t.yy").cast(graft.functions.Num.DotDec))
+              .cast(DoubleType).as("nb"))
+          .select(col("ida"), col("idb"),
+            graft.functions.Num.safeDiv(col("dot"),
+              sqrt(col("na")) * sqrt(col("nb"))).as("cos"))
+      }
+    scored.filter(col("cos") >= threshold)
+  }
+
   /** 64-bit SimHash per document: each word hash votes ±1 on its bit
     * positions; the sign vector packs into one long. One aggregation
     * pass (64 sums).

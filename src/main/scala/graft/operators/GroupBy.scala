@@ -93,6 +93,9 @@ final class GroupBy(
   def persisted: GroupBy =
     new GroupBy(base.repartition(keyCols: _*).persist(), keyCols, sort, dropNullKeys)
 
+  /** Number of groups (reference `ngroups`, `api.py:189`). An action. */
+  def ngroups: Long = base.select(keyCols: _*).distinct().count()
+
   // ---------------------------------------------------------------- core
 
   private def masked(mask: Option[Column], c: Column): Column =
