@@ -1,0 +1,169 @@
+package graft
+
+import graft.operators.{AggSpec, GroupBy, RollingOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential testing in the reference's style
+  * (`tests/test_groupby/test_core.py:24-60`): randomized null-heavy
+  * data, every op × mask cross-product, asserted against an
+  * independent driver-side Scala oracle (the role pandas plays for
+  * the reference). The Spark side exercises the full distributed
+  * path (4 partitions, shuffles); the oracle is sequential Scala over
+  * the same rows.
+  */
+case class DiffRow(ord: Int, key: Option[Int], v: Option[Double], m: Boolean)
+
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  type R = DiffRow
+  val R = DiffRow
+
+  def gen(seed: Long, n: Int = 120): Seq[R] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      R(i,
+        if (rnd.nextDouble() < 0.1) None else Some(rnd.nextInt(6)),
+        if (rnd.nextDouble() < 0.15) None else Some(math.rint(rnd.nextDouble() * 200) / 4),
+        rnd.nextBoolean())
+    }
+  }
+
+  def close(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+    case (None, None)         => true
+    case (Some(x), Some(y))   => math.abs(x - y) <= 1e-9 * math.max(1, math.abs(x))
+    case _                    => false
+  }
+
+  for (seed <- Seq(1L, 7L, 42L)) {
+    val rows = gen(seed)
+    lazy val df = rows.toDF("ord", "key", "v", "m").repartition(4)
+    def gb = new GroupBy(df, Seq(col("key")))
+    def grouped(useMask: Boolean): Map[Int, Seq[R]] =
+      rows.filter(_.key.isDefined)
+        .filter(r => !useMask || r.m)
+        .groupBy(_.key.get).view.mapValues(_.sortBy(_.ord)).toMap
+
+    def sparkAgg(op: String, mask: Boolean, ddof: Int = 1): Map[Int, Option[Double]] =
+      gb.aggregate(Seq(AggSpec(op, col("v"), "r", ddof = ddof,
+          ord = Some(struct(col("ord"), col("v"))))),
+          mask = if (mask) Some(col("m")) else None)
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None
+           else Some(r.get(1) match {
+             case l: java.lang.Long   => l.toDouble
+             case d: java.lang.Double => d.doubleValue
+           }))).toMap
+
+    for (mask <- Seq(false, true)) {
+      val g = grouped(mask)
+
+      test(s"seed=$seed mask=$mask: sum/mean/min/max/count vs scala oracle") {
+        val vs = g.view.mapValues(_.flatMap(_.v)).toMap
+        val expSum = vs.map { case (k, x) =>
+          k -> (if (x.isEmpty) None else Some(x.sum)) }
+        val expMean = vs.map { case (k, x) =>
+          k -> (if (x.isEmpty) None else Some(x.sum / x.size)) }
+        val expMin = vs.map { case (k, x) => k -> x.minOption }
+        val expMax = vs.map { case (k, x) => k -> x.maxOption }
+        val sSum = sparkAgg("sum", mask)
+        val sMean = sparkAgg("mean", mask)
+        val sMin = sparkAgg("min", mask)
+        val sMax = sparkAgg("max", mask)
+        assert(sSum.keySet === expSum.keySet)
+        expSum.foreach { case (k, e) => assert(close(sSum(k), e), s"sum key $k") }
+        expMean.foreach { case (k, e) => assert(close(sMean(k), e), s"mean key $k") }
+        expMin.foreach { case (k, e) => assert(close(sMin(k), e), s"min key $k") }
+        expMax.foreach { case (k, e) => assert(close(sMax(k), e), s"max key $k") }
+        val sCount = sparkAgg("count", mask)
+        g.foreach { case (k, rs) =>
+          assert(sCount(k) === Some(rs.count(_.v.isDefined).toDouble)
+            .map(_.toLong).map(_.toDouble).orElse(None) ||
+            sCount(k).map(_.toLong) === Some(rs.count(_.v.isDefined).toLong))
+        }
+      }
+
+      test(s"seed=$seed mask=$mask: first/last non-null by ord vs scala oracle") {
+        val sFirst = sparkAgg("first", mask)
+        val sLast = sparkAgg("last", mask)
+        g.foreach { case (k, rs) =>
+          val nn = rs.filter(_.v.isDefined)
+          assert(sFirst(k) === nn.headOption.flatMap(_.v), s"first key $k")
+          assert(sLast(k) === nn.lastOption.flatMap(_.v), s"last key $k")
+        }
+      }
+
+      test(s"seed=$seed mask=$mask: var ddof 0/1 vs scala oracle") {
+        for (ddof <- Seq(0, 1)) {
+          val sVar = sparkAgg("var", mask, ddof = ddof)
+          g.foreach { case (k, rs) =>
+            val x = rs.flatMap(_.v)
+            val exp =
+              if (x.size <= ddof) None
+              else {
+                val mu = x.sum / x.size
+                Some(x.map(d => (d - mu) * (d - mu)).sum / (x.size - ddof))
+              }
+            assert(close(sVar(k), exp), s"var ddof=$ddof key $k")
+          }
+        }
+      }
+
+      test(s"seed=$seed mask=$mask: cumsum accumulator-carry vs scala oracle") {
+        val out = new RollingOps(gb).cumsum(col("v"), col("ord"),
+            mask = if (mask) Some(col("m")) else None)
+          .collect().map(r => r.getAs[Int]("ord") ->
+            (if (r.isNullAt(r.fieldIndex("cumsum"))) None
+             else Some(r.getAs[Double]("cumsum")))).toMap
+        // oracle: per group in ord order, running sum over non-null,
+        // mask-passing values; every row reads the accumulator, null
+        // until the first contribution
+        val exp = scala.collection.mutable.Map[Int, Option[Double]]()
+        rows.groupBy(_.key).foreach {
+          case (Some(_), rs) =>
+            var acc: Option[Double] = None
+            rs.sortBy(_.ord).foreach { r =>
+              if ((!mask || r.m) && r.v.isDefined)
+                acc = Some(acc.getOrElse(0.0) + r.v.get)
+              exp(r.ord) = acc
+            }
+          case (None, rs) => rs.foreach(r => exp(r.ord) = None)
+        }
+        rows.foreach(r => assert(close(out(r.ord), exp(r.ord)), s"ord ${r.ord}"))
+      }
+
+      test(s"seed=$seed mask=$mask: rollingSum window=3 minPeriods=2 vs scala oracle") {
+        val out = new RollingOps(gb).rollingSum(col("v"), col("ord"), 3,
+            minPeriods = Some(2), mask = if (mask) Some(col("m")) else None)
+          .collect().map(r => r.getAs[Int]("ord") ->
+            (if (r.isNullAt(r.fieldIndex("rolling_sum"))) None
+             else Some(r.getAs[Double]("rolling_sum")))).toMap
+        val exp = scala.collection.mutable.Map[Int, Option[Double]]()
+          .withDefaultValue(None)
+        grouped(mask).foreach { case (_, rs) =>
+          rs.zipWithIndex.foreach { case (r, i) =>
+            val win = rs.slice(math.max(0, i - 2), i + 1).flatMap(_.v)
+            exp(r.ord) = if (win.size >= 2) Some(win.sum) else None
+          }
+        }
+        rows.foreach(r => assert(close(out(r.ord), exp(r.ord)), s"ord ${r.ord}"))
+      }
+    }
+
+    test(s"seed=$seed: shift/diff vs scala oracle") {
+      val ops = new RollingOps(gb)
+      val sh = ops.shift(col("v"), col("ord"), 1).collect()
+        .map(r => r.getAs[Int]("ord") ->
+          (if (r.isNullAt(r.fieldIndex("shift"))) None
+           else Some(r.getAs[Double]("shift")))).toMap
+      grouped(useMask = false).foreach { case (_, rs) =>
+        rs.zipWithIndex.foreach { case (r, i) =>
+          val exp = if (i == 0) None else rs(i - 1).v
+          assert(sh(r.ord) === exp, s"shift ord ${r.ord}")
+        }
+      }
+    }
+  }
+}

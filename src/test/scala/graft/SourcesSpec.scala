@@ -38,6 +38,20 @@ class SourcesSpec extends AnyFunSuite {
 
   test("bucketed tables aggregate and join without a shuffle") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    // the metastore is per-JVM but the warehouse dir persists: clear
+    // both the table entries and any stale locations
+    for (t <- Seq("graft_bucketed_a", "graft_bucketed_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
     val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
     Tables.writeBucketed(a, "graft_bucketed_a", Seq("k"), 4, sortCols = Seq("k"))
