@@ -242,6 +242,25 @@ object SparkEntry {
       Some("""SELECT o_orderstatus, COUNT(*) AS key_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("gb_nunique",
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).nunique(
+        Seq(col("l_partkey").as("n_parts"), col("l_suppkey").as("n_supps"))),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("gb_sum_salted",
+      // skew-safe two-phase aggregation must equal the plain path —
+      // same oracle as gb_sum
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregateSalted(
+        Seq(AggSpec("sum", col("l_quantity"), "sum_qty", exact = true),
+          AggSpec("sum", col("l_extendedprice"), "sum_price", exact = true)),
+        saltBuckets = 16),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        | ${dsum("l_quantity")} AS sum_qty, ${dsum("l_extendedprice")} AS sum_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("gb_unobserved",
       (s, dir) => {
         // observed_only=False with a categorical domain: counts per

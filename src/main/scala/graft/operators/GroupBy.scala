@@ -125,6 +125,7 @@ final class GroupBy(
       case "count"  => lift(F.count(v))
       case "size"   => lift(F.count(masked(mask, lit(1))))
       case "median" => lift(F.median(v))
+      case "nunique" => lift(F.count_distinct(v))
       case "first" =>
         val ord = spec.ord.getOrElse(sys.error("first requires ord column"))
         lift(F.min_by(v, when(v.isNotNull, ord)))
@@ -293,6 +294,72 @@ final class GroupBy(
   def std(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("std", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
+
+  /** Distinct non-null values per group (pandas `nunique`; exact —
+    * use approx_count_distinct at extreme cardinalities).
+    */
+  def nunique(values: Seq[Column], mask: Option[Column] = None,
+      observedOnly: Boolean = true): DataFrame =
+    one("nunique", values, mask, transform = false, Margins.None, observedOnly)
+
+  /** Skew-safe two-phase aggregation for algebraic ops
+    * (sum/count/size/min/max/mean): rows first aggregate under
+    * (keys, random salt) — splitting any hot key across
+    * `saltBuckets` reducers — then the per-salt partials combine on
+    * the keys alone. Same results as [[aggregate]] for these ops
+    * (they re-aggregate losslessly; exact sums stay decimal between
+    * phases), at the cost of one extra (tiny) shuffle. AQE's skew
+    * handling covers joins; this is the aggregation-side lever for
+    * 100 TB keys with degenerate frequency.
+    */
+  def aggregateSalted(
+      specs: Seq[AggSpec],
+      saltBuckets: Int = 16,
+      mask: Option[Column] = None): DataFrame = {
+    require(specs.nonEmpty, "no aggregations requested")
+    val bad = specs.map(_.op).filterNot(
+      Set("sum", "count", "size", "min", "max", "mean"))
+    require(bad.isEmpty, s"non-algebraic ops cannot be salted: $bad")
+
+    def m(c: Column) = masked(mask, c)
+    // phase 1: (keys, salt) — partial states, decimals kept decimal
+    val phase1 = specs.zipWithIndex.flatMap { case (s, i) =>
+      s.op match {
+        case "sum" if s.exact => Seq(F.sum(m(s.value).cast(Num.SumDec)).as(s"__p$i"))
+        case "sum"            => Seq(F.sum(m(s.value)).as(s"__p$i"))
+        case "count"          => Seq(F.count(m(s.value)).as(s"__p$i"))
+        case "size"           => Seq(F.count(m(lit(1))).as(s"__p$i"))
+        case "min"            => Seq(F.min(m(s.value)).as(s"__p$i"))
+        case "max"            => Seq(F.max(m(s.value)).as(s"__p$i"))
+        case "mean" =>
+          val sumC = if (s.exact) F.sum(m(s.value).cast(Num.SumDec))
+                     else F.sum(m(s.value))
+          Seq(sumC.as(s"__p$i"), F.count(m(s.value)).as(s"__c$i"))
+      }
+    }
+    val salted = base
+      .withColumn("__salt", (rand(42) * saltBuckets).cast("int"))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(phase1.head, phase1.tail: _*)
+    // phase 2: combine partials on the keys alone
+    val phase2 = specs.zipWithIndex.map { case (s, i) =>
+      val e = s.op match {
+        case "sum" if s.exact => F.sum(col(s"__p$i")).cast(DoubleType)
+        case "sum"            => F.sum(col(s"__p$i"))
+        case "count" | "size" => F.sum(col(s"__p$i"))
+        case "min"            => F.min(col(s"__p$i"))
+        case "max"            => F.max(col(s"__p$i"))
+        case "mean" =>
+          val total = F.sum(col(s"__p$i"))
+          val n = F.sum(col(s"__c$i"))
+          if (s.exact) Num.safeDiv(total.cast(DoubleType), n.cast(DoubleType))
+          else Num.safeDiv(total, n.cast(DoubleType))
+      }
+      e.as(s.name)
+    }
+    val out = salted.groupBy(keyCols: _*).agg(phase2.head, phase2.tail: _*)
+    if (sort) out.orderBy(keyCols: _*) else out
+  }
 
   /** First non-null value per group in `ord` order (reference
     * `core.py:1096`; Spark needs the explicit order the reference
