@@ -78,11 +78,22 @@ object Reshape {
     // margin-augmented frame yields the "All" row(s) and column.
     val flat = gb.aggregate(Seq(spec), mask = mask, margins = margins)
     val indexNames = df.select(index: _*).columns.toSeq
+    // pivot needs the column domain up front; derive it from the RAW
+    // column (one cheap distinct scan) rather than from `flat`, which
+    // would recompute the whole grouping-sets aggregation. Margin
+    // relabelling stringifies the key, so align the domain type.
+    val domainVals: Seq[Any] = domain
+      .map(_.map(identity[Any]))
+      .getOrElse {
+        val raw = df.select(columns).filter(columns.isNotNull).distinct()
+        val vals =
+          if (margins == Margins.None) raw.collect().map(_.get(0)).toSeq
+          else raw.collect().map(_.get(0).toString).toSeq
+        vals.sortBy(_.toString)
+      } ++ marginCol(margins, gb, colName)
     val pivoted = flat
       .groupBy(indexNames.map(col): _*)
-      .pivot(colName, domain.map(_ ++ marginCol(margins, gb, colName)).getOrElse {
-        flat.select(colName).distinct().collect().map(_.get(0).toString).toSeq.sorted
-      })
+      .pivot(colName, domainVals)
       .agg(F.first(col("__cell")))
       .orderBy(indexNames.map(col): _*)
     if (fillZero) pivoted.na.fill(0) else pivoted
