@@ -43,6 +43,8 @@ object Implicits {
 
     /** Column projection by name regex / substring (`filter_cols`). */
     def filterCols(regex: String = null, like: String = null): DataFrame = {
+      require(regex != null || like != null,
+        "filterCols requires a regex or a like substring")
       val keep = df.columns.filter { c =>
         (regex != null && c.matches(regex)) || (like != null && c.contains(like))
       }

@@ -31,11 +31,19 @@ object Dedup {
       sep: String = " "): DataFrame = {
     val base = df.select(id.as("doc_id"),
       split(text, java.util.regex.Pattern.quote(sep)).as("__w"))
+    // SQL string literal escaping for the join separator (the split
+    // side is regex-quoted separately)
+    val sepSql = sep.replace("\\", "\\\\").replace("'", "\\'")
     val sh =
       if (n == 1) explode(col("__w"))
-      else explode(expr(
-        s"transform(sequence(0, size(__w) - $n), i -> " +
-          s"array_join(slice(__w, i + 1, $n), '$sep'))"))
+      else
+        // documents shorter than n words produce no shingles — the
+        // descending sequence(0, size-n) would otherwise evaluate
+        // slice(start=0) and throw
+        explode(when(F.size(col("__w")) >= n, expr(
+          s"transform(sequence(0, size(__w) - $n), i -> " +
+            s"array_join(slice(__w, i + 1, $n), '$sepSql'))"))
+          .otherwise(array()))
     base.select(col("doc_id"), sh.as("shingle")).distinct()
   }
 
@@ -198,9 +206,19 @@ object Dedup {
   def simHashPairs(df: DataFrame, id: Column, text: Column,
       maxDistance: Int = 3): DataFrame = {
     val hashed = simHash(df, id, text)
+    // pigeonhole: distance <= d means at least one of d+1 disjoint
+    // bit blocks matches exactly, so blocking stays complete for any
+    // maxDistance (block count adapts; width = 64 / (d+1), remainder
+    // widens the last block)
+    val nb = math.min(maxDistance + 1, 16)
+    val w = 64 / nb
+    val blockCols = (0 until nb).map { q =>
+      val width = if (q == nb - 1) 64 - q * w else w
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      shiftright(col("simhash"), q * w).bitwiseAND(lit(mask))
+    }
     val blocks = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(blockCols: _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("block"))
     blocks.as("a")
       .join(blocks.as("b"),

@@ -74,10 +74,15 @@ final class GroupBy(
 
   private[operators] def keyCols: Seq[Column] = keyNames.map(col)
 
-  /** Input with every key materialized as a named column. */
+  /** Input with every key materialized as a named column. A key that
+    * is just a column reference keeps the existing column; an
+    * EXPRESSION aliased to an existing name replaces it (otherwise
+    * grouping would silently fall back to the raw column).
+    */
   private[operators] lazy val dfWithKeys: DataFrame =
     keys.zip(keyNames).foldLeft(df) { case (d, (k, n)) =>
-      if (d.columns.contains(n)) d else d.withColumn(n, k)
+      val isPlainRef = k.toString == n || k.toString == s"`$n`"
+      if (d.columns.contains(n) && isPlainRef) d else d.withColumn(n, k)
     }
 
   /** Rows that participate in grouping (null keys dropped by default). */
@@ -162,6 +167,8 @@ final class GroupBy(
       margins: Margins = Margins.None,
       observedOnly: Boolean = true): DataFrame = {
     require(specs.nonEmpty, "no aggregations requested")
+    require(specs.map(_.name).distinct.size == specs.size,
+      s"duplicate output column names: ${specs.map(_.name)} — alias value columns distinctly")
     if (transform) {
       require(margins == Margins.None, "margins with transform is undefined")
       transformAgg(specs, mask)
@@ -315,7 +322,8 @@ final class GroupBy(
   def aggregateSalted(
       specs: Seq[AggSpec],
       saltBuckets: Int = 16,
-      mask: Option[Column] = None): DataFrame = {
+      mask: Option[Column] = None,
+      observedOnly: Boolean = true): DataFrame = {
     require(specs.nonEmpty, "no aggregations requested")
     val bad = specs.map(_.op).filterNot(
       Set("sum", "count", "size", "min", "max", "mean"))
@@ -337,10 +345,13 @@ final class GroupBy(
           Seq(sumC.as(s"__p$i"), F.count(m(s.value)).as(s"__c$i"))
       }
     }
+    val needSize = observedOnly && mask.isDefined
+    val phase1All = phase1 ++
+      (if (needSize) Seq(F.count(m(lit(1))).as(GroupBy.SizeCol)) else Nil)
     val salted = base
       .withColumn("__salt", (rand(42) * saltBuckets).cast("int"))
       .groupBy(keyCols :+ col("__salt"): _*)
-      .agg(phase1.head, phase1.tail: _*)
+      .agg(phase1All.head, phase1All.tail: _*)
     // phase 2: combine partials on the keys alone
     val phase2 = specs.zipWithIndex.map { case (s, i) =>
       val e = s.op match {
@@ -357,7 +368,10 @@ final class GroupBy(
       }
       e.as(s.name)
     }
-    val out = salted.groupBy(keyCols: _*).agg(phase2.head, phase2.tail: _*)
+    val phase2All = phase2 ++
+      (if (needSize) Seq(F.sum(col(GroupBy.SizeCol)).as(GroupBy.SizeCol)) else Nil)
+    var out = salted.groupBy(keyCols: _*).agg(phase2All.head, phase2All.tail: _*)
+    if (needSize) out = out.filter(col(GroupBy.SizeCol) > 0).drop(GroupBy.SizeCol)
     if (sort) out.orderBy(keyCols: _*) else out
   }
 

@@ -37,8 +37,14 @@ object Multimodal {
     * the contract.
     */
   object StubCodec {
-    def decode(id: Long, bytes: Array[Byte], mime: String): Decoded = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    def decode(id: Long, bytes: Array[Byte], mime: String): Decoded =
+      decode(id, bytes, mime, java.security.MessageDigest.getInstance("MD5"))
+
+    /** Reusable-digest variant for the batched per-partition path. */
+    def decode(id: Long, bytes: Array[Byte], mime: String,
+        digest: java.security.MessageDigest): Decoded = {
+      digest.reset()
+      val md = digest.digest(bytes)
       def u16(i: Int): Int = ((md(i) & 0xff) << 8) | (md(i + 1) & 0xff)
       val meta = MediaMeta(bytes.length, mime,
         width = 64 + u16(0) % 1024, height = 64 + u16(2) % 1024, channels = 3)
@@ -58,8 +64,10 @@ object Multimodal {
     df.select(col("id").cast(LongType), col("bytes"), col("mime"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // per-partition init happens here (codec contexts, model handles)
-        it.map { case (id, bytes, mime) => StubCodec.decode(id, bytes, mime) }
+        // per-partition init (codec contexts, model handles): one
+        // digest instance reused across the partition's rows
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes, mime) => StubCodec.decode(id, bytes, mime, digest) }
       }
   }
 

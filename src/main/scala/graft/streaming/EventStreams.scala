@@ -39,9 +39,7 @@ object EventStreams {
   def tumbling(df: DataFrame, duration: String,
       exact: Boolean = true): DataFrame = {
     val in = withEventTime(df)
-    val sum =
-      if (exact) F.sum(col("value").cast(Num.SumDec)).cast(DoubleType)
-      else F.sum(col("value"))
+    val sum = if (exact) Num.exactSum(col("value")) else F.sum(col("value"))
     in.groupBy(window(col("ts2"), duration).as("w"), col("event_type"))
       .agg(F.count(lit(1)).as("n"), sum.as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"),
@@ -57,8 +55,11 @@ object EventStreams {
   }
 
   /** Session-window aggregation per user — the streaming twin of
-    * `RollingOps.groupNearbyMembers`: sessions close when consecutive
-    * events are ≥ `gap` apart.
+    * `RollingOps.groupNearbyMembers`. Boundary semantics: Spark's
+    * `session_window` starts a new session when the gap is >= `gap`,
+    * while `groupNearbyMembers` splits only when strictly greater
+    * (the reference semantic) — the two differ exactly at gap ==
+    * threshold, measure-zero for continuous timestamps.
     */
   def sessions(df: DataFrame, gap: String): DataFrame = {
     val in = withEventTime(df)

@@ -161,4 +161,29 @@ class GroupBySpec extends AnyFunSuite {
     assert(asMap(p.sum(Seq(col("value")))) === asMap(gb.sum(Seq(col("value")))))
     p.df.unpersist()
   }
+
+  test("expression key aliased to an existing column name replaces it (review regression)") {
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("x", "v")
+    val out = new GroupBy(df, Seq((col("x") % 2).as("x")))
+      .sum(Seq(col("v"))).collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    assert(out === Map(0 -> 60.0, 1 -> 40.0)) // grouped by x % 2, not raw x
+  }
+
+  test("duplicate output names are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      gb.agg(Seq("sum", "mean"), Seq(col("value"), col("value")))
+    }
+    assert(e.getMessage.contains("duplicate output column names"))
+  }
+
+  test("aggregateSalted matches aggregate incl. observedOnly group drop") {
+    val m = Some(col("key") =!= 1)
+    val salted = gb.aggregateSalted(
+      Seq(graft.operators.AggSpec("sum", col("value"), "s", exact = true)),
+      saltBuckets = 4, mask = m)
+    val plain = gb.aggregate(
+      Seq(graft.operators.AggSpec("sum", col("value"), "s", exact = true)),
+      mask = m)
+    assert(salted.collect().toSeq === plain.collect().toSeq)
+  }
 }

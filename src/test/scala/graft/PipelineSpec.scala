@@ -139,4 +139,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(total === ev.count()) // every event lands in exactly one session
     assert(sessions.count() > ev.select("user_id").distinct().count())
   }
+
+  test("shingles handles documents shorter than n (review regression)") {
+    val d = Seq((1L, "one"), (2L, "a b"), (3L, "a b c")).toDF("id", "t")
+    val out = Dedup.shingles(d, col("id"), col("t"), n = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((2L, "a b"), (3L, "a b"), (3L, "b c")))
+  }
+
+  test("simhash blocking stays complete for maxDistance > 3 (adaptive blocks)") {
+    // identical docs (distance 0) must always pair regardless of maxDistance
+    val d = Seq((1L, "x y z"), (2L, "x y z")).toDF("id", "t")
+    for (md <- Seq(3, 4, 7)) {
+      val out = Dedup.simHashPairs(d, col("id"), col("t"), maxDistance = md)
+      assert(out.count() === 1, s"maxDistance=$md")
+    }
+  }
 }
