@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.StringType
 
 /** Per-group positional row selection (reference `core.py:1428-1518`).
   * The reference selects by physical row position; here position is
@@ -97,6 +98,28 @@ object Reshape {
       .agg(F.first(col("__cell")))
       .orderBy(indexNames.map(col): _*)
     if (fillZero) pivoted.na.fill(0) else pivoted
+  }
+
+  /** Multi-level column keys (reference crosstab with a list of
+    * `columns`): levels are concatenated into one pivot key with
+    * `levelSep` (SURVEY §2.4 "multi-level column keys → concat key"),
+    * so the result columns read `c1|c2`.
+    */
+  def crosstabMulti(
+      df: DataFrame,
+      index: Seq[Column],
+      columns: Seq[Column],
+      value: Option[(String, Column)] = None,
+      margins: Margins = Margins.None,
+      mask: Option[Column] = None,
+      fillZero: Boolean = false,
+      exact: Boolean = false,
+      levelSep: String = "|"): DataFrame = {
+    require(columns.nonEmpty, "crosstabMulti needs at least one column key")
+    val key = concat_ws(levelSep, columns.map(_.cast(StringType)): _*)
+      .as("__colkey")
+    crosstab(df, index, key, value, margins, domain = scala.None, mask,
+      fillZero, exact)
   }
 
   private def marginCol(margins: Margins, gb: GroupBy, colName: String): Seq[String] = {

@@ -89,4 +89,16 @@ class ReshapeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("more than one True"))
   }
+
+  test("crosstabMulti concatenates column levels into one pivot key") {
+    val d = Seq(("a", "x", "p", 1.0), ("a", "y", "q", 2.0), ("b", "x", "q", 3.0))
+      .toDF("k", "c1", "c2", "v")
+    val out = Reshape.crosstabMulti(d, Seq(col("k")),
+      Seq(col("c1"), col("c2")), value = Some(("sum", col("v"))))
+    assert(out.columns.toSet === Set("k", "x|p", "x|q", "y|q"))
+    val a = out.filter(col("k") === "a").head
+    assert(a.getAs[Double]("x|p") === 1.0)
+    assert(a.getAs[Double]("y|q") === 2.0)
+    assert(a.isNullAt(out.columns.indexOf("x|q")))
+  }
 }
