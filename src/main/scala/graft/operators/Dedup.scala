@@ -205,12 +205,14 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
       maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 64,
+      s"maxDistance must be in [0, 63], got $maxDistance")
     val hashed = simHash(df, id, text)
     // pigeonhole: distance <= d means at least one of d+1 disjoint
-    // bit blocks matches exactly, so blocking stays complete for any
-    // maxDistance (block count adapts; width = 64 / (d+1), remainder
+    // bit blocks matches exactly, so blocking stays complete up to
+    // d = 63 (block count adapts; width = 64 / (d+1), remainder
     // widens the last block)
-    val nb = math.min(maxDistance + 1, 16)
+    val nb = math.min(maxDistance + 1, 64)
     val w = 64 / nb
     val blockCols = (0 until nb).map { q =>
       val width = if (q == nb - 1) 64 - q * w else w

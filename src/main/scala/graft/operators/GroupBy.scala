@@ -75,14 +75,23 @@ final class GroupBy(
   private[operators] def keyCols: Seq[Column] = keyNames.map(col)
 
   /** Input with every key materialized as a named column. A key that
-    * is just a column reference keeps the existing column; an
-    * EXPRESSION aliased to an existing name replaces it (otherwise
-    * grouping would silently fall back to the raw column).
+    * is just a column reference keeps the existing column. An
+    * EXPRESSION key whose name collides with an existing column is
+    * rejected: silently grouping by the raw column is wrong, and
+    * replacing the column would leak key values into value
+    * expressions — pandas can hold both (grouper arrays live outside
+    * the frame), a materialized column cannot, so the caller must
+    * pick a fresh alias.
     */
   private[operators] lazy val dfWithKeys: DataFrame =
     keys.zip(keyNames).foldLeft(df) { case (d, (k, n)) =>
       val isPlainRef = k.toString == n || k.toString == s"`$n`"
-      if (d.columns.contains(n) && isPlainRef) d else d.withColumn(n, k)
+      if (d.columns.contains(n)) {
+        require(isPlainRef,
+          s"expression key is aliased to existing column '$n' — " +
+            "alias it to a fresh name so raw-column references stay unambiguous")
+        d
+      } else d.withColumn(n, k)
     }
 
   /** Rows that participate in grouping (null keys dropped by default). */
@@ -325,6 +334,8 @@ final class GroupBy(
       mask: Option[Column] = None,
       observedOnly: Boolean = true): DataFrame = {
     require(specs.nonEmpty, "no aggregations requested")
+    require(specs.map(_.name).distinct.size == specs.size,
+      s"duplicate output column names: ${specs.map(_.name)}")
     val bad = specs.map(_.op).filterNot(
       Set("sum", "count", "size", "min", "max", "mean"))
     require(bad.isEmpty, s"non-algebraic ops cannot be salted: $bad")

@@ -103,7 +103,10 @@ object Reshape {
   /** Multi-level column keys (reference crosstab with a list of
     * `columns`): levels are concatenated into one pivot key with
     * `levelSep` (SURVEY §2.4 "multi-level column keys → concat key"),
-    * so the result columns read `c1|c2`.
+    * so the result columns read `c1|c2`. Rows with a null in ANY
+    * level are dropped (null-key semantics, matching the single-level
+    * path). Level values must not contain `levelSep` — colliding keys
+    * would merge cells; pick a separator outside the data's alphabet.
     */
   def crosstabMulti(
       df: DataFrame,
@@ -116,7 +119,11 @@ object Reshape {
       exact: Boolean = false,
       levelSep: String = "|"): DataFrame = {
     require(columns.nonEmpty, "crosstabMulti needs at least one column key")
-    val key = concat_ws(levelSep, columns.map(_.cast(StringType)): _*)
+    // null out the combined key when any level is null, so those rows
+    // drop like single-level null column keys (concat_ws would
+    // silently skip null levels and merge distinct combinations)
+    val key = when(columns.map(_.isNotNull).reduce(_ && _),
+      concat_ws(levelSep, columns.map(_.cast(StringType)): _*))
       .as("__colkey")
     crosstab(df, index, key, value, margins, domain = scala.None, mask,
       fillZero, exact)

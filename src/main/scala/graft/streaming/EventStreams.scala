@@ -4,7 +4,7 @@ import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Structured-Streaming-shaped aggregations over the `events` table.
   * Each transform works identically on a batch DataFrame (driver

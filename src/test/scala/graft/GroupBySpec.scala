@@ -162,11 +162,18 @@ class GroupBySpec extends AnyFunSuite {
     p.df.unpersist()
   }
 
-  test("expression key aliased to an existing column name replaces it (review regression)") {
+  test("expression key aliased to an existing column name is rejected (review regression)") {
     val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("x", "v")
-    val out = new GroupBy(df, Seq((col("x") % 2).as("x")))
+    // silently grouping by raw x would be wrong; silently replacing x
+    // would corrupt value expressions — the collision must be loud
+    val e = intercept[IllegalArgumentException] {
+      new GroupBy(df, Seq((col("x") % 2).as("x"))).sum(Seq(col("v"))).collect()
+    }
+    assert(e.getMessage.contains("alias it to a fresh name"))
+    // the fresh-alias form groups by the expression
+    val out = new GroupBy(df, Seq((col("x") % 2).as("x2")))
       .sum(Seq(col("v"))).collect().map(r => r.get(0) -> r.getDouble(1)).toMap
-    assert(out === Map(0 -> 60.0, 1 -> 40.0)) // grouped by x % 2, not raw x
+    assert(out === Map(0 -> 60.0, 1 -> 40.0))
   }
 
   test("duplicate output names are rejected") {
