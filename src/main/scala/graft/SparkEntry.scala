@@ -203,7 +203,8 @@ object SparkEntry {
         col("l_extendedprice"), exact = true),
       Some(s"""SELECT l_returnflag, l_linestatus,
         | ${dsum("l_extendedprice")}
-        |   / CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))) OVER () AS DOUBLE)
+        |   / CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(28,6))))
+        |       OVER (PARTITION BY l_returnflag) AS DOUBLE)
         |   * 100 AS density
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 

@@ -3,7 +3,6 @@ package graft.api
 import graft.functions.Num
 import graft.operators.{GroupBy, Margins, RollingOps, SelectionOps}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.{DoubleType, NumericType}
@@ -56,10 +55,18 @@ object Implicits {
     /** ×100 rounded (`pc`, reference default precision 1). */
     def pc(c: Column, prec: Int = 1): Column = round(c * 100, prec)
 
-    /** x / Σx × to (`normalize`) — global-sum window over the column. */
-    def normalize(c: Column, to: Double = 1.0): Column =
-      Num.safeDiv(c.cast(DoubleType),
-        F.sum(c).over(Window.partitionBy()).cast(DoubleType)) * to
+    /** x / Σx × to (`normalize`) — adds `name` to the frame. The
+      * total is a broadcast one-row aggregate joined back in, not a
+      * global window, so the division runs partition-parallel on any
+      * input size (two scans beat one single-partition shuffle).
+      */
+    def normalize(c: Column, to: Double = 1.0,
+        name: String = "normalized"): DataFrame =
+      df.crossJoin(F.broadcast(
+          df.agg(F.sum(c).cast(DoubleType).as("__norm_total"))))
+        .withColumn(name,
+          Num.safeDiv(c.cast(DoubleType), col("__norm_total")) * to)
+        .drop("__norm_total")
 
     /** Numeric columns only (`select_numeric`). */
     def selectNumeric(): DataFrame =

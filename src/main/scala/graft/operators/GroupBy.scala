@@ -441,24 +441,37 @@ final class GroupBy(
       .drop("__num", "__den")
   }
 
-  /** Group total as % of the grand total (reference `core.py:1332`).
-    * The grand total is a window over the (small) aggregated result,
-    * not a second scan of the input.
+  /** Group total as % of the reference total (reference `core.py:1332`):
+    * a single-level key divides by the grand total; a two-level key
+    * divides by the level-0 subtotal so each level-0 slice sums to 100
+    * (`core.py:1367-1372`); >2 levels raise, as in the reference
+    * (`core.py:1378`). The grand total is a broadcast one-row
+    * aggregate and the subtotal a window keyed by level 0 — never a
+    * single-partition global window, so the result stays distributed
+    * at any group cardinality.
     */
   def density(value: Column, op: String = "sum", mask: Option[Column] = None,
       name: String = "density", exact: Boolean = false): DataFrame = {
+    require(keyNames.size <= 2,
+      "density is defined for 1- or 2-level keys (reference core.py:1378)")
     // With exact=true the per-group sums stay decimal through the
-    // grand-total window, so numerator and denominator are both exact
-    // and the final double division is order-insensitive.
+    // total, so numerator and denominator are both exact and the
+    // final double division is order-insensitive.
     val aggC =
       if (exact && op == "sum") F.sum(masked(mask, value).cast(Num.SumDec)).as("__agg")
       else aggExpr(AggSpec(op, value, "__agg"), mask)
-    val out = base.groupBy(keyCols: _*).agg(aggC)
+    val aggd = base.groupBy(keyCols: _*).agg(aggC)
+    val withDen =
+      if (keyNames.size == 2)
+        aggd.withColumn("__den",
+          F.sum(col("__agg")).over(Window.partitionBy(col(keyNames.head))))
+      else
+        aggd.crossJoin(
+          F.broadcast(aggd.agg(F.sum(col("__agg")).as("__den"))))
+    val out = withDen
       .withColumn(name,
-        Num.safeDiv(col("__agg").cast(DoubleType),
-          F.sum(col("__agg"))
-            .over(Window.partitionBy()).cast(DoubleType)) * 100)
-      .drop("__agg")
+        Num.safeDiv(col("__agg").cast(DoubleType), col("__den").cast(DoubleType)) * 100)
+      .drop("__agg", "__den")
     if (sort) out.orderBy(keyCols: _*) else out
   }
 
@@ -505,9 +518,12 @@ object GroupBy {
     val counts = gb.size(mask = mask, name = "count")
     if (!normalize) counts
     else counts
+      // grand total as a broadcast one-row aggregate, not a global
+      // window — value_counts output is one row per distinct value,
+      // which can be huge (user ids), so it must stay distributed
+      .crossJoin(F.broadcast(counts.agg(F.sum(col("count")).as("__total"))))
       .withColumn("proportion",
-        col("count").cast(DoubleType) /
-          F.sum(col("count")).over(Window.partitionBy()))
-      .drop("count")
+        col("count").cast(DoubleType) / col("__total"))
+      .drop("count", "__total")
   }
 }

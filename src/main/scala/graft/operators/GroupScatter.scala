@@ -17,25 +17,45 @@ import org.apache.spark.sql.types.DoubleType
   * Scale design: the fit is one aggregation pass over moment sums
   * Σ w·xᵏ, Σ w·xᵏ·y (k ≤ 2·deg) — a (deg+1)² normal-equation system
   * solved on the driver; no per-row collection, any data size.
-  * Binning uses `ntile` over a global sort for exact quantiles (fine
-  * up to mid-size data; swap `approxQuantile` edges in for 100 TB —
-  * the output contract is identical).
+  * Binning: `exactBins = true` uses `ntile` over a global sort for
+  * exact oracle-reproducible quantiles (single-partition window —
+  * small/medium data only); `exactBins = false` is the 100 TB path:
+  * `approxQuantile` edges (one distributed aggregation, driver gets
+  * nBins−1 doubles) + a comparison chain, fully partition-parallel
+  * with the same output contract.
   */
 object GroupScatter {
 
   /** Equal-frequency bins of x with per-bin means. `tieBreak` makes
-    * the ntile assignment total and thus deterministic.
+    * the ntile assignment total and thus deterministic (exact path;
+    * the approx path is deterministic by value already).
     */
   def binnedMeans(df: DataFrame, x: Column, y: Column, nBins: Int,
       tieBreak: Seq[Column] = Nil, mask: Option[Column] = None,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, exactBins: Boolean = true,
+      relativeError: Double = 1e-3): DataFrame = {
     val filtered = df
       .filter(mask.getOrElse(lit(true)))
       .filter(x.isNotNull && y.isNotNull &&
         !isnan(x.cast(DoubleType)) && !isnan(y.cast(DoubleType)))
-    val ord = x +: tieBreak
-    val binned = filtered.withColumn("bin",
-      ntile(nBins).over(Window.orderBy(ord: _*)))
+    val binned =
+      if (exactBins) {
+        val ord = x +: tieBreak
+        filtered.withColumn("bin", ntile(nBins).over(Window.orderBy(ord: _*)))
+      } else {
+        // distributed equal-frequency binning: Greenwald-Khanna edges,
+        // then bin = 1 + #edges strictly below x (ties collapse left,
+        // matching a <=-closed Bucketizer; bins may be slightly uneven
+        // within relativeError, never empty of its quantile mass)
+        val withX = filtered.withColumn("__x", x.cast(DoubleType))
+        val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+        val edges = withX.stat.approxQuantile("__x", probs, relativeError)
+          .distinct.sorted
+        val bin = edges.foldLeft(lit(1)) { (acc, e) =>
+          acc + when(col("__x") > e, 1).otherwise(0)
+        }
+        withX.withColumn("bin", bin).drop("__x")
+      }
     val gb = new GroupBy(binned, Seq(col("bin")))
     gb.aggregate(Seq(
       AggSpec("mean", x, "x_mean", exact),

@@ -40,10 +40,10 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("pc and normalize column helpers") {
-    val out = df.select(df.pc(col("v") / 100).as("p"), df.normalize(col("v")).as("n"))
-      .collect()
-    assert(out.map(_.getDouble(0)).toSeq === Seq(2.0, 4.0, 6.0, 8.0))
-    assert(math.abs(out.map(_.getDouble(1)).sum - 1.0) < 1e-12)
+    val p = df.select(df.pc(col("v") / 100).as("p")).collect()
+    assert(p.map(_.getDouble(0)).toSeq === Seq(2.0, 4.0, 6.0, 8.0))
+    val n = df.normalize(col("v"), name = "n").select("n").collect()
+    assert(math.abs(n.map(_.getDouble(0)).sum - 1.0) < 1e-12)
   }
 
   test("NanOps global reductions match direct computation") {
@@ -95,6 +95,17 @@ class ApiSpec extends AnyFunSuite {
     val out = GroupScatter.binnedMeans(d, col("x"), col("y"), 4,
       tieBreak = Seq(col("x")))
     val rows = out.collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(25L, 25L, 25L, 25L))
+    assert(math.abs(rows.head.getAs[Double]("x_mean") - 13.0) < 1e-12)
+  }
+
+  test("binnedMeans approx path (exactBins=false) matches exact bins on clean quantiles") {
+    val d = (1 to 100).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
+    // distinct uniform values, tight relativeError → identical bins
+    val out = GroupScatter.binnedMeans(d, col("x"), col("y"), 4,
+      exactBins = false, relativeError = 1e-4)
+    val rows = out.orderBy("bin").collect()
     assert(rows.length === 4)
     assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(25L, 25L, 25L, 25L))
     assert(math.abs(rows.head.getAs[Double]("x_mean") - 13.0) < 1e-12)

@@ -150,6 +150,24 @@ class GroupBySpec extends AnyFunSuite {
     assert(math.abs(d.values.map(_.asInstanceOf[Double]).sum - 100.0) < 1e-9)
   }
 
+  test("two-level density divides by the level-0 subtotal (reference core.py:1367)") {
+    val df = Seq(("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 2.0), ("b", "y", 6.0))
+      .toDF("k1", "k2", "value")
+    val out = new GroupBy(df, Seq(col("k1"), col("k2")))
+      .density(col("value"), exact = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // each level-0 slice sums to 100, not the whole result
+    assert(math.abs(out(("a", "x")) - 25.0) < 1e-9)
+    assert(math.abs(out(("a", "y")) - 75.0) < 1e-9)
+    assert(math.abs(out(("b", "x")) - 25.0) < 1e-9)
+    assert(math.abs(out(("b", "y")) - 75.0) < 1e-9)
+    // >2 levels raise, as in the reference
+    intercept[IllegalArgumentException] {
+      new GroupBy(df, Seq(col("k1"), col("k2"), col("value")))
+        .density(col("value"))
+    }
+  }
+
   test("groupsOf returns sorted row ids per group") {
     val out = gb.groupsOf(col("ord")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
