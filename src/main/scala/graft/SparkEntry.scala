@@ -503,6 +503,27 @@ object SparkEntry {
         | ${dsum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
+    Q("ct_crosstab_multi",
+      (s, dir) => {
+        val bin = Reshape.prettyCut(col("l_quantity"), Seq(10d, 25d, 40d))
+        Reshape.crosstabMulti(
+          T(s, dir, "lineitem").withColumn("qty_bin", bin),
+          Seq(col("qty_bin")), Seq(col("l_returnflag"), col("l_linestatus")),
+          value = Some(("sum", col("l_extendedprice"))), exact = true)
+      },
+      Some(s"""SELECT CASE
+        |   WHEN l_quantity <= 10 THEN ' <= 10.0'
+        |   WHEN l_quantity <= 25 THEN '10.0 - 25.0'
+        |   WHEN l_quantity <= 40 THEN '25.0 - 40.0'
+        |   ELSE ' > 40.0' END AS qty_bin,
+        | ${dsum("CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN l_extendedprice END")} AS "A|F",
+        | ${dsum("CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN l_extendedprice END")} AS "A|O",
+        | ${dsum("CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN l_extendedprice END")} AS "N|F",
+        | ${dsum("CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN l_extendedprice END")} AS "N|O",
+        | ${dsum("CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN l_extendedprice END")} AS "R|F",
+        | ${dsum("CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN l_extendedprice END")} AS "R|O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("pretty_cut",
       (s, dir) => {
         val bin = Reshape.prettyCut(col("o_totalprice"), Seq(50000d, 150000d, 300000d))

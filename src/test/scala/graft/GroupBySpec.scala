@@ -168,6 +168,33 @@ class GroupBySpec extends AnyFunSuite {
     }
   }
 
+  test("nunique counts distinct non-null values per group, mask applies inside") {
+    val df = Seq(
+      (1, Some("a")), (1, Some("a")), (1, Some("b")), (1, None),
+      (2, Some("c")), (2, None)
+    ).toDF("key", "v")
+    val g = new GroupBy(df, Seq(col("key")))
+    assert(asMap(g.nunique(Seq(col("v").as("n"))), "n") ===
+      Map(1 -> 2L, 2 -> 1L)) // nulls don't count as a distinct value
+    assert(asMap(g.nunique(Seq(col("v").as("n")), mask = Some(col("v") =!= "a")), "n") ===
+      Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("keyCount counts all rows per group regardless of value nullity") {
+    val df = Seq((1, Some(1.0)), (1, None), (2, None)).toDF("key", "value")
+    val g = new GroupBy(df, Seq(col("key")))
+    assert(asMap(g.keyCount("n"), "n") === Map(1 -> 2L, 2 -> 1L))
+  }
+
+  test("datetime mean uses integer-division semantics (reference util.py:1290)") {
+    // reference mean_from_sum_count floors the int64 division; three
+    // timestamps 1s apart → mean floors to the middle, not rounds
+    val df = Seq((1, 1000001L), (1, 1000002L), (1, 1000004L)).toDF("key", "us")
+    val g = new GroupBy(df, Seq(col("key")))
+    val m = g.mean(Seq(col("us").as("m"))).collect().head.getDouble(1)
+    assert(math.floor(m).toLong === 1000002L) // (1+2+4)/3 = 2.33 → 2
+  }
+
   test("groupsOf returns sorted row ids per group") {
     val out = gb.groupsOf(col("ord")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
