@@ -74,11 +74,41 @@ object Reshape {
     val colName = df.select(columns).columns.head
     val (aggFunc, valueCol) = value.getOrElse(("size", lit(1)))
     val gb = new GroupBy(df, index :+ columns)
+    val indexNames = df.select(index: _*).columns.toSeq
+    val countLike = aggFunc == "size" || aggFunc == "count"
+    if (margins == Margins.All && mask.isEmpty && indexNames.size == 1 &&
+        countLike) {
+      // Single-pass path for count-like margins crosstabs: counts are
+      // additive and never null, so both margins re-aggregate from the
+      // pivoted cells — one direct pivot aggregation (one shuffle)
+      // instead of a 4-way GROUPING SETS expand + pivot re-aggregation,
+      // and the "All" row comes from re-aggregating the tiny pivoted
+      // frame, not the input. Results are identical to the general
+      // path below (differentially tested against it and the oracle).
+      val idx = indexNames.head
+      val domainVals: Seq[String] =
+        domain.getOrElse(distinctVals(df, columns).map(_.toString).sorted)
+      val cellAgg =
+        if (aggFunc == "size") F.count(lit(1)) else F.count(valueCol)
+      val pivoted = gb.base
+        .groupBy(col(idx).cast(StringType).as(idx))
+        .pivot(colName, domainVals)
+        .agg(cellAgg)
+      val zero = lit(0L)
+      val withAll = pivoted.withColumn("All",
+        domainVals.map(v => coalesce(col(v), zero)).reduce(_ + _))
+      val allCols = domainVals :+ "All"
+      val allRow = withAll
+        .agg(F.sum(coalesce(col(allCols.head), zero)).as(allCols.head),
+          allCols.tail.map(v => F.sum(coalesce(col(v), zero)).as(v)): _*)
+        .select(lit("All").as(idx) +: allCols.map(col): _*)
+      val out = withAll.unionByName(allRow).orderBy(col(idx))
+      return if (fillZero) out.na.fill(0) else out
+    }
     val spec = AggSpec(aggFunc, valueCol, "__cell", exact = exact)
     // margins relabel super-aggregate positions "All"; pivoting the
     // margin-augmented frame yields the "All" row(s) and column.
     val flat = gb.aggregate(Seq(spec), mask = mask, margins = margins)
-    val indexNames = df.select(index: _*).columns.toSeq
     // pivot needs the column domain up front; derive it from the RAW
     // column (one cheap distinct scan) rather than from `flat`, which
     // would recompute the whole grouping-sets aggregation. Margin
@@ -86,10 +116,10 @@ object Reshape {
     val domainVals: Seq[Any] = domain
       .map(_.map(identity[Any]))
       .getOrElse {
-        val raw = df.select(columns).filter(columns.isNotNull).distinct()
+        val raw = distinctVals(df, columns)
         val vals =
-          if (margins == Margins.None) raw.collect().map(_.get(0)).toSeq
-          else raw.collect().map(_.get(0).toString).toSeq
+          if (margins == Margins.None) raw
+          else raw.map(_.toString)
         vals.sortBy(_.toString)
       } ++ marginCol(margins, gb, colName)
     val pivoted = flat
@@ -128,6 +158,15 @@ object Reshape {
     crosstab(df, index, key, value, margins, domain = scala.None, mask,
       fillZero, exact)
   }
+
+  /** Distinct values of the pivot key as a driver-side list —
+    * `collect_set` partial aggregation (map-side sets, one tiny final
+    * merge) instead of a `distinct()` wide shuffle; the pivot domain
+    * is small by contract, so the set fits the driver by definition.
+    */
+  private def distinctVals(df: DataFrame, columns: Column): Seq[Any] =
+    df.filter(columns.isNotNull)
+      .agg(F.collect_set(columns)).head.getSeq[Any](0)
 
   private def marginCol(margins: Margins, gb: GroupBy, colName: String): Seq[String] = {
     val colLevel = gb.keyNames.indexOf(colName)

@@ -90,6 +90,29 @@ class ReshapeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("more than one True"))
   }
 
+  test("crosstab single-pass margins path equals the grouping-sets path") {
+    // a richer fixture: null index keys (dropped), null column keys
+    // (dropped), null values (count skips, size keeps), missing combos
+    val d = Seq(
+      (Some("a"), Some("x"), Some(1.0)), (Some("a"), Some("x"), None),
+      (Some("a"), Some("y"), Some(2.0)), (Some("b"), Some("x"), Some(3.0)),
+      (Some("b"), None, Some(4.0)), (None, Some("y"), Some(5.0)),
+      (Some("c"), Some("z"), None)
+    ).toDF("k", "c", "v")
+    for (agg <- Seq("size", "count")) {
+      val fast = Reshape.crosstab(d, Seq(col("k")), col("c"),
+        value = Some((agg, col("v"))), margins = Margins.All, fillZero = true)
+      // mask = lit(true) is semantically a no-op but routes the
+      // general GROUPING SETS implementation
+      val general = Reshape.crosstab(d, Seq(col("k")), col("c"),
+        value = Some((agg, col("v"))), margins = Margins.All,
+        mask = Some(lit(true)), fillZero = true)
+      assert(fast.columns.toSeq === general.columns.toSeq, s"columns for $agg")
+      assert(fast.collect().map(_.toSeq).toSeq ===
+        general.collect().map(_.toSeq).toSeq, s"rows for $agg")
+    }
+  }
+
   test("crosstabMulti concatenates column levels into one pivot key") {
     val d = Seq(("a", "x", "p", 1.0), ("a", "y", "q", 2.0), ("b", "x", "q", 3.0))
       .toDF("k", "c1", "c2", "v")
