@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{GroupBy, Margins, Reshape}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints `explain("formatted")` for representative operator plans so
+  * scale properties can be eyeballed per change: column pruning
+  * (`ReadSchema`), predicate pushdown (`PushedFilters`), broadcast vs
+  * shuffle joins, and the absence of single-partition exchanges.
+  * Usage: `sbt "runMain graft.PlanAudit /root/testdata/sf0.001"`.
+  */
+object PlanAudit {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val liKeys = Seq(col("l_returnflag"), col("l_linestatus"))
+
+    def show(name: String)(planOf: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      planOf.explain("formatted")
+    }
+
+    show("masked grouped agg (q1 shape)") {
+      new GroupBy(li, liKeys).sum(Seq(col("l_quantity").as("sum_qty")),
+        mask = Some(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")))
+    }
+    show("density single-key (broadcast grand total)") {
+      new GroupBy(li, Seq(col("l_returnflag"))).density(col("l_extendedprice"))
+    }
+    show("density two-level (level-0 partitioned window)") {
+      new GroupBy(li, liKeys).density(col("l_extendedprice"))
+    }
+    show("valueCounts normalize (broadcast total)") {
+      GroupBy.valueCounts(orders, col("o_orderpriority"), normalize = true)
+    }
+    show("crosstab margins single-pass (count-like)") {
+      Reshape.crosstab(orders, Seq(col("o_orderstatus")),
+        col("o_orderpriority"), margins = Margins.All, fillZero = true)
+    }
+    spark.stop()
+  }
+}
