@@ -684,6 +684,16 @@ object SparkEntry {
       },
       None),
 
+    Q("emb_ivf_topk",
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+            col("vec_id"), col("embedding"), 5, nCentroids = 8, nProbe = 3)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
     Q("text_stats",
       (s, dir) => T(s, dir, "documents").select(
         col("doc_id"),

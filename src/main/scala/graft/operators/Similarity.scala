@@ -103,4 +103,91 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------- IVF
+
+  /** Per-row (cos, cid) scores against a driver-side centroid list —
+    * pure expressions over literal arrays, so centroid assignment is
+    * map-side work with no join and no shuffle. Keep nCentroids
+    * moderate (≤ a few hundred): the expression tree grows linearly
+    * with it.
+    */
+  private def centroidScores(v: Column,
+      centroids: Seq[(Int, Seq[Double])]): Column =
+    // named_struct, not struct(...as("cos")): aliases nested inside
+    // array() are stripped at analysis, losing the field names
+    array(centroids.map { case (cid, cv) =>
+      F.named_struct(lit("cos"), cosine(v, lit(cv.toArray)),
+        lit("cid"), lit(cid))
+    }: _*)
+
+  /** cid of the max-cosine centroid (ties → larger cid, a fixed rule). */
+  private def nearestCid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_max(centroidScores(v, centroids)).getField("cid")
+
+  /** cids of the `nProbe` highest-cosine centroids. */
+  private def probeCids(v: Column, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(centroidScores(v, centroids))), 1, nProbe),
+      s => s.getField("cid"))
+
+  /** Spherical-k-means centroids for an IVF index: deterministic
+    * hash-ordered sample as seeds (TakeOrdered — no global sort
+    * materialized), then `iters` Lloyd rounds — assign by max cosine
+    * (map-side expression), recompute element-wise means (one
+    * partial-aggregated groupBy of #centroids × dim cells). Only the
+    * centroid table itself ever reaches the driver.
+    */
+  def ivfCentroids(corpus: DataFrame, id: Column, vec: Column,
+      nCentroids: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val c = corpus.select(id.as("nid"), vec.as("nv"))
+    var centroids: Seq[(Int, Seq[Double])] = c
+      .orderBy(F.xxhash64(col("nid")))
+      .limit(nCentroids)
+      .select(col("nv"))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq
+    for (_ <- 1 to iters) {
+      centroids = c
+        .select(nearestCid(col("nv"), centroids).as("cid"),
+          posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(F.avg(col("x").cast(DoubleType)).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (cid, xs) => (cid, xs.sortBy(_._2).map(_._3).toSeq) }
+        .toSeq
+        .sortBy(_._1)
+    }
+    centroids
+  }
+
+  /** IVF ANN: corpus vectors are inverted-file-indexed under their
+    * nearest centroid (one bucket each, assigned map-side); each query
+    * probes its `nProbe` nearest centroids and ranks exact cosine
+    * within those buckets only. Candidate volume ≈ corpus × nProbe /
+    * nCentroids — the classic quality/cost dial. The corpus is never
+    * shuffled: centroids are literal expressions and the probe list is
+    * a broadcast join side; the final rank is a window partitioned by
+    * query id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = ivfCentroids(corpus, id, vec, nCentroids, iters)
+    val indexed = corpus.select(id.as("nid"), vec.as("nv"),
+      nearestCid(vec, cents).as("cid"))
+    val probes = queries.select(id.as("qid"), vec.as("qv"),
+      explode(probeCids(vec, cents, nProbe)).as("cid"))
+    indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -60,6 +60,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty && recall > 0.0, s"lsh recall $recall")
   }
 
+  test("ivf ANN reaches high recall on separated clusters") {
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated cluster directions in 16 dims, 25 points each
+    val dirs = Seq.tabulate(4)(c =>
+      Array.tabulate(16)(j => if (j % 4 == c) 5.0f else 0.0f))
+    val data = for (c <- 0 until 4; i <- 0 until 25) yield (
+      (c * 25 + i).toLong,
+      dirs(c).map(v => v + (rnd.nextGaussian() * 0.1).toFloat))
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    val bf = Similarity.bruteForceTopK(df, queries, col("vec_id"),
+        col("embedding"), 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, queries, col("vec_id"), col("embedding"), 5,
+        nCentroids = 8, nProbe = 2, iters = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // neighbors live in the query's own cluster, which IVF probes first
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"ivf recall $recall over ${bf.size} pairs")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val d = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 2f))).toDF("a", "b", "c")
     val r = d.select(Similarity.cosine(col("a"), col("b")),
