@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{NanOps, TextFunctions}
 import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Margins, Multimodal, Reshape, RollingOps, SelectionOps, Similarity}
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -819,7 +819,29 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM f)
         |SELECT user_id, epoch_us(MIN(ts)) AS session_start, COUNT(*) AS n
-        |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin))
+        |FROM g GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin)),
+
+    Q("win_sessions_state",
+      // flatMapGroupsWithState custom-state sessionization, batch mode
+      // (same code path Structured Streaming runs incrementally)
+      (s, dir) => StatefulSessions.sessionize(
+          StatefulSessions.fromEvents(T(s, dir, "events")),
+          43200000000L, streaming = false)
+        .toDF()
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start_us")),
+      Some("""WITH f AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |  CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts) > 43200000000 THEN 1 ELSE 0 END AS flag
+        |  FROM events),
+        |g AS (SELECT user_id, ts_us, value, SUM(flag) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM f)
+        |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
+        |FROM g GROUP BY user_id, sess
+        |ORDER BY user_id, session_start_us""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity}
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, SessionEvent, StatefulSessions}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -151,6 +151,57 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("stateful sessionize (batch) matches a sequential scala oracle") {
+    val gap = 43200000000L // 12h in µs
+    val ev = StatefulSessions.fromEvents(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val got = StatefulSessions.sessionize(ev, gap, streaming = false)
+      .collect()
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n)).toSet
+    // sequential fold oracle over the collected events
+    val oracle = ev.collect().groupBy(_.user_id).flatMap { case (uid, es) =>
+      val ts = es.map(_.ts_us).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (start, last, n) = (ts.head, ts.head, 1L)
+      for (t <- ts.tail) {
+        if (t - last > gap) { sessions += ((start, last, n)); start = t; n = 0L }
+        last = t; n += 1
+      }
+      sessions += ((start, last, n))
+      sessions.map(s => (uid, s._1, s._2, s._3))
+    }.toSet
+    assert(got === oracle)
+    assert(got.nonEmpty)
+  }
+
+  test("stateful sessionize emits closed sessions on a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-ckpt").toFile
+    val ms = MemoryStream[SessionEvent]
+    val q = StatefulSessions.sessionize(
+        ms.toDS().withWatermark("ts2", "0 seconds"), 5000000L, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_state_sessions")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    // keep event times far from epoch 0 — the initial watermark is 0,
+    // and rows at or below the watermark are dropped as late
+    val base = 1000000000000000L // µs, ≈ 2001-09
+    def ev(us: Long) =
+      SessionEvent(1L, new java.sql.Timestamp((base + us) / 1000), base + us, 1.0)
+    // batch 1: two sessions' worth — [0s, 2s] closes when 10s arrives
+    ms.addData(ev(0L), ev(2000000L), ev(10000000L))
+    q.processAllAvailable()
+    // batch 2: 30s closes the [10s] session; [30s] stays open (no emit)
+    ms.addData(ev(30000000L))
+    q.processAllAvailable()
+    val got = spark.table("graft_state_sessions")
+      .collect().map(r => (r.getLong(1) - base, r.getLong(2) - base, r.getLong(3))).toSet
+    q.stop()
+    assert(got === Set((0L, 2000000L, 2L), (10000000L, 10000000L, 1L)))
   }
 
   test("session aggregation matches groupNearbyMembers-derived sessions") {
