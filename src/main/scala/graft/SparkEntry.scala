@@ -477,6 +477,25 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn = 2 ORDER BY o_orderkey""".stripMargin)),
 
+    Q("sel_find_first_n",
+      // index-returning selection: (key, row id, within-group position)
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .findFirstN(3, col("o_orderkey"), ordersOrd)
+        .orderBy(col("o_custkey"), col("pos")),
+      Some(s"""SELECT o_custkey, o_orderkey, rn AS pos FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY $ordersOrdSql) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, pos""".stripMargin)),
+
+    Q("sel_find_last_n",
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .findLastN(3, col("o_orderkey"), ordersOrd)
+        .orderBy(col("o_custkey"), col("pos")),
+      Some("""SELECT o_custkey, o_orderkey, rn AS pos FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, pos""".stripMargin)),
+
     Q("ct_crosstab",
       (s, dir) => Reshape.crosstab(T(s, dir, "orders"),
         Seq(col("o_orderstatus")), col("o_orderpriority"),

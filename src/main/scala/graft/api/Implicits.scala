@@ -104,6 +104,15 @@ object Implicits {
 
   final class RollingFacade(gb: GroupBy, window: Int, minPeriods: Option[Int]) {
     private def ops = new RollingOps(gb)
+    /** String-dispatch form, mirroring the reference façade's
+      * `agg(method_name, mask)` (`api.py:556-574`).
+      */
+    def agg(op: String, value: Column, ord: Column, mask: Option[Column] = None,
+        exact: Boolean = false): DataFrame =
+      ops.rollingAgg(op, value, ord, window, minPeriods, mask,
+        name = s"rolling_$op", exact = exact)
+    def count(value: Column, ord: Column, mask: Option[Column] = None): DataFrame =
+      agg("count", value, ord, mask)
     def sum(value: Column, ord: Column, mask: Option[Column] = None,
         exact: Boolean = false): DataFrame =
       ops.rollingSum(value, ord, window, minPeriods, mask, exact = exact)

@@ -24,6 +24,21 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(F.min(id).as("keep_id"), F.count(lit(1)).as("n_dups"))
 
+  /** Streaming exact dedup: drop duplicate keys on an unbounded
+    * stream with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — a key's state is reaped once
+    * the watermark passes its event time + horizon, so memory tracks
+    * the horizon, not history). Duplicates arriving within the
+    * horizon are suppressed; `eventTime` must be a timestamp column
+    * of `df`. Works identically on batch frames (where it degrades
+    * to plain dropDuplicates semantics over the whole input).
+    */
+  def exactStream(df: DataFrame, keys: Seq[String], eventTime: String,
+      horizon: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(eventTime, horizon).dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
+
   /** Distinct (id, word n-gram shingle) pairs of a text column —
     * the shared first stage of the similarity-based dedups.
     */

@@ -30,7 +30,9 @@ object Margins {
   * `exact` selects order-insensitive decimal accumulation for
   * floating sums/means ([[graft.functions.Num]]) — the scale-safe
   * deterministic path. `ord` is required by order-dependent ops
-  * (first/last). `ddof` parameterizes var/std.
+  * (first/last). `ddof` parameterizes var/std. `param` tunes the
+  * approximate ops (rsd for approx_nunique, accuracy for
+  * approx_median).
   */
 final case class AggSpec(
     op: String,
@@ -38,7 +40,8 @@ final case class AggSpec(
     name: String,
     exact: Boolean = false,
     ddof: Int = 1,
-    ord: Option[Column] = scala.None)
+    ord: Option[Column] = scala.None,
+    param: Option[Double] = scala.None)
 
 /** Spark-native analogue of the reference's `GroupBy`
   * (`/root/reference/pandas_plus/groupby/core.py:146`): a reusable
@@ -140,6 +143,13 @@ final class GroupBy(
       case "size"   => lift(F.count(masked(mask, lit(1))))
       case "median" => lift(F.median(v))
       case "nunique" => lift(F.count_distinct(v))
+      // the 100 TB paths: HLL++ sketch (constant memory per group, no
+      // distinct expand) and t-digest-style quantile (single pass)
+      case "approx_nunique" =>
+        lift(F.approx_count_distinct(v, spec.param.getOrElse(0.05)))
+      case "approx_median" =>
+        lift(F.percentile_approx(v, lit(0.5),
+          lit(spec.param.map(_.toInt).getOrElse(10000))))
       case "first" =>
         val ord = spec.ord.getOrElse(sys.error("first requires ord column"))
         lift(F.min_by(v, when(v.isNotNull, ord)))
@@ -312,11 +322,32 @@ final class GroupBy(
     one("std", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
 
   /** Distinct non-null values per group (pandas `nunique`; exact —
-    * use approx_count_distinct at extreme cardinalities).
+    * use [[nuniqueApprox]] at extreme cardinalities).
     */
   def nunique(values: Seq[Column], mask: Option[Column] = None,
       observedOnly: Boolean = true): DataFrame =
     one("nunique", values, mask, transform = false, Margins.None, observedOnly)
+
+  /** Approximate distinct count (HyperLogLog++, relative error
+    * `rsd`) — constant sketch memory per group where exact
+    * count_distinct would expand every distinct value through the
+    * shuffle. The right nunique at 100 TB cardinalities.
+    */
+  def nuniqueApprox(values: Seq[Column], rsd: Double = 0.05,
+      mask: Option[Column] = None, observedOnly: Boolean = true): DataFrame =
+    aggregate(named(values).map { case (v, n) =>
+      AggSpec("approx_nunique", v, n, param = Some(rsd)) },
+      mask, transform = false, Margins.None, observedOnly)
+
+  /** Approximate median (`percentile_approx`, positive `accuracy`;
+    * error ≤ 1/accuracy) — single-pass bounded-memory sketch vs exact
+    * median's per-group sort. The scale path for [[median]].
+    */
+  def medianApprox(values: Seq[Column], accuracy: Int = 10000,
+      mask: Option[Column] = None, observedOnly: Boolean = true): DataFrame =
+    aggregate(named(values).map { case (v, n) =>
+      AggSpec("approx_median", v, n, param = Some(accuracy.toDouble)) },
+      mask, transform = false, Margins.None, observedOnly)
 
   /** Skew-safe two-phase aggregation for algebraic ops
     * (sum/count/size/min/max/mean): rows first aggregate under

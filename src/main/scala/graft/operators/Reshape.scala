@@ -39,6 +39,29 @@ final class SelectionOps(val gb: GroupBy) extends AnyVal {
                       else (rn(ord, descending = true), -n)
     gb.base.withColumn(posName, r).filter(col(posName) === target).drop(posName)
   }
+
+  /** Row ids of the first n rows per group in `ord` order — the
+    * index-returning variant of [[head]] (reference `find_first_n`,
+    * `numba.py:229-255`). Output: key columns, `rowId`, and the
+    * 1-based within-group position.
+    */
+  def findFirstN(n: Int, rowId: Column, ord: Seq[Column],
+      posName: String = "pos"): DataFrame =
+    findN(n, rowId, ord, posName, descending = false)
+
+  /** Row ids of the last n rows per group (reference `find_last_n`,
+    * `numba.py:258-282`); position 1 = last row.
+    */
+  def findLastN(n: Int, rowId: Column, ord: Seq[Column],
+      posName: String = "pos"): DataFrame =
+    findN(n, rowId, ord, posName, descending = true)
+
+  private def findN(n: Int, rowId: Column, ord: Seq[Column],
+      posName: String, descending: Boolean): DataFrame =
+    gb.base.withColumn(posName, rn(ord, descending))
+      .filter(col(posName) <= n)
+      // Spark row_number is int32; long for cross-engine schema parity
+      .select(gb.keyCols :+ rowId :+ col(posName).cast("long").as(posName): _*)
 }
 
 object SelectionOps {

@@ -27,6 +27,18 @@ class ApiSpec extends AnyFunSuite {
     assert(out === Seq(2.0, 6.0, 6.0, 14.0))
   }
 
+  test("rolling facade string-dispatch agg and count") {
+    val facade = df.groupByFast("k").rolling(2, Some(1))
+    val viaAgg = facade.agg("sum", col("v"), col("s"))
+      .orderBy("k", "s").select("rolling_sum")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaAgg === Seq(2.0, 6.0, 6.0, 14.0))
+    val counts = facade.count(col("v"), col("s"))
+      .orderBy("k", "s").select("rolling_count")
+      .collect().map(_.getLong(0)).toSeq
+    assert(counts === Seq(1L, 2L, 1L, 2L))
+  }
+
   test("extensions sugar: vc, sv, svd, dd, filterCols, dropCols, selectNumeric") {
     assert(df.vc(col("s")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       === Map("a" -> 2L, "b" -> 2L))

@@ -54,6 +54,19 @@ class GroupBySpec extends AnyFunSuite {
     assert(out(1) == null)
   }
 
+  test("approx nunique and median track the exact ops") {
+    // 1000 rows, 2 keys, values 0..499 per key → nunique 500, median ~249.5
+    val d = (0 until 1000).map(i => (i % 2, (i / 2).toDouble)).toDF("key", "value")
+    val g = new GroupBy(d, Seq(col("key")))
+    val approx = asMap(g.nuniqueApprox(Seq(col("value")), rsd = 0.02))
+    assert(approx.values.forall { n =>
+      math.abs(n.asInstanceOf[Long] - 500L) <= 500 * 0.06 })
+    // accuracy >> n distinct → approx median is an exact data value
+    val med = asMap(g.medianApprox(Seq(col("value"))))
+    assert(med.values.forall { m =>
+      math.abs(m.asInstanceOf[Double] - 249.5) <= 1.0 })
+  }
+
   test("null keys are dropped (pandas dropna=True parity)") {
     val df = Seq((Some(1), 1.0), (None, 2.0), (Some(1), 3.0), (None, 4.0))
       .toDF("key", "value")

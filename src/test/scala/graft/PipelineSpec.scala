@@ -204,6 +204,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Set((0L, 2000000L, 2L), (10000000L, 10000000L, 1L)))
   }
 
+  test("streaming exact dedup suppresses duplicate keys within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toFile
+    val ms = MemoryStream[SessionEvent]
+    val q = Dedup.exactStream(ms.toDS().toDF(), Seq("user_id", "ts_us"),
+        eventTime = "ts2", horizon = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_stream_dedup")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    val base = 1000000000000000L // µs, far from the epoch-0 watermark
+    def ev(us: Long) =
+      SessionEvent(1L, new java.sql.Timestamp((base + us) / 1000), base + us, 1.0)
+    // batch 1: a key twice in one batch → emitted once
+    ms.addData(ev(0L), ev(0L), ev(2000000L))
+    q.processAllAvailable()
+    // batch 2: re-send an old key within the horizon → suppressed
+    ms.addData(ev(2000000L), ev(5000000L))
+    q.processAllAvailable()
+    val got = spark.table("graft_stream_dedup")
+      .collect().map(_.getAs[Long]("ts_us") - base).sorted.toSeq
+    q.stop()
+    assert(got === Seq(0L, 2000000L, 5000000L))
+    // batch twin degrades to plain dropDuplicates
+    val batch = Seq((1L, 5L), (1L, 5L), (2L, 6L)).toDF("user_id", "ts_us")
+      .withColumn("ts2", lit(new java.sql.Timestamp(0L)))
+    assert(Dedup.exactStream(batch, Seq("user_id", "ts_us"), "ts2", "10 seconds")
+      .count() === 2)
+  }
+
   test("session aggregation matches groupNearbyMembers-derived sessions") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val sessions = EventStreams.sessions(ev, "12 hours")

@@ -30,6 +30,16 @@ class ReshapeSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).sorted === Array(2))
   }
 
+  test("findFirstN/findLastN return row ids with within-group positions") {
+    val first = sel(fixture).findFirstN(2, col("ord"), Seq(col("ord")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    assert(first === Array((1, 0, 1L), (1, 1, 2L), (2, 3, 1L), (2, 4, 2L)))
+    // pos 1 = last row when searching from the end
+    val last = sel(fixture).findLastN(1, col("ord"), Seq(col("ord")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    assert(last === Array((1, 2, 1L), (2, 4, 1L)))
+  }
+
   test("crosstab pivots counts with margins and zero fill") {
     val d = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
       .toDF("k", "c")
