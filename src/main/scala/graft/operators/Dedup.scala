@@ -66,12 +66,31 @@ object Dedup {
     * least one shingle, thresholded. The inverted-index self-join on
     * the shingle key is the canonical distributed formulation: shuffle
     * by shingle, pairs emerge co-partitioned; nothing is quadratic in
-    * the corpus (only in per-shingle posting lists — cap hot shingles
-    * upstream if the corpus has degenerate boilerplate).
+    * the corpus — only in per-shingle posting lists, which
+    * `maxDocFreq` bounds: shingles appearing in more than that many
+    * documents (boilerplate headers, license text) are dropped from
+    * the universe BEFORE pairing, capping any posting list's join
+    * fan-out at maxDocFreq² while near-dup signal lives in the rare
+    * shingles. Jaccard is then computed over the restricted universe
+    * on both numerator and denominator (scores stay consistent); at
+    * 100 TB set it to a few thousand.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      n: Int = 2, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(df, id, text, n)
+      n: Int = 2, threshold: Double = 0.2,
+      maxDocFreq: Option[Int] = scala.None): DataFrame = {
+    val sh0 = shingles(df, id, text, n)
+    val sh = maxDocFreq match {
+      case scala.Some(cap) =>
+        // doc-frequency filter: one extra aggregation on the same
+        // shingle key the join shuffles on — co-partitioned, no
+        // additional exchange for the probe side
+        val keep = sh0.groupBy("shingle")
+          .agg(F.count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select("shingle")
+        sh0.join(keep, "shingle").select(col("doc_id"), col("shingle"))
+      case scala.None => sh0
+    }
     val counts = sh.groupBy("doc_id").agg(F.count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -527,6 +527,18 @@ final class GroupBy(
     if (sort) out.orderBy(keyCols: _*) else out
   }
 
+  /** Cartesian key domain: the cross-join of each level's distinct
+    * observed values — what the reference builds internally for
+    * `observed_only=False` (`util.py:1280-1287`). Feed it to
+    * [[reindex]]. Output cardinality is the product of the level
+    * cardinalities, so guard it at scale exactly like a pivot domain;
+    * each per-level distinct is a partial aggregation and the
+    * cross-join of the (small) results is broadcast.
+    */
+  def keyDomain: DataFrame =
+    keyNames.map(n => base.select(col(n)).distinct())
+      .reduce((a, b) => a.crossJoin(F.broadcast(b)))
+
   /** group-label → sorted row ids (reference `groups`, `core.py:323`);
     * distributed as collect_list, for moderate group sizes only.
     */

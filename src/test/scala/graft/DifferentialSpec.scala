@@ -134,6 +134,52 @@ class DifferentialSpec extends AnyFunSuite {
         rows.foreach(r => assert(close(out(r.ord), exp(r.ord)), s"ord ${r.ord}"))
       }
 
+      test(s"seed=$seed mask=$mask: cummin/cummax accumulator-carry vs scala oracle") {
+        val d1 = new RollingOps(gb).cummin(col("v"), col("ord"),
+          mask = if (mask) Some(col("m")) else None)
+        val out = new RollingOps(new GroupBy(d1, Seq(col("key"))))
+          .cummax(col("v"), col("ord"), mask = if (mask) Some(col("m")) else None)
+          .collect().map { r =>
+            def g(n: String) = if (r.isNullAt(r.fieldIndex(n))) None
+                               else Some(r.getAs[Double](n))
+            r.getAs[Int]("ord") -> (g("cummin"), g("cummax"))
+          }.toMap
+        val exp = scala.collection.mutable.Map[Int, (Option[Double], Option[Double])]()
+        rows.groupBy(_.key).foreach {
+          case (Some(_), rs) =>
+            var (mn, mx): (Option[Double], Option[Double]) = (None, None)
+            rs.sortBy(_.ord).foreach { r =>
+              if ((!mask || r.m) && r.v.isDefined) {
+                mn = Some(mn.fold(r.v.get)(math.min(_, r.v.get)))
+                mx = Some(mx.fold(r.v.get)(math.max(_, r.v.get)))
+              }
+              exp(r.ord) = (mn, mx)
+            }
+          case (None, rs) => rs.foreach(r => exp(r.ord) = (None, None))
+        }
+        rows.foreach { r =>
+          assert(close(out(r.ord)._1, exp(r.ord)._1), s"cummin ord ${r.ord}")
+          assert(close(out(r.ord)._2, exp(r.ord)._2), s"cummax ord ${r.ord}")
+        }
+      }
+
+      test(s"seed=$seed mask=$mask: rollingMax window=4 minPeriods=1 vs scala oracle") {
+        val out = new RollingOps(gb).rollingMax(col("v"), col("ord"), 4,
+            minPeriods = Some(1), mask = if (mask) Some(col("m")) else None)
+          .collect().map(r => r.getAs[Int]("ord") ->
+            (if (r.isNullAt(r.fieldIndex("rolling_max"))) None
+             else Some(r.getAs[Double]("rolling_max")))).toMap
+        val exp = scala.collection.mutable.Map[Int, Option[Double]]()
+          .withDefaultValue(None)
+        grouped(mask).foreach { case (_, rs) =>
+          rs.zipWithIndex.foreach { case (r, i) =>
+            val win = rs.slice(math.max(0, i - 3), i + 1).flatMap(_.v)
+            exp(r.ord) = win.maxOption
+          }
+        }
+        rows.foreach(r => assert(close(out(r.ord), exp(r.ord)), s"ord ${r.ord}"))
+      }
+
       test(s"seed=$seed mask=$mask: rollingSum window=3 minPeriods=2 vs scala oracle") {
         val out = new RollingOps(gb).rollingSum(col("v"), col("ord"), 3,
             minPeriods = Some(2), mask = if (mask) Some(col("m")) else None)

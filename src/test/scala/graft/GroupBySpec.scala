@@ -54,6 +54,16 @@ class GroupBySpec extends AnyFunSuite {
     assert(out(1) == null)
   }
 
+  test("keyDomain + reindex realizes observed_only=False over the cartesian domain") {
+    // (1,a) (1,b) (2,a) observed → domain includes unobserved (2,b)
+    val d = Seq((1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0))
+      .toDF("k1", "k2", "value")
+    val g = new GroupBy(d, Seq(col("k1"), col("k2")))
+    val out = g.reindex(g.size(), g.keyDomain, fill = Some(0L))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1, "a") -> 1L, (1, "b") -> 1L, (2, "a") -> 1L, (2, "b") -> 0L))
+  }
+
   test("approx nunique and median track the exact ops") {
     // 1000 rows, 2 keys, values 0..499 per key → nunique 500, median ~249.5
     val d = (0 until 1000).map(i => (i % 2, (i / 2).toDouble)).toDF("key", "value")

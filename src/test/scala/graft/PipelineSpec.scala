@@ -243,6 +243,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(sessions.count() > ev.select("user_id").distinct().count())
   }
 
+  test("ngram jaccard maxDocFreq drops boilerplate shingles from the universe") {
+    // every doc shares the "common words" boilerplate; 1&2 also share
+    // rare content, 3 is rare-distinct
+    val d = Seq(
+      (1L, "common words rare one"), (2L, "common words rare one"),
+      (3L, "common words other thing")).toDF("id", "t")
+    val uncapped = Dedup.ngramJaccardPairs(d, col("id"), col("t"),
+        n = 2, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // cap 2 removes "common words" (df=3); only the rare overlap pairs
+    val capped = Dedup.ngramJaccardPairs(d, col("id"), col("t"),
+      n = 2, threshold = 0.01, maxDocFreq = Some(2))
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L)))
+    // restricted-universe jaccard: docs 1,2 identical on surviving
+    // shingles → 1.0
+    assert(capped.head.getAs[Double]("jaccard") === 1.0)
+  }
+
   test("shingles handles documents shorter than n (review regression)") {
     val d = Seq((1L, "one"), (2L, "a b"), (3L, "a b c")).toDF("id", "t")
     val out = Dedup.shingles(d, col("id"), col("t"), n = 2)
