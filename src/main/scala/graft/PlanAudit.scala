@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{GroupBy, Margins, Reshape}
+import graft.operators.{Dedup, GroupBy, Margins, Reshape}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,14 @@ object PlanAudit {
     show("crosstab margins single-pass (count-like)") {
       Reshape.crosstab(orders, Seq(col("o_orderstatus")),
         col("o_orderpriority"), margins = Margins.All, fillZero = true)
+    }
+    show("approx nunique (HLL partial/final, no distinct expand)") {
+      new GroupBy(li, liKeys).nuniqueApprox(Seq(col("l_partkey")))
+    }
+    show("ngram jaccard with hot-shingle cap (co-partitioned df filter)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        maxDocFreq = Some(100))
     }
     spark.stop()
   }
