@@ -110,6 +110,11 @@ final class GroupBy(
   def persisted: GroupBy =
     new GroupBy(base.repartition(keyCols: _*).persist(), keyCols, sort, dropNullKeys)
 
+  /** Release the cached partitioning created by [[persisted]] (no-op
+    * on a GroupBy that was never persisted).
+    */
+  def unpersist(): GroupBy = { df.unpersist(); this }
+
   /** Number of groups (reference `ngroups`, `api.py:189`). An action. */
   def ngroups: Long = base.select(keyCols: _*).distinct().count()
 

@@ -101,31 +101,36 @@ object Reshape {
     val countLike = aggFunc == "size" || aggFunc == "count"
     if (margins == Margins.All && mask.isEmpty && indexNames.size == 1 &&
         countLike) {
-      // Single-pass path for count-like margins crosstabs: counts are
-      // additive and never null, so both margins re-aggregate from the
-      // pivoted cells — one direct pivot aggregation (one shuffle)
-      // instead of a 4-way GROUPING SETS expand + pivot re-aggregation,
-      // and the "All" row comes from re-aggregating the tiny pivoted
-      // frame, not the input. Results are identical to the general
-      // path below (differentially tested against it and the oracle).
+      // Single-pass path for count-like margins crosstabs: each pivot
+      // cell is a conditional count (`count(when(colKey = v, …))` —
+      // what pivot compiles to anyway) computed under GROUPING SETS
+      // ((idx), ()), so the body rows AND the "All" row come out of
+      // ONE aggregation — one shuffle, one input pass — where a
+      // pivot + union-of-reaggregated-All would recompute the whole
+      // aggregation lineage twice. The "All" column is a row-level sum
+      // of the cells (counts are additive and never null). Results are
+      // identical to the general path below (differentially tested
+      // against it and the oracle).
       val idx = indexNames.head
       val domainVals: Seq[String] =
         domain.getOrElse(distinctVals(df, columns).map(_.toString).sorted)
-      val cellAgg =
-        if (aggFunc == "size") F.count(lit(1)) else F.count(valueCol)
-      val pivoted = gb.base
-        .groupBy(col(idx).cast(StringType).as(idx))
-        .pivot(colName, domainVals)
-        .agg(cellAgg)
-      val zero = lit(0L)
-      val withAll = pivoted.withColumn("All",
-        domainVals.map(v => coalesce(col(v), zero)).reduce(_ + _))
-      val allCols = domainVals :+ "All"
-      val allRow = withAll
-        .agg(F.sum(coalesce(col(allCols.head), zero)).as(allCols.head),
-          allCols.tail.map(v => F.sum(coalesce(col(v), zero)).as(v)): _*)
-        .select(lit("All").as(idx) +: allCols.map(col): _*)
-      val out = withAll.unionByName(allRow).orderBy(col(idx))
+      val cells = domainVals.map { v =>
+        val inCell = columns.cast(StringType) === lit(v)
+        // unobserved (idx, colKey) combos stay null (pivot semantics —
+        // distinct from an observed combo whose count is 0)
+        when(F.count(when(inCell, lit(1))) > 0,
+          if (aggFunc == "size") F.count(when(inCell, lit(1)))
+          else F.count(when(inCell, valueCol))).as(v)
+      }
+      val grouped = gb.base
+        .withColumn(idx, col(idx).cast(StringType))
+        .groupingSets(Seq(Seq(col(idx)), Seq()), col(idx))
+        .agg(cells.head, (cells.tail :+ F.grouping(col(idx)).as("__g")): _*)
+      val out = grouped
+        .withColumn(idx, when(col("__g") === 1, lit("All")).otherwise(col(idx)))
+        .drop("__g")
+        .withColumn("All", domainVals.map(v => coalesce(col(v), lit(0L))).reduce(_ + _))
+        .orderBy(col(idx))
       return if (fillZero) out.na.fill(0) else out
     }
     val spec = AggSpec(aggFunc, valueCol, "__cell", exact = exact)
