@@ -198,6 +198,32 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
 
+    test(s"seed=$seed: aggregateSalted equals the plain path for every salted op") {
+      val specs = Seq(
+        graft.operators.AggSpec("sum", col("v"), "o_sum", exact = true),
+        graft.operators.AggSpec("mean", col("v"), "o_mean"),
+        graft.operators.AggSpec("min", col("v"), "o_min"),
+        graft.operators.AggSpec("max", col("v"), "o_max"),
+        graft.operators.AggSpec("count", col("v"), "o_count"),
+        graft.operators.AggSpec("size", lit(1), "o_size"))
+      def toMaps(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map { r =>
+          r.getInt(0) -> (1 until r.length).map(i =>
+            if (r.isNullAt(i)) None else Some(r.get(i) match {
+              case l: java.lang.Long   => l.toDouble
+              case d2: java.lang.Double => d2.doubleValue
+            })).toSeq
+        }.toMap
+      val plain = toMaps(gb.aggregate(specs, mask = Some(col("m"))))
+      val salted = toMaps(gb.aggregateSalted(specs, saltBuckets = 8,
+        mask = Some(col("m"))))
+      assert(salted.keySet === plain.keySet)
+      plain.foreach { case (k, vs) =>
+        vs.zip(salted(k)).zipWithIndex.foreach { case ((p, s), i) =>
+          assert(close(p, s), s"key $k col ${specs(i).name}") }
+      }
+    }
+
     test(s"seed=$seed: shift/diff vs scala oracle") {
       val ops = new RollingOps(gb)
       val sh = ops.shift(col("v"), col("ord"), 1).collect()
