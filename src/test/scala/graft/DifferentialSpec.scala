@@ -224,6 +224,25 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
 
+    test(s"seed=$seed: masked shift lags over the filtered sub-stream only") {
+      val out = new RollingOps(gb).shift(col("v"), col("ord"), 1,
+          mask = Some(col("m")))
+        .collect().map(r => r.getAs[Int]("ord") ->
+          (if (r.isNullAt(r.fieldIndex("shift"))) None
+           else Some(r.getAs[Double]("shift")))).toMap
+      // oracle: masked-out rows emit null; mask-passing rows lag over
+      // the mask-passing sub-stream (null values pass through as values)
+      val exp = scala.collection.mutable.Map[Int, Option[Double]]()
+        .withDefaultValue(None)
+      rows.filter(_.key.isDefined).groupBy(_.key.get).foreach { case (_, rs) =>
+        val sub = rs.filter(_.m).sortBy(_.ord)
+        sub.zipWithIndex.foreach { case (r, i) =>
+          exp(r.ord) = if (i == 0) None else sub(i - 1).v
+        }
+      }
+      rows.foreach(r => assert(out(r.ord) === exp(r.ord), s"ord ${r.ord}"))
+    }
+
     test(s"seed=$seed: shift/diff vs scala oracle") {
       val ops = new RollingOps(gb)
       val sh = ops.shift(col("v"), col("ord"), 1).collect()
