@@ -147,7 +147,13 @@ final class GroupBy(
       case "count"  => lift(F.count(v))
       case "size"   => lift(F.count(masked(mask, lit(1))))
       case "median" => lift(F.median(v))
-      case "nunique" => lift(F.count_distinct(v))
+      case "nunique" => over match {
+        // DISTINCT aggregates are not legal window functions; the
+        // window form dedups via collect_set (null-skipping, like
+        // count_distinct), sized per row within the group partition
+        case Some(w) => F.size(F.collect_set(v).over(w)).cast("long")
+        case scala.None => F.count_distinct(v)
+      }
       // the 100 TB paths: HLL++ sketch (constant memory per group, no
       // distinct expand) and t-digest-style quantile (single pass)
       case "approx_nunique" =>

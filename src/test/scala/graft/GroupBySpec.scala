@@ -134,6 +134,28 @@ class GroupBySpec extends AnyFunSuite {
     assert(math.abs(row - 3.8) < 1e-12)
   }
 
+  test("transform mode works for every aggregation op") {
+    val ordV = struct(col("ord"), col("value"))
+    val out = gb.aggregate(Seq(
+        AggSpec("mean", col("value"), "t_mean"),
+        AggSpec("min", col("value"), "t_min"),
+        AggSpec("median", col("value"), "t_med"),
+        AggSpec("nunique", col("value"), "t_nu"),
+        AggSpec("first", col("value"), "t_first", ord = Some(ordV)),
+        AggSpec("last", col("value"), "t_last", ord = Some(ordV)),
+        AggSpec("var", col("value"), "t_var", ddof = 2),
+        AggSpec("approx_nunique", col("value"), "t_anu")),
+      transform = true)
+    assert(out.count() === 9) // input-shaped
+    val k1 = out.filter(col("key") === 1).collect()
+    assert(k1.forall(r => math.abs(r.getAs[Double]("t_mean") - 0.95) < 1e-12))
+    assert(k1.forall(_.getAs[Double]("t_min") === -1.0))
+    assert(k1.forall(_.getAs[Long]("t_nu") === 4L))
+    assert(k1.forall(_.getAs[Double]("t_first") === -1.0))
+    assert(k1.forall(_.getAs[Double]("t_last") === 1.0))
+    assert(k1.forall(_.getAs[Long]("t_anu") === 4L))
+  }
+
   test("transform leaves null-key rows null") {
     val df = Seq((Some(1), 1.0), (None, 2.0)).toDF("key", "value")
     val out = new GroupBy(df, Seq(col("key")))
