@@ -123,6 +123,32 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("crosstabMulti with margins adds the All row and column") {
+    val d = Seq(("a", "x", "p"), ("a", "y", "q"), ("b", "x", "p"), ("a", "x", "p"))
+      .toDF("k", "c1", "c2")
+    val out = Reshape.crosstabMulti(d, Seq(col("k")),
+      Seq(col("c1"), col("c2")), margins = Margins.All, fillZero = true)
+    val rows = out.collect().map(r => r.getString(0) ->
+      out.columns.tail.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }.toMap).toMap
+    assert(rows("a")("x|p") === 2L)
+    assert(rows("a")("All") === 3L)
+    assert(rows("All")("All") === 4L) // grand total
+    assert(rows("All")("x|p") === 3L) // column margin
+  }
+
+  test("margins compose with non-additive ops (median, first)") {
+    val d = Seq((0, "a", 1.0), (1, "a", 3.0), (2, "b", 5.0)).toDF("ord", "k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    val med = g.aggregate(Seq(graft.operators.AggSpec("median", col("v"), "m")),
+        margins = Margins.All)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med === Map("a" -> 2.0, "b" -> 5.0, "All" -> 3.0))
+    val first = g.aggregate(Seq(graft.operators.AggSpec("first", col("v"), "f",
+        ord = Some(col("ord")))), margins = Margins.All)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(first === Map("a" -> 1.0, "b" -> 5.0, "All" -> 1.0))
+  }
+
   test("crosstabMulti concatenates column levels into one pivot key") {
     val d = Seq(("a", "x", "p", 1.0), ("a", "y", "q", 2.0), ("b", "x", "q", 3.0))
       .toDF("k", "c1", "c2", "v")
