@@ -100,6 +100,13 @@ object Implicits {
     def median(mask: Option[Column] = None): DataFrame = gb.median(values, mask = mask)
     def variance(ddof: Int = 1): DataFrame = gb.variance(values, ddof)
     def std(ddof: Int = 1): DataFrame = gb.std(values, ddof)
+    def size(mask: Option[Column] = None): DataFrame = gb.size(mask = mask)
+    def nunique(mask: Option[Column] = None): DataFrame =
+      gb.nunique(values, mask = mask)
+    def first(ord: Column, mask: Option[Column] = None): DataFrame =
+      gb.first(values, ord, mask = mask)
+    def last(ord: Column, mask: Option[Column] = None): DataFrame =
+      gb.last(values, ord, mask = mask)
   }
 
   final class RollingFacade(gb: GroupBy, window: Int, minPeriods: Option[Int]) {

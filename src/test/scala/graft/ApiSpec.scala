@@ -17,6 +17,15 @@ class ApiSpec extends AnyFunSuite {
     val out = df.groupByFast("k").cols(col("v")).sum()
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     assert(out === Map(1 -> 6.0, 2 -> 14.0))
+    val sel = df.groupByFast("k").cols(col("v"))
+    assert(sel.size().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      === Map(1 -> 2L, 2 -> 2L))
+    assert(sel.nunique().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      === Map(1 -> 2L, 2 -> 2L))
+    assert(sel.first(col("s")).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      === Map(1 -> 2.0, 2 -> 6.0))
+    assert(sel.last(col("s")).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      === Map(1 -> 4.0, 2 -> 8.0))
   }
 
   test("rolling facade") {
