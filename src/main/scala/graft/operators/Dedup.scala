@@ -30,8 +30,11 @@ object Dedup {
     * the watermark passes its event time + horizon, so memory tracks
     * the horizon, not history). Duplicates arriving within the
     * horizon are suppressed; `eventTime` must be a timestamp column
-    * of `df`. Works identically on batch frames (where it degrades
-    * to plain dropDuplicates semantics over the whole input).
+    * of `df`. On a batch frame it falls back to a GLOBAL
+    * dropDuplicates — a superset of the streaming suppression:
+    * duplicates farther apart than the horizon are also removed in
+    * batch but both survive on the stream (their state was already
+    * reaped). Validate horizon-sensitive logic on a real stream.
     */
   def exactStream(df: DataFrame, keys: Seq[String], eventTime: String,
       horizon: String): DataFrame =

@@ -107,13 +107,24 @@ final class GroupBy(
     * partition by the keys once and persist, so every subsequent
     * aggregation on this GroupBy is shuffle-free map-side work.
     */
-  def persisted: GroupBy =
-    new GroupBy(base.repartition(keyCols: _*).persist(), keyCols, sort, dropNullKeys)
+  def persisted: GroupBy = {
+    val g = new GroupBy(base.repartition(keyCols: _*).persist(), keyCols,
+      sort, dropNullKeys)
+    g.ownsCache = true
+    g
+  }
+
+  /** Set only by [[persisted]]: marks that this GroupBy created (and
+    * so owns) its cached frame — [[unpersist]] must never evict a
+    * caller-supplied cache.
+    */
+  private var ownsCache: Boolean = false
 
   /** Release the cached partitioning created by [[persisted]] (no-op
-    * on a GroupBy that was never persisted).
+    * on a GroupBy that was never persisted, even if the caller's own
+    * input frame is cached).
     */
-  def unpersist(): GroupBy = { df.unpersist(); this }
+  def unpersist(): GroupBy = { if (ownsCache) df.unpersist(); this }
 
   /** Number of groups (reference `ngroups`, `api.py:189`). An action. */
   def ngroups: Long = base.select(keyCols: _*).distinct().count()
@@ -547,7 +558,11 @@ final class GroupBy(
     * cross-join of the (small) results is broadcast.
     */
   def keyDomain: DataFrame =
-    keyNames.map(n => base.select(col(n)).distinct())
+    // per-level distincts over rows where THAT level is non-null (not
+    // `base`, which pre-drops rows with a null in ANY level — a value
+    // observed only alongside another level's null must still appear,
+    // matching the reference's independent per-level factorization)
+    keyNames.map(n => dfWithKeys.filter(col(n).isNotNull).select(col(n)).distinct())
       .reduce((a, b) => a.crossJoin(F.broadcast(b)))
 
   /** group-label → sorted row ids (reference `groups`, `core.py:323`);

@@ -112,8 +112,12 @@ object Reshape {
       // identical to the general path below (differentially tested
       // against it and the oracle).
       val idx = indexNames.head
+      // derive the domain from CAST(column AS STRING), not the collected
+      // values' JVM toString — for timestamps and other types the two
+      // formats diverge ('...00.0' vs '...00') and cells would never match
       val domainVals: Seq[String] =
-        domain.getOrElse(distinctVals(df, columns).map(_.toString).sorted)
+        domain.getOrElse(
+          distinctVals(df, columns.cast(StringType)).map(_.toString).sorted)
       val cells = domainVals.map { v =>
         val inCell = columns.cast(StringType) === lit(v)
         // unobserved (idx, colKey) combos stay null (pivot semantics —
@@ -144,10 +148,12 @@ object Reshape {
     val domainVals: Seq[Any] = domain
       .map(_.map(identity[Any]))
       .getOrElse {
-        val raw = distinctVals(df, columns)
-        val vals =
-          if (margins == Margins.None) raw
-          else raw.map(_.toString)
+        // margins stringify the key column (marginAgg CAST ... AS STRING),
+        // so the pivot domain must be the same Spark-cast strings — JVM
+        // toString diverges for timestamps and would match no rows
+        val vals: Seq[Any] =
+          if (margins == Margins.None) distinctVals(df, columns)
+          else distinctVals(df, columns.cast(StringType)).map(_.toString)
         vals.sortBy(_.toString)
       } ++ marginCol(margins, gb, colName)
     val pivoted = flat

@@ -55,13 +55,32 @@ class GroupBySpec extends AnyFunSuite {
   }
 
   test("keyDomain + reindex realizes observed_only=False over the cartesian domain") {
-    // (1,a) (1,b) (2,a) observed → domain includes unobserved (2,b)
-    val d = Seq((1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0))
+    // (1,a) (1,b) (2,a) observed → domain includes unobserved (2,b);
+    // (3,null) contributes k1=3 to the domain even though the row
+    // itself is dropped from grouping (per-level factorization)
+    val d = Seq((Some(1), Some("a"), 10.0), (Some(1), Some("b"), 20.0),
+      (Some(2), Some("a"), 30.0), (Some(3), None, 40.0))
       .toDF("k1", "k2", "value")
     val g = new GroupBy(d, Seq(col("k1"), col("k2")))
     val out = g.reindex(g.size(), g.keyDomain, fill = Some(0L))
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    assert(out === Map((1, "a") -> 1L, (1, "b") -> 1L, (2, "a") -> 1L, (2, "b") -> 0L))
+    assert(out === Map((1, "a") -> 1L, (1, "b") -> 1L, (2, "a") -> 1L,
+      (2, "b") -> 0L, (3, "a") -> 0L, (3, "b") -> 0L))
+  }
+
+  test("unpersist releases only a persisted GroupBy's own cache") {
+    val cached = fixture.cache()
+    cached.count()
+    // never-persisted GroupBy must not evict the caller's cache
+    new GroupBy(cached, Seq(col("key"))).unpersist()
+    assert(cached.storageLevel.useMemory)
+    val p = new GroupBy(cached, Seq(col("key"))).persisted
+    p.sum(Seq(col("value"))).collect()
+    assert(p.df.storageLevel.useMemory)
+    p.unpersist()
+    assert(!p.df.storageLevel.useMemory)
+    assert(cached.storageLevel.useMemory) // caller cache untouched
+    cached.unpersist()
   }
 
   test("approx nunique and median track the exact ops") {

@@ -149,6 +149,28 @@ class ReshapeSpec extends AnyFunSuite {
     assert(first === Map("a" -> 1.0, "b" -> 5.0, "All" -> 1.0))
   }
 
+  test("crosstab matches cells for timestamp column keys (cast-vs-toString)") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-06-01 12:30:00")
+    val d = Seq(("a", t1), ("a", t1), ("a", t2), ("b", t2)).toDF("k", "ts")
+    // fast (count-like margins) path
+    val fast = Reshape.crosstab(d, Seq(col("k")), col("ts"),
+      margins = Margins.All, fillZero = true)
+    val fa = fast.filter(col("k") === "a").head
+    assert(fa.getAs[Long](fast.columns.indexOf("All")) === 3L)
+    assert(fast.columns.count(c =>
+      fa.getAs[Any](fast.columns.indexOf(c)) == (2L: Any)) >= 1) // t1 cell hit
+    // general GROUPING SETS path (mask forces it)
+    val gen = Reshape.crosstab(d, Seq(col("k")), col("ts"),
+      margins = Margins.All, mask = Some(lit(true)), fillZero = true)
+    val ga = gen.filter(col("k") === "a").head
+    assert(ga.getAs[Long](gen.columns.indexOf("All")) === 3L)
+    // non-All cells must carry the counts (they'd all be 0 on a
+    // cast-vs-toString mismatch)
+    val nonAll = gen.columns.filter(c => c != "k" && c != "All")
+    assert(nonAll.map(c => ga.getAs[Long](gen.columns.indexOf(c))).sum === 3L)
+  }
+
   test("crosstabMulti concatenates column levels into one pivot key") {
     val d = Seq(("a", "x", "p", 1.0), ("a", "y", "q", 2.0), ("b", "x", "q", 3.0))
       .toDF("k", "c1", "c2", "v")
