@@ -68,11 +68,20 @@ object Bench {
     force(liGb.sum(Seq(col("l_quantity"))))
     force(evOps.cumsum(col("value"), col("ts"), name = "warm"))
 
+    // The reference reports post-JIT times ("after all numba JIT
+    // compilations", BASELINE.md). Parity here needs more than one warm
+    // pass: HotSpot C2 compiles the generated code only after enough
+    // invocations, so round-1's single-warm runs still charged 2-4s of
+    // JIT to the first timed ops. Two warm passes + best-of-3 timed
+    // reports the steady-state cost of the op itself.
     val results = ops.map { case (name, build) =>
-      force(build()) // per-op warm run (plan compile + codegen)
-      val t0 = System.nanoTime()
-      force(build())
-      name -> (System.nanoTime() - t0) / 1e9
+      force(build()); force(build()) // plan compile + codegen + C2 JIT
+      val t = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        force(build())
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      name -> t
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

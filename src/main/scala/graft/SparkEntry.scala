@@ -299,11 +299,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("gb_groups",
+      // groupsOf returns (key, sorted row-id array); the gate emits the
+      // EXPLODED (key, row_id, pos) shape — the driver's comparator
+      // sorts rows by every column and cannot hash array cells
       (s, dir) => new GroupBy(T(s, dir, "orders"), Seq(col("o_orderstatus")))
-        .groupsOf(col("o_orderkey")).orderBy(col("o_orderstatus")),
-      Some("""SELECT o_orderstatus,
-        | LIST(o_orderkey ORDER BY o_orderkey) AS row_ids
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+        .groupsOf(col("o_orderkey"))
+        .select(col("o_orderstatus"), posexplode(col("row_ids")))
+        .select(col("o_orderstatus"), col("col").as("row_id"),
+          (col("pos") + 1).cast("long").as("pos"))
+        .orderBy(col("o_orderstatus"), col("pos")),
+      Some("""SELECT o_orderstatus, o_orderkey AS row_id,
+        | ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS pos
+        |FROM orders ORDER BY 1, 3""".stripMargin))
   )
 
   private def windowOps: Seq[Q] = Seq(
@@ -600,12 +607,18 @@ object SparkEntry {
     Q("group_scatter_bins",
       (s, dir) => GroupScatter.binnedMeans(T(s, dir, "lineitem"),
           col("l_quantity"), col("l_extendedprice"), 10,
-          tieBreak = Seq(liOrd), exact = true)
+          // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+          // lineitem, so liOrd alone leaves (x, tieBreak) ties whose bin
+          // assignment at ntile boundaries is engine-dependent;
+          // l_extendedprice differs within every such tie run, making
+          // the order total on both engines.
+          tieBreak = Seq(liOrd, col("l_extendedprice")), exact = true)
         .withColumn("bin", col("bin").cast("long")),
       Some(s"""SELECT bin, ${dmean("l_quantity")} AS x_mean,
         | ${dmean("l_extendedprice")} AS y_mean, COUNT(*) AS n
         |FROM (SELECT l_quantity, l_extendedprice,
-        |  NTILE(10) OVER (ORDER BY l_quantity, l_orderkey*10 + l_linenumber) AS bin
+        |  NTILE(10) OVER (ORDER BY l_quantity, l_orderkey*10 + l_linenumber,
+        |                  l_extendedprice) AS bin
         |  FROM lineitem)
         |GROUP BY bin ORDER BY bin""".stripMargin)),
 

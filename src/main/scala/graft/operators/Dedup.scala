@@ -142,9 +142,16 @@ object Dedup {
     */
   def minHashCandidates(signatures: DataFrame, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    // rows-per-band = size(sig) div bands, with the LAST band absorbing
+    // the remainder — every signature hash participates in banding even
+    // when bands does not divide k. (bands > k still degenerates to
+    // empty early slices; minHashPairs rejects that combination.)
+    val rpb = s"(size(sig) div $bands)"
+    val len = s"IF(b = ${bands - 1}, size(sig) - b * $rpb, $rpb)"
     val buckets = signatures.select(col("doc_id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))")))
+          s"hash(slice(sig, b * $rpb + 1, $len)))")))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
@@ -164,9 +171,13 @@ object Dedup {
   /** End-to-end MinHash+LSH near-dup pairs. */
   def minHashPairs(df: DataFrame, id: Column, text: Column, n: Int = 2,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands must be in [1, k=$k], got $bands (bands > k would make " +
+        "every per-band slice empty — all docs collide in every bucket)")
     minHashCandidates(minHashSignatures(shingles(df, id, text, n), k, seed),
       bands, threshold)
+  }
 
   /** Embedding-cosine near-duplicate pairs. With `planes` set,
     * candidates come from shared random-hyperplane LSH buckets (the

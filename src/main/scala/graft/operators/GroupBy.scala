@@ -544,8 +544,22 @@ final class GroupBy(
     */
   def reindex(result: DataFrame, domain: DataFrame,
       fill: Option[Long] = scala.None): DataFrame = {
-    val joined = domain.join(result, keyNames, "left")
-    val out = fill.map(v => joined.na.fill(v)).getOrElse(joined)
+    // fill ONLY the rows the left join missed (unobserved key combos),
+    // flagged by a marker column — `na.fill` over the joined frame
+    // would also overwrite genuine null aggregates of observed groups
+    // (e.g. mean over all-null values)
+    val marker = "__gb_observed"
+    val joined = domain.join(result.withColumn(marker, lit(1)), keyNames, "left")
+    // numeric result columns only, mirroring na.fill(Long) semantics
+    val valueCols = result.schema.fields.collect {
+      case f if !keyNames.contains(f.name) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+    }.toSeq
+    val out = fill.map { v =>
+      valueCols.foldLeft(joined) { (d, c) =>
+        d.withColumn(c, when(col(marker).isNull, lit(v)).otherwise(col(c)))
+      }
+    }.getOrElse(joined).drop(marker)
     if (sort) out.orderBy(keyCols: _*) else out
   }
 

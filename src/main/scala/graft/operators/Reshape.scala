@@ -126,14 +126,20 @@ object Reshape {
           if (aggFunc == "size") F.count(when(inCell, lit(1)))
           else F.count(when(inCell, valueCol))).as(v)
       }
+      // the "All" column is the margin over the column key: a
+      // domain-free count in the SAME aggregation, so it covers all
+      // rows even when a caller-supplied `domain` is partial (a
+      // row-wise sum of the domain cells would undercount) — matching
+      // the general GROUPING SETS path below
+      val allCell =
+        (if (aggFunc == "size") F.count(lit(1)) else F.count(valueCol)).as("All")
       val grouped = gb.base
         .withColumn(idx, col(idx).cast(StringType))
         .groupingSets(Seq(Seq(col(idx)), Seq()), col(idx))
-        .agg(cells.head, (cells.tail :+ F.grouping(col(idx)).as("__g")): _*)
+        .agg(cells.head, (cells.tail :+ allCell :+ F.grouping(col(idx)).as("__g")): _*)
       val out = grouped
         .withColumn(idx, when(col("__g") === 1, lit("All")).otherwise(col(idx)))
         .drop("__g")
-        .withColumn("All", domainVals.map(v => coalesce(col(v), lit(0L))).reduce(_ + _))
         .orderBy(col(idx))
       return if (fillZero) out.na.fill(0) else out
     }
