@@ -44,6 +44,103 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       sql: Option[String])
 
+  /** DuckDB replay of Dedup.minHashPairs over PortableHash.polyHash:
+    * word-bigram shingles → per-doc k-min signatures (the exact
+    * (a_j·x + b_j) mod p permutations, coefficients shared via
+    * Dedup.minHashCoeffs) → banding as SLICE EQUALITY (the engine
+    * buckets on the slice itself, so candidacy is replayable) →
+    * signature-agreement Jaccard estimate, thresholded. Quadratic
+    * doc×doc join — oracle-side only, at gate scale.
+    */
+  private def minHashOracleSql(k: Int, bands: Int, threshold: Double,
+      seed: Long): String = {
+    import graft.functions.PortableHash
+    val p = PortableHash.P
+    val minTerms = Dedup.minHashCoeffs(k, seed).zipWithIndex.map {
+      case ((a, b), j) => s"MIN(($a * x + $b) % $p) AS h$j"
+    }.mkString(", ")
+    val sigList = (0 until k).map(j => s"h$j").mkString("[", ", ", "]")
+    val rpb = k / bands
+    // slice bounds mirror the engine's remainder-absorbing last band
+    // (lambda var is `bb` — `b` is taken by the pair-join table alias)
+    val hi = s"CASE WHEN bb = ${bands - 1} THEN $k ELSE (bb + 1) * $rpb END"
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS s FROM w)),
+       |hx AS (SELECT doc_id, ${PortableHash.polyHashSql("s")} AS x FROM sh),
+       |sg0 AS (SELECT doc_id, $minTerms FROM hx GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigList AS sig FROM sg0),
+       |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.sig AS sa, b.sig AS sb
+       |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |  WHERE list_contains(list_transform(generate_series(0, ${bands - 1}),
+       |    bb -> a.sig[(bb * $rpb + 1):($hi)] = b.sig[(bb * $rpb + 1):($hi)]), true)),
+       |est AS (SELECT ida, idb,
+       |  list_sum(list_transform(generate_series(1, $k),
+       |    j -> CASE WHEN sa[j] = sb[j] THEN 1 ELSE 0 END)) / CAST($k AS DOUBLE)
+       |    AS est_jaccard FROM cand)
+       |SELECT ida, idb, est_jaccard FROM est
+       |WHERE est_jaccard >= $threshold ORDER BY ida, idb""".stripMargin
+  }
+
+  /** DuckDB replay of Similarity.lshTopK(exact=true): the seeded
+    * hyperplanes are literal double lists (java.util.Random is a fixed
+    * LCG; Double.toString round-trips), bucket-sign dots and cosine
+    * norms accumulate in DECIMAL(38,8) exactly as the engine does, so
+    * buckets, scores and ranks replay bit-identically.
+    */
+  private def lshOracleSql(planes: Int, dim: Int, k: Int, seed: Long): String = {
+    val hp = Similarity.hyperplanes(planes, dim, seed)
+    val bucket = hp.zipWithIndex.map { case (w, i) =>
+      val wlist = w.mkString("[", ", ", "]")
+      val dot = s"list_sum(list_transform(generate_series(1, $dim), " +
+        s"ii -> CAST(CAST(embedding[ii] AS DOUBLE) * ($wlist)[ii] AS DECIMAL(38,8))))"
+      s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    q.embedding AS qe, c.embedding AS ne
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |t AS (SELECT qid, nid, unnest(qe)::DOUBLE AS x, unnest(ne)::DOUBLE AS y
+       |  FROM cand),
+       |d AS (SELECT qid, nid,
+       |  CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+       |  CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS na,
+       |  CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS nb
+       |  FROM t GROUP BY 1, 2)
+       |SELECT qid, nid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, nid) AS rank
+       |FROM d QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.simHashPairs over PortableHash.hash62:
+    * per-word 62-bit hashes vote ±1 on bit positions, signs pack into
+    * one BIGINT, pairs filter on Hamming distance. The engine's
+    * pigeonhole blocking is complete (distance ≤ d ⇒ some block
+    * matches exactly), so the blocked-then-filtered engine output
+    * equals this all-pairs filter.
+    */
+  private def simHashOracleSql(maxDistance: Int): String = {
+    import graft.functions.PortableHash
+    // bits 62-63 of hash62 are constant 0 → their votes are always −1
+    // → packed bits 0; emitting 0..61 is equivalent and avoids 1L<<63
+    val bitSums = (0 until 62).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val pack = (0 until 62).map(b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hh AS (SELECT doc_id, ${PortableHash.hash62Sql("w")} AS h FROM wd),
+       |bs AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, $pack AS simhash FROM bs)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDistance
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   // ------------------------------------------------------------ queries
 
   private def all: Seq[Q] =
@@ -670,20 +767,27 @@ object SparkEntry {
         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
         |ORDER BY ida, idb""".stripMargin)),
 
-    // MinHash+LSH and SimHash candidate generation use engine-internal
-    // hash functions — no SQL oracle (rows-only check); the spec
-    // validates them against the exact Jaccard pairs.
+    // MinHash+LSH and SimHash are hash-seeded, so they are oracle-
+    // checkable only if the oracle can compute the SAME hashes: the
+    // gate variants run on PortableHash (polynomial char hash mod
+    // 2^31−1, expressible in DuckDB list lambdas) with the permutation
+    // coefficients shared between the operator and the generated SQL.
+    // Production default stays xxhash64; the pipeline shape is
+    // identical either way.
     Q("dedup_minhash",
       (s, dir) => Dedup.minHashPairs(T(s, dir, "documents"),
-        col("doc_id"), col("text"), threshold = 0.5)
+        col("doc_id"), col("text"), threshold = 0.5,
+        baseHash = graft.functions.PortableHash.polyHash(_))
         .orderBy(col("ida"), col("idb")),
-      None),
+      Some(minHashOracleSql(k = 64, bands = 16, threshold = 0.5, seed = 42L))),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simHashPairs(T(s, dir, "documents"),
-        col("doc_id"), col("text"), maxDistance = 4)
+        col("doc_id"), col("text"), maxDistance = 4,
+        wordHash = graft.functions.PortableHash.hash62(_))
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("ida"), col("idb")),
-      None),
+      Some(simHashOracleSql(maxDistance = 4))),
 
     Q("emb_cosine_topk",
       (s, dir) => {
@@ -707,14 +811,17 @@ object SparkEntry {
         |FROM d QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     Q("emb_lsh_topk",
+      // exact=true: bucket-sign dots and cosine scores accumulate in
+      // decimal, so the seeded hyperplanes (embedded as literals in the
+      // SQL below) reproduce the same buckets and ranks in DuckDB
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
-            col("vec_id"), col("embedding"), 5, planes = 6)
+            col("vec_id"), col("embedding"), 5, planes = 6, exact = true)
           .withColumn("rank", col("rank").cast("long"))
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(lshOracleSql(planes = 6, dim = 64, k = 5, seed = 42L))),
 
     Q("emb_ivf_topk",
       (s, dir) => {

@@ -110,21 +110,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The permutation coefficients (a_j, b_j) of [[minHashSignatures]],
+    * exposed so an external oracle can replay the exact computation:
+    * a ∈ [1, p−1], b ∈ [0, p−1], drawn from a seeded generator.
+    */
+  def minHashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val p = graft.functions.PortableHash.P
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+  }
+
   /** MinHash signatures: k permutation-style hash functions
-    * `h_j(s) = (a_j·x + b_j) mod p` over a 64-bit base shingle hash
-    * x, minimized per document in ONE aggregation pass (k min
+    * `h_j(s) = (a_j·x + b_j) mod p` over a base shingle hash x,
+    * minimized per document in ONE aggregation pass (k min
     * aggregates, no per-hash shuffle). Deterministic: a/b derive from
-    * a seeded generator.
+    * a seeded generator. `baseHash` defaults to xxhash64; pass
+    * [[graft.functions.PortableHash.polyHash]] when results must be
+    * reproducible outside Spark (cross-engine verification).
     */
   def minHashSignatures(sh: DataFrame, k: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
     // 2^31−1: a·x stays under 2^62, so the mulmod never overflows a
     // long (ANSI-safe)
-    val p = 2147483647L
-    val rnd = new scala.util.Random(seed)
-    val abs = Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
-    val x = pmod(xxhash64(col("shingle")), lit(p))
+    val p = graft.functions.PortableHash.P
+    val abs = minHashCoeffs(k, seed)
+    val x = pmod(baseHash(col("shingle")), lit(p))
     val mins = abs.zipWithIndex.map { case ((a, b), j) =>
       F.min(pmod(x * lit(a) + lit(b), lit(p))).as(s"h$j")
     }
@@ -135,10 +147,13 @@ object Dedup {
   private def pmod(x: Column, m: Column): Column = ((x % m) + m) % m
 
   /** LSH banding: split the signature into `bands` rows-per-band
-    * slices, hash each slice → (band, bucket) keys; documents sharing
-    * any (band, bucket) are candidate near-duplicates. Candidate pairs
-    * are scored by signature agreement (the MinHash Jaccard
-    * estimator).
+    * slices; documents sharing any identical (band, slice) are
+    * candidate near-duplicates. The join key is the slice itself
+    * (a few longs) rather than a 32-bit hash of it — same shuffle
+    * structure, but candidacy is EXACTLY slice equality: no hash
+    * collisions, so the output is reproducible by any engine from the
+    * signatures alone. Candidate pairs are scored by signature
+    * agreement (the MinHash Jaccard estimator).
     */
   def minHashCandidates(signatures: DataFrame, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
@@ -151,7 +166,7 @@ object Dedup {
     val len = s"IF(b = ${bands - 1}, size(sig) - b * $rpb, $rpb)"
     val buckets = signatures.select(col("doc_id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"hash(slice(sig, b * $rpb + 1, $len)))")))
+          s"slice(sig, b * $rpb + 1, $len))")))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
@@ -171,11 +186,13 @@ object Dedup {
   /** End-to-end MinHash+LSH near-dup pairs. */
   def minHashPairs(df: DataFrame, id: Column, text: Column, n: Int = 2,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands (bands > k would make " +
         "every per-band slice empty — all docs collide in every bucket)")
-    minHashCandidates(minHashSignatures(shingles(df, id, text, n), k, seed),
+    minHashCandidates(
+      minHashSignatures(shingles(df, id, text, n), k, seed, baseHash),
       bands, threshold)
   }
 
@@ -229,12 +246,16 @@ object Dedup {
 
   /** 64-bit SimHash per document: each word hash votes ±1 on its bit
     * positions; the sign vector packs into one long. One aggregation
-    * pass (64 sums).
+    * pass (64 sums). `wordHash` defaults to xxhash64; pass
+    * [[graft.functions.PortableHash.hash62]] for cross-engine
+    * reproducibility (its two top bits are constant-zero — harmless:
+    * those positions deterministically vote 0 in every engine).
     */
-  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simHash(df: DataFrame, id: Column, text: Column,
+      wordHash: Column => Column = xxhash64(_)): DataFrame = {
     val words = df.select(id.as("doc_id"),
       explode(split(text, " ")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", wordHash(col("w")))
     val bitSums = (0 until 64).map { b =>
       F.sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"s$b")
     }
@@ -252,10 +273,11 @@ object Dedup {
     * only on blocked pairs.
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      wordHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 63], got $maxDistance")
-    val hashed = simHash(df, id, text)
+    val hashed = simHash(df, id, text, wordHash)
     // pigeonhole: distance <= d means at least one of d+1 disjoint
     // bit blocks matches exactly, so blocking stays complete up to
     // d = 63 (block count adapts; width = 64 / (d+1), remainder

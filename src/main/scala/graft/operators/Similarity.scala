@@ -42,25 +42,11 @@ object Similarity {
       vec: Column, k: Int, exact: Boolean = false): DataFrame = {
     val q = queries.select(id.as("qid"), vec.as("qv"))
     val c = corpus.select(id.as("nid"), vec.as("nv"))
+    val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
     val scored =
-      if (!exact)
-        c.join(broadcast(q), col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
-      else {
-        val terms = c.join(broadcast(q), col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            explode(zip_with(col("qv"), col("nv"),
-              (x, y) => struct((x.cast(DoubleType) * y.cast(DoubleType)).as("xy"),
-                (x.cast(DoubleType) * x.cast(DoubleType)).as("xx"),
-                (y.cast(DoubleType) * y.cast(DoubleType)).as("yy")))).as("t"))
-        terms.groupBy("qid", "nid")
-          .agg(
-            F.sum(col("t.xy").cast(Num.DotDec)).cast(DoubleType).as("dot"),
-            F.sum(col("t.xx").cast(Num.DotDec)).cast(DoubleType).as("na"),
-            F.sum(col("t.yy").cast(Num.DotDec)).cast(DoubleType).as("nb"))
-          .select(col("qid"), col("nid"),
-            Num.safeDiv(col("dot"), sqrt(col("na")) * sqrt(col("nb"))).as("cos"))
-      }
+      if (exact) exactCosScores(cand)
+      else cand.select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
@@ -76,29 +62,74 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket key of a vector under the given hyperplanes. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Sign-bit bucket key of a vector under the given hyperplanes.
+    * `exact=true` accumulates each plane's dot product in decimal —
+    * order-insensitive, so the sign (hence the bucket) is identical in
+    * any engine that does decimal accumulation; the default double
+    * fold is the fast production path.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]],
+      exact: Boolean = false): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot =
+        if (exact)
+          aggregate(
+            zip_with(vec, lit(p.toArray),
+              (x, w) => (x.cast(DoubleType) * w).cast(Num.DotDec)),
+            lit(java.math.BigDecimal.ZERO).cast(Num.DotDec),
+            // decimal + decimal widens precision and Spark then drops a
+            // scale digit ((38,8)+(38,8) → (38,7)); cast back each step —
+            // lossless here (|terms| ≪ 10^30) and scale-stable, matching
+            // an engine that sums DECIMAL(38,8) natively
+            (acc, v) => (acc + v).cast(Num.DotDec))
+        else
+          aggregate(
+            zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
+            lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
+  /** Exact-decimal cosine scoring of candidate pairs (qid, nid, qv,
+    * nv) — shared by the `exact` paths of [[bruteForceTopK]] and
+    * [[lshTopK]]: explode + decimal sums, order-insensitive.
+    */
+  private def exactCosScores(pairs: DataFrame): DataFrame = {
+    val terms = pairs
+      .select(col("qid"), col("nid"),
+        explode(zip_with(col("qv"), col("nv"),
+          (x, y) => struct((x.cast(DoubleType) * y.cast(DoubleType)).as("xy"),
+            (x.cast(DoubleType) * x.cast(DoubleType)).as("xx"),
+            (y.cast(DoubleType) * y.cast(DoubleType)).as("yy")))).as("t"))
+    terms.groupBy("qid", "nid")
+      .agg(
+        F.sum(col("t.xy").cast(Num.DotDec)).cast(DoubleType).as("dot"),
+        F.sum(col("t.xx").cast(Num.DotDec)).cast(DoubleType).as("na"),
+        F.sum(col("t.yy").cast(Num.DotDec)).cast(DoubleType).as("nb"))
+      .select(col("qid"), col("nid"),
+        Num.safeDiv(col("dot"), sqrt(col("na")) * sqrt(col("nb"))).as("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share the query's bucket; exact
     * cosine ranks within. Trades recall for a bucket-key equijoin.
+    * `exact=true` makes bucket assignment AND scores decimal-exact
+    * (cross-engine reproducible given the same seed).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
-      k: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+      k: Int, planes: Int = 12, seed: Long = 42L,
+      exact: Boolean = false): DataFrame = {
     val dim = corpus.select(F.size(vec)).head().getInt(0)
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(id.as("nid"), vec.as("nv"),
-      lshBucket(vec, hp).as("bucket"))
+      lshBucket(vec, hp, exact).as("bucket"))
     val q = queries.select(id.as("qid"), vec.as("qv"),
-      lshBucket(vec, hp).as("bucket"))
-    c.join(broadcast(q), Seq("bucket"))
+      lshBucket(vec, hp, exact).as("bucket"))
+    val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val scored =
+      if (exact) exactCosScores(cand)
+      else cand.select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)

@@ -68,6 +68,20 @@ class GroupBySpec extends AnyFunSuite {
       (2, "b") -> 0L, (3, "a") -> 0L, (3, "b") -> 0L))
   }
 
+  test("reindex fills only join-missed combos, not genuine null aggregates") {
+    // group "a" has only null values → mean is genuinely null and must
+    // SURVIVE the fill; "c" is unobserved → filled (advisory regression:
+    // na.fill over the joined frame overwrote both)
+    val d = Seq(("a", scala.None), ("a", scala.None), ("b", Some(2.0)))
+      .toDF("k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    val domain = Seq("a", "b", "c").toDF("k")
+    val out = g.reindex(g.mean(Seq(col("v"))), domain, fill = Some(0L))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) scala.None else Some(r.getDouble(1)))).toMap
+    assert(out === Map("a" -> scala.None, "b" -> Some(2.0), "c" -> Some(0.0)))
+  }
+
   test("unpersist releases only a persisted GroupBy's own cache") {
     val cached = fixture.cache()
     cached.count()

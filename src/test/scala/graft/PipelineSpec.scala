@@ -278,4 +278,45 @@ class PipelineSpec extends AnyFunSuite {
       assert(out.count() === 1, s"maxDistance=$md")
     }
   }
+
+  test("PortableHash.polyHash matches the spec model (incl. empty + truncation)") {
+    import graft.functions.PortableHash
+    def model(s: String, mult: Int): Long =
+      s.take(PortableHash.MaxLen).foldLeft(0L)((acc, c) =>
+        (acc * mult + c.toInt) % PortableHash.P)
+    val strs = Seq("", "a", "hello world", "x" * 100, "The quick brown fox.")
+    val d = strs.toDF("s")
+    for (mult <- Seq(31, 37)) {
+      val got = d.select(PortableHash.polyHash(col("s"), mult).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === strs.map(model(_, mult)), s"mult=$mult")
+    }
+  }
+
+  test("minhash banding absorbs the k % bands remainder (advisory regression)") {
+    // k=10, bands=4 → rows-per-band 2, last band spans positions 7-10.
+    // doc 2 agrees with doc 1 ONLY on 7-10 → candidate via the last
+    // band; doc 3 agrees only on 7-8 (not 9-10) → NOT a candidate:
+    // trailing hashes participate in banding instead of being dropped.
+    val sigs = Seq(
+      (1L, Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)),
+      (2L, Array(11L, 12L, 13L, 14L, 15L, 16L, 7L, 8L, 9L, 10L)),
+      (3L, Array(21L, 22L, 23L, 24L, 25L, 26L, 7L, 8L, 29L, 30L))
+    ).toDF("doc_id", "sig")
+    val got = Dedup.minHashCandidates(sigs, bands = 4, threshold = 0.3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.minHashPairs(docs, col("doc_id"), col("text"), k = 8, bands = 16)
+    }
+  }
+
+  test("portable simhash leaves the two constant-zero hash62 bits unset") {
+    import graft.functions.PortableHash
+    val d = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("id", "t")
+    val hs = Dedup.simHash(d, col("id"), col("t"),
+        wordHash = PortableHash.hash62(_))
+      .collect().map(_.getLong(1))
+    assert(hs.forall(h => (h >>> 62) === 0L))
+  }
 }

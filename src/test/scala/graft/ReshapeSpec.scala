@@ -123,6 +123,25 @@ class ReshapeSpec extends AnyFunSuite {
     }
   }
 
+  test("single-pass margins with a PARTIAL domain still counts all rows in All") {
+    // domain restricted to x — the "All" column/grand total must still
+    // cover y rows, like the general path (advisory regression: the
+    // row-wise cell sum undercounted)
+    val d = Seq(("a", "x"), ("a", "y"), ("a", "y"), ("b", "y"))
+      .toDF("k", "c")
+    val fast = Reshape.crosstab(d, Seq(col("k")), col("c"),
+      margins = Margins.All, domain = Some(Seq("x")), fillZero = true)
+    val general = Reshape.crosstab(d, Seq(col("k")), col("c"),
+      margins = Margins.All, domain = Some(Seq("x")),
+      mask = Some(lit(true)), fillZero = true)
+    assert(fast.columns.toSeq === general.columns.toSeq)
+    assert(fast.collect().map(_.toSeq).toSeq ===
+      general.collect().map(_.toSeq).toSeq)
+    // and the absolute numbers: a → 3 total, b → 1, grand total 4
+    val all = fast.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(all === Map("a" -> 3L, "b" -> 1L, "All" -> 4L))
+  }
+
   test("crosstabMulti with margins adds the All row and column") {
     val d = Seq(("a", "x", "p"), ("a", "y", "q"), ("b", "x", "p"), ("a", "x", "p"))
       .toDF("k", "c1", "c2")
