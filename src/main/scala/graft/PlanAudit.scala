@@ -57,6 +57,10 @@ object PlanAudit {
       Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         maxDocFreq = Some(100))
     }
+    show("minhash LSH banding (shuffle on (band, slice-array) key)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Dedup.minHashPairs(docs, col("doc_id"), col("text"))
+    }
     spark.stop()
   }
 }

@@ -513,14 +513,35 @@ final class GroupBy(
     val aggC =
       if (exact && op == "sum") F.sum(masked(mask, value).cast(Num.SumDec)).as("__agg")
       else aggExpr(AggSpec(op, value, "__agg"), mask)
-    val aggd = base.groupBy(keyCols: _*).agg(aggC)
+    // For ADDITIVE ops the denominator (sum of the group aggregates)
+    // equals the aggregate over all rows, so the total branch can
+    // aggregate the raw input directly via a () grouping set: its
+    // partial aggregation collapses to one row per map partition and
+    // the only exchange moves those single rows — no per-key shuffle
+    // on the denominator side (the two-stage form re-shuffles every
+    // group just to sum the aggregates). Both branches still scan the
+    // input; callers who must not pay two scans aggregate a
+    // [[persisted]] GroupBy, which is this engine's cross-op reuse
+    // lever. Non-additive ops (mean/…) keep the two-stage form: their
+    // denominator is genuinely "sum of group aggregates", which only
+    // exists after the per-group pass.
+    val additive = Set("sum", "count", "size").contains(op)
     val withDen =
-      if (keyNames.size == 2)
+      if (keyNames.size == 2) {
+        val aggd = base.groupBy(keyCols: _*).agg(aggC)
         aggd.withColumn("__den",
           F.sum(col("__agg")).over(Window.partitionBy(col(keyNames.head))))
-      else
+      } else if (additive) {
+        val g = base.groupingSets(Seq(keyCols, Seq.empty), keyCols: _*)
+          .agg(aggC, F.grouping(col(keyNames.head)).as("__g"))
+        val total = F.broadcast(g.filter(col("__g") === 1)
+          .select(col("__agg").as("__den")))
+        g.filter(col("__g") === 0).drop("__g").crossJoin(total)
+      } else {
+        val aggd = base.groupBy(keyCols: _*).agg(aggC)
         aggd.crossJoin(
           F.broadcast(aggd.agg(F.sum(col("__agg")).as("__den"))))
+      }
     val out = withDen
       .withColumn(name,
         Num.safeDiv(col("__agg").cast(DoubleType), col("__den").cast(DoubleType)) * 100)
@@ -598,15 +619,31 @@ object GroupBy {
   def valueCounts(df: DataFrame, value: Column, normalize: Boolean = false,
       mask: Option[Column] = None): DataFrame = {
     val gb = new GroupBy(df, Seq(value))
-    val counts = gb.size(mask = mask, name = "count")
-    if (!normalize) counts
-    else counts
+    if (!normalize) gb.size(mask = mask, name = "count")
+    else {
       // grand total as a broadcast one-row aggregate, not a global
       // window — value_counts output is one row per distinct value,
-      // which can be huge (user ids), so it must stay distributed
-      .crossJoin(F.broadcast(counts.agg(F.sum(col("count")).as("__total"))))
-      .withColumn("proportion",
-        col("count").cast(DoubleType) / col("__total"))
-      .drop("count", "__total")
+      // which can be huge (user ids), so it must stay distributed.
+      // Counts are additive, so the total branch aggregates the raw
+      // input via a () grouping set: map-side partials collapse to one
+      // row per partition and no per-key shuffle happens on the
+      // denominator side (counts.agg(sum) would shuffle every distinct
+      // value's count a second time — with user-id-like cardinality
+      // that second shuffle is the expensive one).
+      val keyName = gb.keyNames.head
+      val cnt = F.count(mask.map(m => when(m, lit(1))).getOrElse(lit(1))).as("count")
+      val g = gb.base.groupingSets(Seq(Seq(col(keyName)), Seq.empty), col(keyName))
+        .agg(cnt, F.grouping(col(keyName)).as("__g"))
+      val total = F.broadcast(g.filter(col("__g") === 1)
+        .select(col("count").as("__total")))
+      val groups0 = g.filter(col("__g") === 0).drop("__g")
+      // observed_only parity with gb.size(mask): all-masked groups drop
+      val groups = if (mask.isDefined) groups0.filter(col("count") > 0) else groups0
+      groups.crossJoin(total)
+        .withColumn("proportion",
+          col("count").cast(DoubleType) / col("__total"))
+        .drop("count", "__total")
+        .orderBy(col(keyName))
+    }
   }
 }

@@ -187,7 +187,12 @@ object Similarity {
         .select(nearestCid(col("nv"), centroids).as("cid"),
           posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(F.avg(col("x").cast(DoubleType)).as("m"))
+        // decimal-exact mean: double avg is accumulation-order- (hence
+        // partitioning-) dependent, which would make the trained
+        // centroids — and every downstream bucket and top-k — vary
+        // between runs of the same corpus at different parallelism
+        .agg((F.sum(col("x").cast(DoubleType).cast(Num.DotDec))
+          .cast(DoubleType) / F.count(col("x"))).as("m"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
         .groupBy(_._1)
