@@ -115,6 +115,74 @@ object SparkEntry {
        |FROM d QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replay of Similarity.ivfTopK(exact=true): seeds are the
+    * nCentroids lowest (PortableHash.intHash(id), id) vectors; each
+    * unrolled Lloyd iteration assigns every vector to its max-cosine
+    * centroid (decimal-exact dots, (cos, cid)-lexicographic argmax =
+    * the engine's array_max over (cos, cid) structs) and recomputes
+    * decimal-exact element-wise means; queries probe their nProbe
+    * best centroids and rank exact cosine within those buckets.
+    */
+  private def ivfOracleSql(nCentroids: Int, nProbe: Int, iters: Int,
+      k: Int, dim: Int): String = {
+    import graft.functions.PortableHash
+    // decimal-exact cosine of a float-list column `e` vs a double-list
+    // column `c` — mirrors Similarity.cosExact term for term
+    def cosSql(e: String, c: String): String = {
+      def ls(term: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
+          s"ii -> CAST($term AS DECIMAL(38,8)))) AS DOUBLE)"
+      val dot = ls(s"CAST($e[ii] AS DOUBLE) * $c[ii]")
+      val ne = ls(s"CAST($e[ii] AS DOUBLE) * CAST($e[ii] AS DOUBLE)")
+      val nc = ls(s"$c[ii] * $c[ii]")
+      s"($dot / (sqrt($ne) * sqrt($nc)))"
+    }
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (SELECT d.vec_id,
+         |  (MAX(struct_pack(c := ${cosSql("d.embedding", "p.cv")}, i := p.cid))).i AS cid
+         |  FROM e d CROSS JOIN $prev p GROUP BY d.vec_id),
+         |m$it AS (SELECT a.cid, t.i AS pos,
+         |  CAST(SUM(CAST(CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE)
+         |    / COUNT(*) AS m
+         |  FROM a$it a JOIN e eb ON a.vec_id = eb.vec_id
+         |  CROSS JOIN generate_series(1, $dim) AS t(i)
+         |  GROUP BY a.cid, t.i),
+         |c$it AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m$it GROUP BY cid)"""
+        .stripMargin
+    }.mkString(",\n")
+    val fin = s"c$iters"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT rn - 1 AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (
+       |      ORDER BY ${PortableHash.intHashSql("vec_id")}, vec_id) AS rn FROM e)
+       |  WHERE rn <= $nCentroids),
+       |$iterCtes,
+       |asg AS (SELECT d.vec_id AS nid,
+       |  (MAX(struct_pack(c := ${cosSql("d.embedding", "p.cv")}, i := p.cid))).i AS cid
+       |  FROM e d CROSS JOIN $fin p GROUP BY d.vec_id),
+       |probes AS (SELECT q.vec_id AS qid, p.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${cosSql("q.embedding", "p.cv")} DESC, p.cid DESC) AS pr
+       |  FROM e q CROSS JOIN $fin p WHERE q.vec_id < 5
+       |  QUALIFY pr <= $nProbe),
+       |cand AS (SELECT p.qid, a.nid FROM probes p JOIN asg a ON p.cid = a.cid
+       |  WHERE p.qid <> a.nid),
+       |t AS (SELECT c.qid, c.nid, unnest(q.embedding)::DOUBLE AS x,
+       |    unnest(n.embedding)::DOUBLE AS y
+       |  FROM cand c JOIN e q ON c.qid = q.vec_id JOIN e n ON c.nid = n.vec_id),
+       |d2 AS (SELECT qid, nid,
+       |  CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+       |  CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS na,
+       |  CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS nb
+       |  FROM t GROUP BY 1, 2)
+       |SELECT qid, nid, dot / (sqrt(na) * sqrt(nb)) AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, nid) AS rank
+       |FROM d2 QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB replay of Dedup.simHashPairs over PortableHash.hash62:
     * per-word 62-bit hashes vote ±1 on bit positions, signs pack into
     * one BIGINT, pairs filter on Hamming distance. The engine's
@@ -824,14 +892,19 @@ object SparkEntry {
       Some(lshOracleSql(planes = 6, dim = 64, k = 5, seed = 42L))),
 
     Q("emb_ivf_topk",
+      // exact=true + portable seed hash: spherical k-means (seed
+      // selection, per-iteration assignment, centroid means, probe
+      // ranking, final scores) is decimal-exact end to end, so the two
+      // unrolled Lloyd iterations replay bit-identically in the SQL
       (s, dir) => {
         val emb = T(s, dir, "embeddings")
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
-            col("vec_id"), col("embedding"), 5, nCentroids = 8, nProbe = 3)
+            col("vec_id"), col("embedding"), 5, nCentroids = 8, nProbe = 3,
+            exact = true, seedHash = graft.functions.PortableHash.intHash(_))
           .withColumn("rank", col("rank").cast("long"))
           .orderBy(col("qid"), col("rank"))
       },
-      None),
+      Some(ivfOracleSql(nCentroids = 8, nProbe = 3, iters = 2, k = 5, dim = 64))),
 
     Q("text_stats",
       (s, dir) => T(s, dir, "documents").select(

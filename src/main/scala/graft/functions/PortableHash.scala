@@ -59,6 +59,21 @@ object PortableHash {
       s"i -> unicode(substr($e, i, 1)))), " +
       s"(acc, c) -> (acc * $mult + c) % $P)"
 
+  /** Integer hash (a·x + b) mod P for pseudo-random but engine-
+    * portable orderings of integer ids (e.g. deterministic sampling).
+    * x is first reduced mod P so the product stays < 2^62.
+    */
+  def intHash(c: Column): Column =
+    (((c % P + P) % P) * lit(IntHashA) + lit(IntHashB)) % P
+
+  /** DuckDB rendering of [[intHash]]. */
+  def intHashSql(e: String): String =
+    s"((((($e) % $P + $P) % $P) * $IntHashA + $IntHashB) % $P)"
+
+  /** Fixed odd multiplier/offset for [[intHash]] (arbitrary, shared). */
+  val IntHashA: Long = 1103515245L
+  val IntHashB: Long = 12345L
+
   /** 62-bit hash: two independent 31-bit poly hashes packed as
     * h31a + h31b·2^31. Bits 62–63 are always 0 — callers using it to
     * vote on bit positions (SimHash) get deterministic zero bits

@@ -137,30 +137,55 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF
 
+  /** Decimal fold of an array of DECIMAL(38,8) terms — order-
+    * insensitive accumulation (see [[lshBucket]] for the scale-cast
+    * rationale).
+    */
+  private def decFold(terms: Column): Column =
+    aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(Num.DotDec),
+      (acc, t) => (acc + t).cast(Num.DotDec))
+
+  /** Cosine of a vector column against a LITERAL vector with every
+    * dot product accumulated in decimal — reproducible in any engine
+    * computing the same decimal sums over the same literals.
+    */
+  private def cosExact(v: Column, w: Seq[Double]): Column = {
+    val wl = lit(w.toArray)
+    val dot = decFold(zip_with(v, wl,
+      (x, p) => (x.cast(DoubleType) * p).cast(Num.DotDec)))
+    val nv = decFold(zip_with(v, v,
+      (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Num.DotDec)))
+    val nw = decFold(zip_with(wl, wl, (x, y) => (x * y).cast(Num.DotDec)))
+    Num.safeDiv(dot.cast(DoubleType),
+      sqrt(nv.cast(DoubleType)) * sqrt(nw.cast(DoubleType)))
+  }
+
   /** Per-row (cos, cid) scores against a driver-side centroid list —
     * pure expressions over literal arrays, so centroid assignment is
     * map-side work with no join and no shuffle. Keep nCentroids
     * moderate (≤ a few hundred): the expression tree grows linearly
-    * with it.
+    * with it. `exact` switches the dots to decimal accumulation.
     */
   private def centroidScores(v: Column,
-      centroids: Seq[(Int, Seq[Double])]): Column =
+      centroids: Seq[(Int, Seq[Double])], exact: Boolean): Column =
     // named_struct, not struct(...as("cos")): aliases nested inside
     // array() are stripped at analysis, losing the field names
     array(centroids.map { case (cid, cv) =>
-      F.named_struct(lit("cos"), cosine(v, lit(cv.toArray)),
+      F.named_struct(
+        lit("cos"), if (exact) cosExact(v, cv) else cosine(v, lit(cv.toArray)),
         lit("cid"), lit(cid))
     }: _*)
 
   /** cid of the max-cosine centroid (ties → larger cid, a fixed rule). */
-  private def nearestCid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
-    array_max(centroidScores(v, centroids)).getField("cid")
+  private def nearestCid(v: Column, centroids: Seq[(Int, Seq[Double])],
+      exact: Boolean): Column =
+    array_max(centroidScores(v, centroids, exact)).getField("cid")
 
   /** cids of the `nProbe` highest-cosine centroids. */
   private def probeCids(v: Column, centroids: Seq[(Int, Seq[Double])],
-      nProbe: Int): Column =
+      nProbe: Int, exact: Boolean): Column =
     transform(
-      slice(reverse(array_sort(centroidScores(v, centroids))), 1, nProbe),
+      slice(reverse(array_sort(centroidScores(v, centroids, exact))), 1, nProbe),
       s => s.getField("cid"))
 
   /** Spherical-k-means centroids for an IVF index: deterministic
@@ -171,10 +196,13 @@ object Similarity {
     * centroid table itself ever reaches the driver.
     */
   def ivfCentroids(corpus: DataFrame, id: Column, vec: Column,
-      nCentroids: Int, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+      nCentroids: Int, iters: Int = 2, exact: Boolean = false,
+      seedHash: Column => Column = F.xxhash64(_)): Seq[(Int, Seq[Double])] = {
     val c = corpus.select(id.as("nid"), vec.as("nv"))
     var centroids: Seq[(Int, Seq[Double])] = c
-      .orderBy(F.xxhash64(col("nid")))
+      // id tie-break after the hash so seed selection is total even
+      // under hash collisions
+      .orderBy(seedHash(col("nid")), col("nid"))
       .limit(nCentroids)
       .select(col("nv"))
       .collect()
@@ -184,7 +212,7 @@ object Similarity {
       .toSeq
     for (_ <- 1 to iters) {
       centroids = c
-        .select(nearestCid(col("nv"), centroids).as("cid"),
+        .select(nearestCid(col("nv"), centroids, exact).as("cid"),
           posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         // decimal-exact mean: double avg is accumulation-order- (hence
@@ -213,15 +241,21 @@ object Similarity {
     * query id.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = ivfCentroids(corpus, id, vec, nCentroids, iters)
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+      exact: Boolean = false,
+      seedHash: Column => Column = F.xxhash64(_)): DataFrame = {
+    val cents = ivfCentroids(corpus, id, vec, nCentroids, iters, exact, seedHash)
     val indexed = corpus.select(id.as("nid"), vec.as("nv"),
-      nearestCid(vec, cents).as("cid"))
+      nearestCid(vec, cents, exact).as("cid"))
     val probes = queries.select(id.as("qid"), vec.as("qv"),
-      explode(probeCids(vec, cents, nProbe)).as("cid"))
-    indexed.join(broadcast(probes), Seq("cid"))
+      explode(probeCids(vec, cents, nProbe, exact)).as("cid"))
+    val cand = indexed.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("cos"))
+    val scored =
+      if (exact) exactCosScores(cand)
+      else cand.select(col("qid"), col("nid"),
+        cosine(col("qv"), col("nv")).as("cos"))
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
       .filter(col("rank") <= k)
