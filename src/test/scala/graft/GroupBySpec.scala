@@ -228,6 +228,27 @@ class GroupBySpec extends AnyFunSuite {
     assert(math.abs(d.values.map(_.asInstanceOf[Double]).sum - 100.0) < 1e-9)
   }
 
+  test("non-additive density divides by the sum of group AGGREGATES") {
+    // op=mean routes the two-stage branch: denominator = Σ group means
+    // (2 + 6 = 8), NOT the global mean of all rows
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 6.0)).toDF("k", "value")
+    val out = new GroupBy(df, Seq(col("k"))).density(col("value"), op = "mean")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 25.0) < 1e-9)
+    assert(math.abs(out("b") - 75.0) < 1e-9)
+  }
+
+  test("normalized valueCounts: proportions of the masked total; all-masked values drop") {
+    val df = Seq("x", "x", "x", "y", "z").toDF("v")
+    val out = GroupBy.valueCounts(df, col("v"), normalize = true,
+        mask = Some(col("v") =!= "z"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // z is fully masked → dropped (observed_only parity with size(mask))
+    assert(out.keySet === Set("x", "y"))
+    assert(math.abs(out("x") - 0.75) < 1e-12)
+    assert(math.abs(out("y") - 0.25) < 1e-12)
+  }
+
   test("two-level density divides by the level-0 subtotal (reference core.py:1367)") {
     val df = Seq(("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 2.0), ("b", "y", 6.0))
       .toDF("k1", "k2", "value")
