@@ -61,6 +61,11 @@ object PlanAudit {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       Dedup.minHashPairs(docs, col("doc_id"), col("text"))
     }
+    show("brute-force ANN (native cosine expr — scoring inside codegen)") {
+      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.bruteForceTopK(embs,
+        embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 5)
+    }
     spark.stop()
   }
 }

@@ -22,15 +22,14 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Row-level cosine similarity of two float-array columns —
-    * codegen-friendly higher-order functions, double accumulation.
+  /** Row-level cosine similarity of two float-array columns — a
+    * native codegen'd Catalyst expression (one fused loop, stays
+    * inside WholeStageCodegen) with the same left-to-right double
+    * accumulation the declarative `aggregate`/`zip_with` form
+    * produced, so results are bit-identical to it.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    Num.safeDiv(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k neighbours of each query vector (`queries` must be
     * broadcast-small; the corpus side streams). `exact=true` computes
@@ -83,9 +82,7 @@ object Similarity {
             // an engine that sums DECIMAL(38,8) natively
             (acc, v) => (acc + v).cast(Num.DotDec))
         else
-          aggregate(
-            zip_with(vec, lit(p.toArray), (x, w) => x.cast(DoubleType) * w),
-            lit(0.0), (acc, v) => acc + v)
+          org.apache.spark.sql.graft.VectorExpressions.vecDot(vec, lit(p.toArray))
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 

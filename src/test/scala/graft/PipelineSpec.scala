@@ -279,6 +279,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native cosine expression matches the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.Column
+    // the declarative form the expression replaced — kept here as the
+    // semantic reference
+    def hofCos(a: Column, b: Column): Column = {
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    }
+    val a = embs.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = embs.filter(col("vec_id") < 40)
+      .select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val j = a.crossJoin(b).orderBy("ida", "idb")
+    val got = j.select(Similarity.cosine(col("va"), col("vb")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    val exp = j.select(hofCos(col("va"), col("vb")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === exp) // exact — same accumulation order
+  }
+
+  test("native cosine/dot edge semantics: null element, length mismatch, zero norm") {
+    import org.apache.spark.sql.graft.VectorExpressions._
+    val r = spark.range(1).select(
+      cosineSim(array(lit(1.0f), lit(2.0f)), array(lit(1.0f), lit(2.0f))).as("self"),
+      cosineSim(array(lit(1.0f)), array(lit(1.0f), lit(2.0f))).as("mismatch"),
+      cosineSim(array(lit(1.0f), lit(null).cast("float")),
+        array(lit(1.0f), lit(2.0f))).as("nullel"),
+      cosineSim(array(lit(0.0f), lit(0.0f)), array(lit(1.0f), lit(2.0f))).as("zero"),
+      vecDot(array(lit(1.0f), lit(2.0f)), array(lit(3.0), lit(4.0))).as("dot_mixed"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getDouble(4) === 11.0)
+  }
+
   test("PortableHash.polyHash matches the spec model (incl. empty + truncation)") {
     import graft.functions.PortableHash
     def model(s: String, mult: Int): Long =
