@@ -32,6 +32,15 @@ object Tables {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** ORC: the other pushdown-capable columnar format (predicate +
+    * column pruning work as with parquet).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partition-pruned layout: one directory per value of
     * `partitionCols` — predicates on them never touch excluded files.
     */

@@ -25,6 +25,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("orc round-trips and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "v")
+    Tables.writeOrc(df, s"$dir/orc")
+    val back = Tables.readOrc(spark, s"$dir/orc")
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    val plan = back.filter(col("id") > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,1)"),
+      s"filter not pushed to orc scan:\n$plan")
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "part")
