@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
+  // GRAFT_TEST_CPUS sweeps the suite across parallelism levels —
+  // partitioning-dependent assumptions fail at SOME width, not all
+  private val cpus = sys.env.getOrElse("GRAFT_TEST_CPUS", "4")
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
