@@ -532,11 +532,8 @@ final class GroupBy(
         aggd.withColumn("__den",
           F.sum(col("__agg")).over(Window.partitionBy(col(keyNames.head))))
       } else if (additive) {
-        val g = base.groupingSets(Seq(keyCols, Seq.empty), keyCols: _*)
-          .agg(aggC, F.grouping(col(keyNames.head)).as("__g"))
-        val total = F.broadcast(g.filter(col("__g") === 1)
-          .select(col("__agg").as("__den")))
-        g.filter(col("__g") === 0).drop("__g").crossJoin(total)
+        val (groups, total) = groupsWithTotal(aggC, "__agg", "__den")
+        groups.crossJoin(total)
       } else {
         val aggd = base.groupBy(keyCols: _*).agg(aggC)
         aggd.crossJoin(
@@ -547,6 +544,23 @@ final class GroupBy(
         Num.safeDiv(col("__agg").cast(DoubleType), col("__den").cast(DoubleType)) * 100)
       .drop("__agg", "__den")
     if (sort) out.orderBy(keyCols: _*) else out
+  }
+
+  /** Per-group rows AND the broadcast grand total from ONE
+    * grouping-sets aggregation — the shared mechanism behind additive
+    * [[density]] and normalized `valueCounts`: the () set's partials
+    * collapse to one row per map partition, so the total branch never
+    * re-shuffles the (possibly huge-cardinality) per-key aggregates.
+    * `aggC` must be aliased to `aggName`; the total comes back as a
+    * one-row broadcast frame with column `totalName`.
+    */
+  private[operators] def groupsWithTotal(aggC: Column, aggName: String,
+      totalName: String): (DataFrame, DataFrame) = {
+    val g = base.groupingSets(Seq(keyCols, Seq.empty), keyCols: _*)
+      .agg(aggC, F.grouping(col(keyNames.head)).as("__g"))
+    val total = F.broadcast(g.filter(col("__g") === 1)
+      .select(col(aggName).as(totalName)))
+    (g.filter(col("__g") === 0).drop("__g"), total)
   }
 
   /** Per-group row count over the full (unmasked) input — the
@@ -624,19 +638,11 @@ object GroupBy {
       // grand total as a broadcast one-row aggregate, not a global
       // window — value_counts output is one row per distinct value,
       // which can be huge (user ids), so it must stay distributed.
-      // Counts are additive, so the total branch aggregates the raw
-      // input via a () grouping set: map-side partials collapse to one
-      // row per partition and no per-key shuffle happens on the
-      // denominator side (counts.agg(sum) would shuffle every distinct
-      // value's count a second time — with user-id-like cardinality
-      // that second shuffle is the expensive one).
+      // Counts are additive, so the total comes from the same
+      // grouping-sets mechanism as additive density (groupsWithTotal)
       val keyName = gb.keyNames.head
       val cnt = F.count(mask.map(m => when(m, lit(1))).getOrElse(lit(1))).as("count")
-      val g = gb.base.groupingSets(Seq(Seq(col(keyName)), Seq.empty), col(keyName))
-        .agg(cnt, F.grouping(col(keyName)).as("__g"))
-      val total = F.broadcast(g.filter(col("__g") === 1)
-        .select(col("count").as("__total")))
-      val groups0 = g.filter(col("__g") === 0).drop("__g")
+      val (groups0, total) = gb.groupsWithTotal(cnt, "count", "__total")
       // observed_only parity with gb.size(mask): all-masked groups drop
       val groups = if (mask.isDefined) groups0.filter(col("count") > 0) else groups0
       groups.crossJoin(total)

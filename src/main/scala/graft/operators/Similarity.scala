@@ -67,20 +67,33 @@ object Similarity {
     * any engine that does decimal accumulation; the default double
     * fold is the fast production path.
     */
+  /** Decimal term/accumulator types for the exact fold. Chosen so the
+    * fold NEVER rounds: (37,8) + (28,8) → (38,8) under Spark's add
+    * rule (max(p1−s1, p2−s2) + max(s1,s2) + 1 = 38 ≤ 38), so the
+    * scale stays 8 at every step and the cast back to (37,8) changes
+    * precision only. With DotDec (38,8) terms the sum type would
+    * overflow to 39 and Spark demotes the scale to 7, silently
+    * rounding each step — which an engine summing DECIMAL(38,8)
+    * exactly would NOT reproduce.
+    */
+  private val TermDec = org.apache.spark.sql.types.DecimalType(28, 8)
+  private val AccDec = org.apache.spark.sql.types.DecimalType(37, 8)
+
+  /** Exact decimal fold: Σ terms at scale 8, no intermediate rounding
+    * — bit-identical to any engine's exact decimal sum of the same
+    * scale-8 terms. `terms` must already be DECIMAL(28,8).
+    */
+  private def decFold(terms: Column): Column =
+    aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(AccDec),
+      (acc, t) => (acc + t).cast(AccDec))
+
   def lshBucket(vec: Column, planes: Seq[Seq[Double]],
       exact: Boolean = false): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val dot =
         if (exact)
-          aggregate(
-            zip_with(vec, lit(p.toArray),
-              (x, w) => (x.cast(DoubleType) * w).cast(Num.DotDec)),
-            lit(java.math.BigDecimal.ZERO).cast(Num.DotDec),
-            // decimal + decimal widens precision and Spark then drops a
-            // scale digit ((38,8)+(38,8) → (38,7)); cast back each step —
-            // lossless here (|terms| ≪ 10^30) and scale-stable, matching
-            // an engine that sums DECIMAL(38,8) natively
-            (acc, v) => (acc + v).cast(Num.DotDec))
+          decFold(zip_with(vec, lit(p.toArray),
+            (x, w) => (x.cast(DoubleType) * w).cast(TermDec)))
         else
           org.apache.spark.sql.graft.VectorExpressions.vecDot(vec, lit(p.toArray))
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -134,14 +147,6 @@ object Similarity {
 
   // ------------------------------------------------------------- IVF
 
-  /** Decimal fold of an array of DECIMAL(38,8) terms — order-
-    * insensitive accumulation (see [[lshBucket]] for the scale-cast
-    * rationale).
-    */
-  private def decFold(terms: Column): Column =
-    aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(Num.DotDec),
-      (acc, t) => (acc + t).cast(Num.DotDec))
-
   /** Cosine of a vector column against a LITERAL vector with every
     * dot product accumulated in decimal — reproducible in any engine
     * computing the same decimal sums over the same literals.
@@ -149,10 +154,10 @@ object Similarity {
   private def cosExact(v: Column, w: Seq[Double]): Column = {
     val wl = lit(w.toArray)
     val dot = decFold(zip_with(v, wl,
-      (x, p) => (x.cast(DoubleType) * p).cast(Num.DotDec)))
+      (x, p) => (x.cast(DoubleType) * p).cast(TermDec)))
     val nv = decFold(zip_with(v, v,
-      (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Num.DotDec)))
-    val nw = decFold(zip_with(wl, wl, (x, y) => (x * y).cast(Num.DotDec)))
+      (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(TermDec)))
+    val nw = decFold(zip_with(wl, wl, (x, y) => (x * y).cast(TermDec)))
     Num.safeDiv(dot.cast(DoubleType),
       sqrt(nv.cast(DoubleType)) * sqrt(nw.cast(DoubleType)))
   }

@@ -28,9 +28,13 @@ import org.apache.spark.sql.types._
   */
 abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes {
 
+  // DoubleType FIRST: an exact input type (float/double array) is
+  // accepted as-is, but anything else (int/long/decimal arrays)
+  // implicitly casts to the first member — double, which is lossless
+  // for integers up to 2^53, where a float cast would silently round
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
