@@ -316,6 +316,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getDouble(4) === 11.0)
   }
 
+  test("exact lshBucket fold never rounds intermediate sums (scale-8 regression)") {
+    // per-term products quantize to -0.00000004 at scale 8; the exact
+    // sum -0.00000008 is negative -> bit unset. A fold that demotes to
+    // scale 7 rounds each step to zero and would set the bit.
+    val d = Seq((1L, Array(0.4f, 0.4f))).toDF("id", "v")
+    val b = d.select(Similarity.lshBucket(col("v"),
+        Seq(Seq(-1e-7, -1e-7)), exact = true).as("b"))
+      .head().getLong(0)
+    assert(b === 0L)
+  }
+
   test("PortableHash.polyHash matches the spec model (incl. empty + truncation)") {
     import graft.functions.PortableHash
     def model(s: String, mult: Int): Long =
