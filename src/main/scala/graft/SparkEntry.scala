@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Margins, Multimodal, Reshape, RollingOps, SelectionOps, Similarity}
+import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Joins, Margins, Multimodal, Reshape, RollingOps, SelectionOps, Similarity}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -212,7 +212,89 @@ object SparkEntry {
   // ------------------------------------------------------------ queries
 
   private def all: Seq[Q] =
-    coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps
+    coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps ++ joinOps
+
+  /** events with a micros-typed ts column, whatever the session's
+    * nanos handling produced (long nanos under nanosAsLong, else a
+    * timestamp).
+    */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    ev.withColumn("ts_us", tsUs)
+  }
+
+  /** Temporal joins (scale extensions — SURVEY §2.9 notes the
+    * reference has no join surface; these are the merge_asof / interval
+    * join analogues a pipeline needs). Oracles use DuckDB's native
+    * ASOF JOIN / BETWEEN predicates against the same tables.
+    */
+  private def joinOps: Seq[Q] = {
+    def purchases(s: SparkSession, dir: String): DataFrame =
+      eventsUs(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+    def nonPurchases(s: SparkSession, dir: String): DataFrame =
+      eventsUs(s, dir).filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+
+    Seq(
+      Q("join_asof",
+        // last purchase (value+id) at or before each non-purchase event
+        (s, dir) => Joins.asof(nonPurchases(s, dir), purchases(s, dir),
+            Seq("user_id"), "ts_us", "ts_us",
+            rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))
+          .orderBy(col("event_id")),
+        Some("""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+          |  r.event_id AS purchase_id, r.value AS purchase_value
+          |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.user_id AND l.ts >= r.ts
+          |ORDER BY l.event_id""".stripMargin)),
+
+      Q("join_asof_fwd",
+        // next purchase within 24h after each non-purchase event
+        (s, dir) => Joins.asof(nonPurchases(s, dir), purchases(s, dir),
+            Seq("user_id"), "ts_us", "ts_us",
+            rightVals = Seq("next_purchase_id" -> "p_id"),
+            direction = Joins.Forward, tolerance = Some(86400000000L),
+            matchedTs = Some("next_ts_us"))
+          .orderBy(col("event_id")),
+        Some("""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+          |  CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 86400000000
+          |    THEN epoch_us(r.ts) END AS next_ts_us,
+          |  CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 86400000000
+          |    THEN r.event_id END AS next_purchase_id
+          |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.user_id AND l.ts <= r.ts
+          |ORDER BY l.event_id""".stripMargin)),
+
+      Q("join_range",
+        // clicks within ±1h of a same-user purchase (binned equi-join)
+        (s, dir) => {
+          val clicks = eventsUs(s, dir).filter(col("event_type") === "click")
+            .select(col("user_id"), col("event_id"), col("ts_us"))
+          val iv = purchases(s, dir).select(col("user_id"),
+            col("p_id").as("purchase_id"),
+            (col("ts_us") - 3600000000L).as("lo"),
+            (col("ts_us") + 3600000000L).as("hi"))
+          Joins.rangeJoin(clicks, iv, Seq("user_id"), "ts_us", "lo", "hi",
+              bucketWidth = 3600000000L)
+            .select(col("event_id"), col("purchase_id"))
+            .orderBy(col("event_id"), col("purchase_id"))
+        },
+        Some("""SELECT l.event_id, r.event_id AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') l
+          |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.user_id
+          | AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts + INTERVAL 1 HOUR
+          |ORDER BY 1, 2""".stripMargin))
+    )
+  }
 
   /** events-table helpers: user_id grouping, ts ordering ((user_id, ts)
     * is unique in the testdata), event-level output sorted by event_id.

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins the reference's data model cannot express but a
+  * large-scale pipeline needs (SURVEY §2.9 lists joins as absent from
+  * the reference; these are scale extensions in the spirit of
+  * `pandas.merge_asof` and interval joins).
+  *
+  * Both operators are built to avoid the two classic cluster
+  * pathologies of temporal joins:
+  *
+  *   - [[asof]] never materialises a range predicate at all: it unions
+  *     the two inputs and resolves the match with a running
+  *     `last(_, ignoreNulls)` window, so the physical plan is ONE
+  *     shuffle on the equi-keys plus a per-key sort — the same shape as
+  *     a sort-merge join, with no candidate blow-up however dense the
+  *     right side is.
+  *   - [[rangeJoin]] turns `lo <= point <= hi` into an equi-join on
+  *     quantised time buckets (each interval explodes to the buckets it
+  *     covers; each point probes exactly one bucket), so Spark plans a
+  *     plain shuffled/broadcast hash join instead of the
+  *     BroadcastNestedLoopJoin a raw range predicate degenerates to.
+  */
+object Joins {
+
+  /** Direction of an as-of match, mirroring `pandas.merge_asof`. */
+  sealed trait Direction
+  /** Match the greatest right ts <= left ts (DuckDB `ASOF ... >=`). */
+  case object Backward extends Direction
+  /** Match the smallest right ts >= left ts (DuckDB `ASOF ... <=`). */
+  case object Forward extends Direction
+
+  /** As-of (nearest-key temporal) left join.
+    *
+    * For every left row, picks the single right row with the same `on`
+    * keys whose `rightTs` is nearest `leftTs` in `direction`; left rows
+    * with no admissible match keep null right values (LEFT semantics).
+    *
+    * @param on        equi-join key column names, present on both sides
+    * @param leftTs    left ordering column name (numeric or orderable;
+    *                  must be numeric when `tolerance` is set)
+    * @param rightTs   right ordering column name
+    * @param rightVals (outputName, rightColumnName) pairs to carry from
+    *                  the matched right row; output names must not
+    *                  collide with left column names
+    * @param allowExactMatches when false, `rightTs == leftTs` rows are
+    *                  not admissible (strict inequality), as in pandas
+    * @param tolerance max |leftTs - matchedTs| in ts units; a nearest
+    *                  match farther than this yields null (the match is
+    *                  NOT transferred to the next-nearest row — pandas
+    *                  semantics)
+    * @param matchedTs when set, also emit the matched right ts under
+    *                  this output column name
+    *
+    * If the right side has several rows at the winning (keys, ts), the
+    * one with the greatest `rightVals` tuple wins — deterministic, but
+    * callers should de-duplicate `(on, rightTs)` when that tuple is not
+    * meaningful. Scale: one hash shuffle on `on` + per-key sort; skewed
+    * keys degrade exactly like any windowed op (salt upstream or split
+    * the hot key's time range).
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[(String, String)],
+      direction: Direction = Backward,
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Long] = None,
+      matchedTs: Option[String] = None): DataFrame = {
+    require(on.nonEmpty, "asof needs at least one equi-key")
+    val ts = "__graft_ts"
+    val isR = "__graft_is_right"
+    val pay = "__graft_pay"
+    val leftOthers = left.columns.filterNot(c => on.contains(c)).toSeq
+
+    // payload carries the matched ts (field "_ts") plus requested values
+    val payload = struct(
+      (col(rightTs).as("_ts") +: rightVals.map { case (out, in) => col(in).as(out) }): _*)
+    // a null right ts would sort first and offer a non-null payload to
+    // every left row — never an admissible match, so drop it up front
+    val rightPart = right.filter(col(rightTs).isNotNull).select(
+      (on.map(col) :+ col(rightTs).as(ts)) ++
+        leftOthers.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(1).as(isR) :+ payload.as(pay): _*)
+    val leftPart = left.select(
+      (on.map(col) :+ col(leftTs).as(ts)) ++ leftOthers.map(col) :+
+        lit(0).as(isR) :+ lit(null).cast(rightPart.schema(pay).dataType).as(pay): _*)
+
+    // At equal ts the right row must sort before the left row exactly
+    // when exact matches are admissible. Final tie-break on the payload
+    // makes duplicate right (keys, ts) rows resolve deterministically.
+    val tsOrd = direction match {
+      case Backward => col(ts).asc
+      case Forward  => col(ts).desc
+    }
+    val exactOrd = if (allowExactMatches) col(isR).desc else col(isR).asc
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(tsOrd, exactOrd, col(pay).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedRaw = "__graft_match"
+    val matchedCol = last(col(pay), ignoreNulls = true).over(w)
+    val withMatch = rightPart.unionByName(leftPart)
+      .withColumn(matchedRaw, matchedCol)
+      .filter(col(isR) === 0)
+
+    val inTol: Column = tolerance match {
+      case None => lit(true)
+      case Some(t) =>
+        val d = direction match {
+          case Backward => col(ts) - col(matchedRaw)("_ts")
+          case Forward  => col(matchedRaw)("_ts") - col(ts)
+        }
+        d <= lit(t)
+    }
+    val admissible = col(matchedRaw).isNotNull && inTol
+    val matched = when(admissible, col(matchedRaw))
+
+    val outCols =
+      on.map(col) ++ Seq(col(ts).as(leftTs)) ++ leftOthers.map(col) ++
+        matchedTs.map(n => matched("_ts").as(n)).toSeq ++
+        rightVals.map { case (out, _) => matched(out).as(out) }
+    withMatch.select(outCols: _*)
+  }
+
+  /** Interval (range) containment join: left points against right
+    * `[lo, hi]` intervals, optionally under equi-keys.
+    *
+    * Each right interval is exploded to the `bucketWidth`-sized buckets
+    * it covers and each left point probes its single bucket, so the
+    * join is a pure equi-join on `(on, bucket)` with the exact
+    * `lo <= point <= hi` predicate applied as a post-filter. A (left,
+    * right) pair can match in at most one bucket, so no dedup pass is
+    * needed. INNER semantics: non-matching points are dropped.
+    *
+    * `bucketWidth` trades replication for probe fan-in: each interval
+    * lands in `ceil(width / bucketWidth) + 1` buckets. Pick it near the
+    * typical interval width; it must be positive. Points and bounds
+    * must be integral (cast timestamps to long first).
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftPoint: String,
+      rightLo: String,
+      rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = "__graft_bucket"
+    // floor division without a double round-trip (nanos exceed 2^53;
+    // long `/` is double division in Spark) — safe for negative epochs:
+    // the numerator is exactly divisible, so the decimal quotient is
+    // integral and the casts are lossless
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / lit(bucketWidth))
+        .cast("long")
+
+    val rightB = right.withColumn(b,
+      explode(sequence(fdiv(col(rightLo)), fdiv(col(rightHi)))))
+    val leftB = left.withColumn(b, fdiv(col(leftPoint)))
+    leftB.join(rightB, on :+ b)
+      .filter(col(leftPoint) >= col(rightLo) && col(leftPoint) <= col(rightHi))
+      .drop(b)
+  }
+}

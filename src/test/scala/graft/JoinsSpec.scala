@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the temporal joins (pandas.merge_asof parity on
+  * direction/allow_exact_matches/tolerance, plus the binned range
+  * join's equivalence to a naive cross-join filter).
+  */
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // quotes: (key, ts, px); trades: (key, ts, qty)
+  def quotes: DataFrame = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+    ("b", 15L, 10.0)
+  ).toDF("key", "ts", "px")
+
+  def trades: DataFrame = Seq(
+    ("a", 5L, 100), ("a", 20L, 200), ("a", 25L, 300), ("a", 35L, 400),
+    ("b", 14L, 500), ("c", 50L, 600)
+  ).toDF("key", "ts", "qty")
+
+  def matchMap(out: DataFrame): Map[(String, Long), Any] =
+    out.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (if (r.isNullAt(r.fieldIndex("px"))) null
+       else r.getDouble(r.fieldIndex("px")))).toMap
+
+  test("asof backward picks the greatest right ts <= left ts; no match -> null") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"))
+    assert(matchMap(out) === Map(
+      ("a", 5L) -> null, ("a", 20L) -> 2.0, ("a", 25L) -> 2.0,
+      ("a", 35L) -> 3.0, ("b", 14L) -> null, ("c", 50L) -> null))
+  }
+
+  test("asof allowExactMatches=false uses strict inequality") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), allowExactMatches = false)
+    assert(matchMap(out)(("a", 20L)) === 1.0)
+  }
+
+  test("asof forward picks the smallest right ts >= left ts") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), direction = Joins.Forward)
+    assert(matchMap(out) === Map(
+      ("a", 5L) -> 1.0, ("a", 20L) -> 2.0, ("a", 25L) -> 3.0,
+      ("a", 35L) -> null, ("b", 14L) -> 10.0, ("c", 50L) -> null))
+  }
+
+  test("asof tolerance nulls matches beyond it without falling back") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), tolerance = Some(5L))
+    // (a,25): nearest preceding quote is ts=20 (within 5) -> 2.0;
+    // (a,35): nearest is ts=30 (within 5) -> 3.0; (c,50): none
+    assert(matchMap(out) === Map(
+      ("a", 5L) -> null, ("a", 20L) -> 2.0, ("a", 25L) -> 2.0,
+      ("a", 35L) -> 3.0, ("b", 14L) -> null, ("c", 50L) -> null))
+    val tight = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), tolerance = Some(1L))
+    assert(matchMap(tight)(("a", 25L)) === null) // ts=20 is 5 away -> dropped
+  }
+
+  test("asof emits the matched right ts when asked") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), matchedTs = Some("quote_ts"))
+    val m = out.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (if (r.isNullAt(r.fieldIndex("quote_ts"))) null
+       else r.getLong(r.fieldIndex("quote_ts")))).toMap
+    assert(m(("a", 25L)) === 20L && m(("a", 5L)) === null)
+  }
+
+  test("asof duplicate right (key, ts) resolves to the greatest payload tuple") {
+    val dupQuotes = Seq(("a", 10L, 1.0), ("a", 10L, 9.0)).toDF("key", "ts", "px")
+    val out = Joins.asof(Seq(("a", 12L, 1)).toDF("key", "ts", "qty"),
+      dupQuotes, Seq("key"), "ts", "ts", rightVals = Seq("px" -> "px"))
+    assert(matchMap(out)(("a", 12L)) === 9.0)
+  }
+
+  test("asof ignores null right ts rows") {
+    val q = Seq(("a", Option.empty[Long], 99.0), ("a", Some(10L), 1.0))
+      .toDF("key", "ts", "px")
+    val out = Joins.asof(trades.filter($"key" === "a"), q, Seq("key"),
+      "ts", "ts", rightVals = Seq("px" -> "px"))
+    assert(matchMap(out)(("a", 5L)) === null)
+  }
+
+  test("asof differential vs naive argmax on pseudo-random data") {
+    val left = (1 to 300).map(i => (i % 7, (i * 131 % 997).toLong, i))
+      .toDF("key", "ts", "lid")
+    val right = (1 to 200).map(i => (i % 7, (i * 173 % 991).toLong, i * 2))
+      .toDF("key", "ts", "rv")
+    val out = Joins.asof(left, right, Seq("key"), "ts", "ts",
+      rightVals = Seq("rv" -> "rv"))
+      .select("lid", "rv").as[(Int, Option[Int])].collect().toMap
+    val naive = left.as("l").join(right.as("r"),
+        $"l.key" === $"r.key" && $"l.ts" >= $"r.ts", "left")
+      .groupBy($"l.lid".as("lid"))
+      .agg(max(struct($"r.ts", $"r.rv")).as("m"))
+      .select($"lid", $"m.rv".as("rv"))
+      .as[(Int, Option[Int])].collect().toMap
+    assert(out === naive)
+  }
+
+  def points: DataFrame = (1 to 400)
+    .map(i => (i % 5, (i * 37 % 1000).toLong, i)).toDF("key", "p", "pid")
+  def intervals: DataFrame = (1 to 60)
+    .map { i =>
+      val lo = (i * 101 % 900).toLong
+      (i % 5, lo, lo + (i * 13 % 150).toLong, i)
+    }.toDF("key", "lo", "hi", "iid")
+
+  def pairs(out: DataFrame): Set[(Int, Int)] =
+    out.select("pid", "iid").as[(Int, Int)].collect().toSet
+
+  test("rangeJoin matches the cross-join filter, for any bucket width") {
+    val expected = points.as("l").join(intervals.as("r"),
+        $"l.key" === $"r.key" && $"l.p" >= $"r.lo" && $"l.p" <= $"r.hi")
+      .select($"pid", $"iid").as[(Int, Int)].collect().toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 150L, 1000L, 5000L)) {
+      val got = pairs(Joins.rangeJoin(points, intervals, Seq("key"),
+        "p", "lo", "hi", bucketWidth = w))
+      assert(got === expected, s"bucketWidth=$w")
+    }
+  }
+
+  test("rangeJoin emits each matching pair exactly once") {
+    val out = Joins.rangeJoin(points, intervals, Seq("key"),
+      "p", "lo", "hi", bucketWidth = 10L)
+    val all = out.select("pid", "iid").as[(Int, Int)].collect()
+    assert(all.length === all.toSet.size)
+  }
+
+  test("rangeJoin handles negative coordinates (floor, not truncate)") {
+    val l = Seq((1, -95L, 1), (1, -105L, 2), (1, 5L, 3)).toDF("key", "p", "pid")
+    val r = Seq((1, -100L, -90L, 10), (1, 0L, 10L, 20)).toDF("key", "lo", "hi", "iid")
+    val got = pairs(Joins.rangeJoin(l, r, Seq("key"), "p", "lo", "hi", 30L))
+    assert(got === Set((1, 10), (3, 20)))
+  }
+
+  test("rangeJoin plans an equi-join, not a nested-loop join") {
+    val plan = Joins.rangeJoin(points, intervals, Seq("key"),
+      "p", "lo", "hi", bucketWidth = 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+}
