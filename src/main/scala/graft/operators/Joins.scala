@@ -77,7 +77,7 @@ object Joins {
     val ts = "__graft_ts"
     val isR = "__graft_is_right"
     val pay = "__graft_pay"
-    val leftOthers = left.columns.filterNot(c => on.contains(c)).toSeq
+    val leftOthers = left.columns.filterNot(c => on.contains(c) || c == leftTs).toSeq
 
     // payload carries the matched ts (field "_ts") plus requested values
     val payload = struct(
@@ -155,11 +155,12 @@ object Joins {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val b = "__graft_bucket"
     // floor division without a double round-trip (nanos exceed 2^53;
-    // long `/` is double division in Spark) — safe for negative epochs:
-    // the numerator is exactly divisible, so the decimal quotient is
-    // integral and the casts are lossless
+    // long `/` is double division in Spark) — safe across the whole
+    // long range incl. values within bucketWidth of Long.MinValue: the
+    // subtraction happens in decimal(38,0), the numerator is exactly
+    // divisible, so the quotient is integral and the casts are lossless
     def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))).cast("decimal(38,0)") / lit(bucketWidth))
+      ((c.cast("decimal(38,0)") - pmod(c, lit(bucketWidth))) / lit(bucketWidth))
         .cast("long")
 
     val rightB = right.withColumn(b,

@@ -88,6 +88,27 @@ class JoinsSpec extends AnyFunSuite {
     assert(matchMap(out)(("a", 5L)) === null)
   }
 
+  test("asof output has no duplicate column names (regression: ts emitted twice)") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), matchedTs = Some("quote_ts"))
+    val names = out.columns.toSeq
+    assert(names === names.distinct, s"duplicate columns in $names")
+    // the write path is where the duplicate used to explode — exercise it
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    out.write.mode("overwrite").parquet(dir)
+    assert(spark.read.parquet(dir).count() === trades.count())
+  }
+
+  test("asof keeps non-key left columns exactly once, values intact") {
+    val l = Seq(("a", 12L, 7, "x")).toDF("key", "ts", "qty", "tag")
+    val out = Joins.asof(l, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"))
+    assert(out.columns.count(_ == "ts") === 1)
+    val r = out.collect().head
+    assert(r.getAs[Long]("ts") === 12L && r.getAs[Int]("qty") === 7 &&
+      r.getAs[String]("tag") === "x" && r.getAs[Double]("px") === 1.0)
+  }
+
   test("asof differential vs naive argmax on pseudo-random data") {
     val left = (1 to 300).map(i => (i % 7, (i * 131 % 997).toLong, i))
       .toDF("key", "ts", "lid")
@@ -140,6 +161,14 @@ class JoinsSpec extends AnyFunSuite {
     val r = Seq((1, -100L, -90L, 10), (1, 0L, 10L, 20)).toDF("key", "lo", "hi", "iid")
     val got = pairs(Joins.rangeJoin(l, r, Seq("key"), "p", "lo", "hi", 30L))
     assert(got === Set((1, 10), (3, 20)))
+  }
+
+  test("rangeJoin is exact within bucketWidth of Long.MinValue (decimal floor)") {
+    val lo = Long.MinValue
+    val l = Seq((1, lo + 5L, 1), (1, lo + 25L, 2)).toDF("key", "p", "pid")
+    val r = Seq((1, lo, lo + 10L, 10)).toDF("key", "lo", "hi", "iid")
+    val got = pairs(Joins.rangeJoin(l, r, Seq("key"), "p", "lo", "hi", 30L))
+    assert(got === Set((1, 10)))
   }
 
   test("rangeJoin plans an equi-join, not a nested-loop join") {
