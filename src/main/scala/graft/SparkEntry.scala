@@ -89,19 +89,40 @@ object SparkEntry {
     * norms accumulate in DECIMAL(38,8) exactly as the engine does, so
     * buckets, scores and ranks replay bit-identically.
     */
-  private def lshOracleSql(planes: Int, dim: Int, k: Int, seed: Long): String = {
+  private def lshOracleSql(planes: Int, dim: Int, k: Int, seed: Long,
+      nProbe: Int = 1): String = {
     val hp = Similarity.hyperplanes(planes, dim, seed)
-    val bucket = hp.zipWithIndex.map { case (w, i) =>
+    // per-plane decimal dots computed once (dots[i] is 1-indexed below)
+    val dots = hp.map { w =>
       val wlist = w.mkString("[", ", ", "]")
-      val dot = s"list_sum(list_transform(generate_series(1, $dim), " +
+      s"list_sum(list_transform(generate_series(1, $dim), " +
         s"ii -> CAST(CAST(embedding[ii] AS DOUBLE) * ($wlist)[ii] AS DECIMAL(38,8))))"
-      s"(CASE WHEN $dot >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+    }.mkString("[", ", ", "]")
+    val bucket = (0 until planes).map(i =>
+      s"(CASE WHEN dots[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    // probe buckets: own bucket + single-bit flips of the nProbe-1
+    // lowest-|dot| planes, ties on the bit mask — mirrors
+    // Similarity.lshProbes term for term
+    val perPlane = (0 until planes).map(i =>
+      s"SELECT vec_id, bucket, abs(dots[${i + 1}]) AS m, " +
+        s"CAST(${1L << i} AS BIGINT) AS f FROM b WHERE vec_id < 5")
+      .mkString("\n  UNION ALL ")
+    val probeCte =
+      if (nProbe <= 1) "qp AS (SELECT vec_id, bucket FROM b WHERE vec_id < 5)"
+      else s"""pm AS ($perPlane),
+        |flips AS (SELECT vec_id, xor(bucket, f) AS bucket FROM
+        |  (SELECT vec_id, bucket, f,
+        |     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY m, f) AS rnk FROM pm)
+        |  WHERE rnk <= ${nProbe - 1}),
+        |qp AS (SELECT vec_id, bucket FROM b WHERE vec_id < 5
+        |  UNION ALL SELECT vec_id, bucket FROM flips)""".stripMargin
+    s"""WITH d0 AS (SELECT vec_id, embedding, $dots AS dots FROM embeddings),
+       |b AS (SELECT vec_id, embedding, $bucket AS bucket, dots FROM d0),
+       |$probeCte,
        |cand AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
        |    q.embedding AS qe, c.embedding AS ne
-       |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  WHERE q.vec_id < 5),
+       |  FROM qp p JOIN b q ON p.vec_id = q.vec_id
+       |  JOIN b c ON c.bucket = p.bucket AND c.vec_id <> q.vec_id),
        |t AS (SELECT qid, nid, unnest(qe)::DOUBLE AS x, unnest(ne)::DOUBLE AS y
        |  FROM cand),
        |d AS (SELECT qid, nid,
@@ -859,7 +880,10 @@ object SparkEntry {
           // assignment at ntile boundaries is engine-dependent;
           // l_extendedprice differs within every such tie run, making
           // the order total on both engines.
-          tieBreak = Seq(liOrd, col("l_extendedprice")), exact = true)
+          tieBreak = Seq(liOrd, col("l_extendedprice")), exact = true,
+          // ntile opt-in: the oracle below replays the exact quantile
+          // assignment; production default is the distributed path
+          exactBins = true)
         .withColumn("bin", col("bin").cast("long")),
       Some(s"""SELECT bin, ${dmean("l_quantity")} AS x_mean,
         | ${dmean("l_extendedprice")} AS y_mean, COUNT(*) AS n
@@ -972,6 +996,20 @@ object SparkEntry {
           .orderBy(col("qid"), col("rank"))
       },
       Some(lshOracleSql(planes = 6, dim = 64, k = 5, seed = 42L))),
+
+    Q("emb_lsh_multiprobe",
+      // nProbe=3: each query also probes the two buckets across its
+      // lowest-margin hyperplanes — recall recovered at 8 planes where
+      // single-probe buckets are too fine. Same decimal-exact replay.
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+            col("vec_id"), col("embedding"), 5, planes = 8, nProbe = 3,
+            exact = true)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(lshOracleSql(planes = 8, dim = 64, k = 5, seed = 42L, nProbe = 3))),
 
     Q("emb_ivf_topk",
       // exact=true + portable seed hash: spherical k-means (seed

@@ -117,8 +117,11 @@ object Dedup {
   def minHashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val p = graft.functions.PortableHash.P
     val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
+    // floorMod, not abs-then-mod: abs(Long.MinValue) is negative, which
+    // would let a slip to <= 0 (breaking the permutation-range
+    // invariant) with probability 2^-64 per draw
+    Seq.fill(k)((java.lang.Math.floorMod(rnd.nextLong(), p - 1) + 1,
+      java.lang.Math.floorMod(rnd.nextLong(), p)))
   }
 
   /** MinHash signatures: k permutation-style hash functions

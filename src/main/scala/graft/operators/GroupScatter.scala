@@ -17,12 +17,13 @@ import org.apache.spark.sql.types.DoubleType
   * Scale design: the fit is one aggregation pass over moment sums
   * Σ w·xᵏ, Σ w·xᵏ·y (k ≤ 2·deg) — a (deg+1)² normal-equation system
   * solved on the driver; no per-row collection, any data size.
-  * Binning: `exactBins = true` uses `ntile` over a global sort for
-  * exact oracle-reproducible quantiles (single-partition window —
-  * small/medium data only); `exactBins = false` is the 100 TB path:
+  * Binning: the DEFAULT (`exactBins = false`) is the 100 TB path —
   * `approxQuantile` edges (one distributed aggregation, driver gets
-  * nBins−1 doubles) + a comparison chain, fully partition-parallel
-  * with the same output contract.
+  * nBins−1 doubles) + a comparison chain, fully partition-parallel.
+  * `exactBins = true` is an explicit opt-in that uses `ntile` over a
+  * global sort for exact oracle-reproducible quantiles — a
+  * single-partition window, so small/medium data only (oracle parity
+  * and verification, never the production default).
   */
 object GroupScatter {
 
@@ -32,7 +33,7 @@ object GroupScatter {
     */
   def binnedMeans(df: DataFrame, x: Column, y: Column, nBins: Int,
       tieBreak: Seq[Column] = Nil, mask: Option[Column] = None,
-      exact: Boolean = false, exactBins: Boolean = true,
+      exact: Boolean = false, exactBins: Boolean = false,
       relativeError: Double = 1e-3): DataFrame = {
     val filtered = df
       .filter(mask.getOrElse(lit(true)))

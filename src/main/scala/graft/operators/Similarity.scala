@@ -87,17 +87,52 @@ object Similarity {
     aggregate(terms, lit(java.math.BigDecimal.ZERO).cast(AccDec),
       (acc, t) => (acc + t).cast(AccDec))
 
+  private def planeDots(vec: Column, planes: Seq[Seq[Double]],
+      exact: Boolean): Seq[Column] =
+    planes.map { p =>
+      if (exact)
+        decFold(zip_with(vec, lit(p.toArray),
+          (x, w) => (x.cast(DoubleType) * w).cast(TermDec)))
+      else
+        org.apache.spark.sql.graft.VectorExpressions.vecDot(vec, lit(p.toArray))
+    }
+
   def lshBucket(vec: Column, planes: Seq[Seq[Double]],
       exact: Boolean = false): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot =
-        if (exact)
-          decFold(zip_with(vec, lit(p.toArray),
-            (x, w) => (x.cast(DoubleType) * w).cast(TermDec)))
-        else
-          org.apache.spark.sql.graft.VectorExpressions.vecDot(vec, lit(p.toArray))
+    planeDots(vec, planes, exact).zipWithIndex.map { case (dot, i) =>
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** Multi-probe bucket list: the vector's own bucket first, then the
+    * buckets reached by flipping the sign bit of each of the
+    * `nProbe - 1` smallest-|dot| (lowest-margin) hyperplanes — the
+    * standard multi-probe LSH recall lever (probe the buckets the
+    * vector most nearly fell into) without re-hashing or extra tables.
+    * Ties in |dot| break on the plane's bit mask, so the probe set is
+    * total-ordered and engine-reproducible; with `exact=true` the
+    * margins are decimal, making the probe set bit-reproducible
+    * cross-engine. All probes are distinct single-bit flips, so a
+    * (query, candidate) pair can match in at most one probe bucket.
+    */
+  def lshProbes(vec: Column, planes: Seq[Seq[Double]], nProbe: Int,
+      exact: Boolean = false): Column = {
+    require(nProbe >= 1 && nProbe <= planes.size + 1,
+      s"nProbe must be in [1, planes+1], got $nProbe for ${planes.size} planes")
+    val dots = planeDots(vec, planes, exact)
+    val base = dots.zipWithIndex.map { case (dot, i) =>
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    // (margin, bit-mask) structs: array_sort orders lexicographically,
+    // and the mask is monotone in plane index, so (|dot|, mask) asc ==
+    // (|dot|, plane) asc. Mask stored directly because shiftleft takes
+    // only a literal shift amount.
+    val margins = array(dots.zipWithIndex.map { case (dot, i) =>
+      F.named_struct(lit("m"), abs(dot), lit("f"), lit(1L << i))
+    }: _*)
+    val flips = F.transform(slice(array_sort(margins), 1, nProbe - 1),
+      s => s.getField("f"))
+    F.concat(array(base), F.transform(flips, f => base.bitwiseXOR(f)))
+  }
 
   /** Exact-decimal cosine scoring of candidate pairs (qid, nid, qv,
     * nv) — shared by the `exact` paths of [[bruteForceTopK]] and
@@ -119,20 +154,25 @@ object Similarity {
         Num.safeDiv(col("dot"), sqrt(col("na")) * sqrt(col("nb"))).as("cos"))
   }
 
-  /** LSH-bucketed ANN: candidates share the query's bucket; exact
-    * cosine ranks within. Trades recall for a bucket-key equijoin.
-    * `exact=true` makes bucket assignment AND scores decimal-exact
-    * (cross-engine reproducible given the same seed).
+  /** LSH-bucketed ANN: candidates share one of the query's probe
+    * buckets; exact cosine ranks within. Trades recall for a
+    * bucket-key equijoin. `nProbe > 1` multi-probes the query's
+    * lowest-margin neighboring buckets (see [[lshProbes]]) — recall
+    * rises toward brute force at cost ≈ nProbe × the candidate volume,
+    * while the corpus side still holds exactly one bucket per vector
+    * (no corpus blow-up, same single equijoin shape). `exact=true`
+    * makes bucket assignment AND scores decimal-exact (cross-engine
+    * reproducible given the same seed).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
-      k: Int, planes: Int = 12, seed: Long = 42L,
+      k: Int, planes: Int = 12, seed: Long = 42L, nProbe: Int = 1,
       exact: Boolean = false): DataFrame = {
     val dim = corpus.select(F.size(vec)).head().getInt(0)
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(id.as("nid"), vec.as("nv"),
       lshBucket(vec, hp, exact).as("bucket"))
     val q = queries.select(id.as("qid"), vec.as("qv"),
-      lshBucket(vec, hp, exact).as("bucket"))
+      explode(lshProbes(vec, hp, nProbe, exact)).as("bucket"))
     val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
     val scored =

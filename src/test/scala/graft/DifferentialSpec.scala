@@ -224,6 +224,33 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
 
+    test(s"seed=$seed: first/last tie-break contract is stable across partitionings") {
+      // collapse ord to 10 buckets: heavy duplicate order keys inside
+      // every group, so min_by/max_by would be partition-luck without
+      // the (ord, v) struct tie-break the engine declares
+      // (SparkEntry gb_first_last notes the hazard)
+      val tied = rows.map(r => r.copy(ord = r.ord % 10))
+      val exp = tied.filter(r => r.key.isDefined && r.v.isDefined)
+        .groupBy(_.key.get).view.mapValues { rs =>
+          val byOrdV = rs.sortBy(r => (r.ord, r.v.get))
+          (byOrdV.head.v, byOrdV.last.v)
+        }.toMap
+      for (parts <- Seq(1, 7, 13)) {
+        val df = tied.toDF("ord", "key", "v", "m").repartition(parts)
+        val g = new GroupBy(df, Seq(col("key")))
+        val out = g.aggregate(Seq(
+            AggSpec("first", col("v"), "f", ord = Some(struct(col("ord"), col("v")))),
+            AggSpec("last", col("v"), "l", ord = Some(struct(col("ord"), col("v"))))))
+          .collect().map { r =>
+            def v(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+            r.getInt(0) -> (v(1), v(2))
+          }.toMap
+        exp.foreach { case (k, (ef, el)) =>
+          assert(out(k) === ((ef, el)), s"key $k at repartition($parts)")
+        }
+      }
+    }
+
     test(s"seed=$seed: masked shift lags over the filtered sub-stream only") {
       val out = new RollingOps(gb).shift(col("v"), col("ord"), 1,
           mask = Some(col("m")))

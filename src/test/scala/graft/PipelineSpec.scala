@@ -3,6 +3,7 @@ package graft
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.{EventStreams, SessionEvent, StatefulSessions}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -60,15 +61,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty && recall > 0.0, s"lsh recall $recall")
   }
 
-  test("ivf ANN reaches high recall on separated clusters") {
+  // 4 well-separated cluster directions in 16 dims, 25 points each —
+  // shared by the IVF and multi-probe LSH recall tests
+  def clustered: DataFrame = {
     val rnd = new scala.util.Random(7)
-    // 4 well-separated cluster directions in 16 dims, 25 points each
     val dirs = Seq.tabulate(4)(c =>
       Array.tabulate(16)(j => if (j % 4 == c) 5.0f else 0.0f))
     val data = for (c <- 0 until 4; i <- 0 until 25) yield (
       (c * 25 + i).toLong,
       dirs(c).map(v => v + (rnd.nextGaussian() * 0.1).toFloat))
-    val df = data.toDF("vec_id", "embedding")
+    data.toDF("vec_id", "embedding")
+  }
+
+  test("multi-probe lsh probes distinct single-bit-flip buckets, own bucket first") {
+    val hp = Similarity.hyperplanes(5, 64, 42L)
+    val rows = embs.limit(50)
+      .select(Similarity.lshBucket(col("embedding"), hp).as("b"),
+        Similarity.lshProbes(col("embedding"), hp, 3).as("ps"))
+      .collect()
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      val ps = r.getSeq[Long](1)
+      assert(ps.length === 3 && ps.head === b && ps.distinct.length === 3)
+      ps.tail.foreach(p =>
+        assert(java.lang.Long.bitCount(p ^ b) === 1, s"probe $p vs base $b"))
+    }
+  }
+
+  test("multi-probe lsh recovers recall on separated clusters") {
+    val df = clustered
+    val queries = df.filter(col("vec_id") % 25 === 0)
+    def hits(nProbe: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(df, queries, col("vec_id"), col("embedding"), 5,
+          planes = 6, nProbe = nProbe)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(df, queries, col("vec_id"),
+        col("embedding"), 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = (bf & hits(1)).size.toDouble / bf.size
+    val multi = (bf & hits(4)).size.toDouble / bf.size
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi >= 0.9, s"multi-probe recall $multi over ${bf.size} pairs")
+  }
+
+  test("ivf ANN reaches high recall on separated clusters") {
+    val df = clustered
     val queries = df.filter(col("vec_id") % 25 === 0)
     val bf = Similarity.bruteForceTopK(df, queries, col("vec_id"),
         col("embedding"), 5)
