@@ -136,6 +136,39 @@ object SparkEntry {
        |FROM d QUALIFY rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replay of Dedup.embeddingPairs(planes=Some(p), exact=true):
+    * the seeded hyperplanes are literal double lists, bucket-sign dots
+    * and cosine sums accumulate in DECIMAL(38,8) exactly as the engine
+    * does, so the bucket equijoin's candidate set and the thresholded
+    * scores replay bit-identically.
+    */
+  private def embPairsLshOracleSql(planes: Int, dim: Int,
+      threshold: Double, seed: Long): String = {
+    val hp = Similarity.hyperplanes(planes, dim, seed)
+    val dots = hp.map { w =>
+      val wlist = w.mkString("[", ", ", "]")
+      s"list_sum(list_transform(generate_series(1, $dim), " +
+        s"ii -> CAST(CAST(embedding[ii] AS DOUBLE) * ($wlist)[ii] AS DECIMAL(38,8))))"
+    }.mkString("[", ", ", "]")
+    val bucket = (0 until planes).map(i =>
+      s"(CASE WHEN dots[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH d0 AS (SELECT vec_id, embedding, $dots AS dots FROM embeddings),
+       |b AS (SELECT vec_id, embedding, $bucket AS bucket FROM d0),
+       |cand AS (SELECT x.vec_id AS ida, y.vec_id AS idb,
+       |    x.embedding AS ea, y.embedding AS eb
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |t AS (SELECT ida, idb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
+       |  FROM cand),
+       |d AS (SELECT ida, idb,
+       |  CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+       |  CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS na,
+       |  CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS nb
+       |  FROM t GROUP BY 1, 2)
+       |SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos
+       |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   /** DuckDB replay of Similarity.ivfTopK(exact=true): seeds are the
     * nCentroids lowest (PortableHash.intHash(id), id) vectors; each
     * unrolled Lloyd iteration assigns every vector to its max-cosine
@@ -926,13 +959,40 @@ object SparkEntry {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
     Q("dedup_ngram",
+      // maxDocFreq = None is the explicit all-pairs VERIFICATION mode
+      // (gate-scale only); production default is the capped path below
       (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
-        col("doc_id"), col("text"), n = 2, threshold = 0.2)
+        col("doc_id"), col("text"), n = 2, threshold = 0.2,
+        maxDocFreq = scala.None)
         .orderBy(col("ida"), col("idb")),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         | sh AS (SELECT DISTINCT doc_id,
         |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
         |   FROM w),
+        | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+        |ORDER BY ida, idb""".stripMargin)),
+
+    Q("dedup_ngram_capped",
+      // the production (default-shaped) path: shingles with doc-freq
+      // above the cap are dropped BEFORE pairing, bounding every
+      // posting list's join fan-out; Jaccard is over the restricted
+      // universe on both sides. Cap 30 actually filters at gate scale
+      // (bigram doc-freq tops out at ~46 on sf0.01 documents).
+      (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 2, threshold = 0.2,
+        maxDocFreq = scala.Some(30))
+        .orderBy(col("ida"), col("idb")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | sh0 AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+        |   FROM w),
+        | keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 30),
+        | sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
         | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -1105,8 +1165,12 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("emb_dup_pairs",
+      // planes = None is the explicit all-pairs VERIFICATION mode
+      // (quadratic; gate-scale only) — production default is the
+      // LSH-bucketed path gated as emb_dup_pairs_lsh below
       (s, dir) => Dedup.embeddingPairs(T(s, dir, "embeddings"),
-          col("vec_id"), col("embedding"), threshold = 0.4, exact = true)
+          col("vec_id"), col("embedding"), threshold = 0.4,
+          planes = scala.None, exact = true)
         .orderBy(col("ida"), col("idb")),
       Some("""WITH t AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
         |   unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
@@ -1119,6 +1183,19 @@ object SparkEntry {
         |SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos
         |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
         |ORDER BY ida, idb""".stripMargin)),
+
+    Q("emb_dup_pairs_lsh",
+      // the production (default-shaped) LSH-bucketed path: candidates
+      // share a random-hyperplane bucket (one map pass + bucket
+      // equijoin, never all-pairs); 4 planes at gate scale so the
+      // 0.40-0.51-cos dup population keeps bucket collisions. exact=true
+      // makes bucket assignment AND scores decimal-exact for the replay.
+      (s, dir) => Dedup.embeddingPairs(T(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.4,
+          planes = scala.Some(4), exact = true)
+        .orderBy(col("ida"), col("idb")),
+      Some(embPairsLshOracleSql(planes = 4, dim = 64, threshold = 0.4,
+        seed = 42L))),
 
     Q("win_sliding",
       (s, dir) => EventStreams.sliding(T(s, dir, "events"), "2 days", "1 day")

@@ -75,12 +75,15 @@ object Dedup {
     * the universe BEFORE pairing, capping any posting list's join
     * fan-out at maxDocFreq² while near-dup signal lives in the rare
     * shingles. Jaccard is then computed over the restricted universe
-    * on both numerator and denominator (scores stay consistent); at
-    * 100 TB set it to a few thousand.
+    * on both numerator and denominator (scores stay consistent).
+    * The cap is ON by default — one boilerplate shingle shared by n
+    * documents otherwise turns the self-join quadratic on a single hot
+    * key, precisely on the corpora this operator targets. Pass `None`
+    * only as an explicit opt-out for small-corpus verification.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 2, threshold: Double = 0.2,
-      maxDocFreq: Option[Int] = scala.None): DataFrame = {
+      maxDocFreq: Option[Int] = scala.Some(5000)): DataFrame = {
     val sh0 = shingles(df, id, text, n)
     val sh = maxDocFreq match {
       case scala.Some(cap) =>
@@ -117,9 +120,13 @@ object Dedup {
   def minHashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val p = graft.functions.PortableHash.P
     val rnd = new scala.util.Random(seed)
-    // floorMod, not abs-then-mod: abs(Long.MinValue) is negative, which
-    // would let a slip to <= 0 (breaking the permutation-range
-    // invariant) with probability 2^-64 per draw
+    // floorMod, not abs-then-mod. NOTE: the two differ for EVERY
+    // negative draw (~half of them), so switching mappings changes all
+    // coefficients for a fixed seed — signatures persisted under an
+    // abs-based mapping do not reproduce and must be regenerated.
+    // floorMod is the correct form: abs(Long.MinValue) is negative,
+    // which would let a slip to <= 0 (breaking the permutation-range
+    // invariant), and floorMod keeps every draw in range.
     Seq.fill(k)((java.lang.Math.floorMod(rnd.nextLong(), p - 1) + 1,
       java.lang.Math.floorMod(rnd.nextLong(), p)))
   }
@@ -157,6 +164,16 @@ object Dedup {
     * collisions, so the output is reproducible by any engine from the
     * signatures alone. Candidate pairs are scored by signature
     * agreement (the MinHash Jaccard estimator).
+    *
+    * Shuffle economics: the band self-join and the pair-distinct carry
+    * only (band, bucket, doc_id) — NOT the full k-long signatures,
+    * which would otherwise be replicated `bands` times through the
+    * join and again through the distinct. The two signatures are
+    * re-joined exactly once per surviving distinct pair for the
+    * agreement estimate; those joins probe `signatures` on its own
+    * groupBy("doc_id") output partitioning, so no extra shuffle of the
+    * signature table, and its pre-exchange aggregation is shared via
+    * exchange reuse.
     */
   def minHashCandidates(signatures: DataFrame, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
@@ -167,23 +184,24 @@ object Dedup {
     // empty early slices; minHashPairs rejects that combination.)
     val rpb = s"(size(sig) div $bands)"
     val len = s"IF(b = ${bands - 1}, size(sig) - b * $rpb, $rpb)"
-    val buckets = signatures.select(col("doc_id"), col("sig"),
+    val buckets = signatures.select(col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"slice(sig, b * $rpb + 1, $len))")))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
-    pairs
+    val sa = signatures.select(col("doc_id").as("ida"), col("sig").as("siga"))
+    val sb = signatures.select(col("doc_id").as("idb"), col("sig").as("sigb"))
+    pairs.join(sa, "ida").join(sb, "idb")
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), z -> z))")
           .cast(DoubleType) / expr("size(siga)"))
-      .drop("siga", "sigb")
       .filter(col("est_jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("est_jaccard"))
   }
 
   /** End-to-end MinHash+LSH near-dup pairs. */
@@ -199,14 +217,18 @@ object Dedup {
       bands, threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs. With `planes` set,
-    * candidates come from shared random-hyperplane LSH buckets (the
-    * scale path — one map pass + bucket equijoin); without it, the
-    * exact all-pairs path (quadratic: small corpora / verification
-    * only). `exact` uses order-insensitive decimal dot products.
+  /** Embedding-cosine near-duplicate pairs. With `planes` set (the
+    * DEFAULT), candidates come from shared random-hyperplane LSH
+    * buckets — one map pass + bucket equijoin, the scale path.
+    * `planes = None` is an explicit opt-out that compares ALL pairs
+    * (quadratic cross join): small-corpus verification only, never the
+    * plan you want at scale. `exact` uses order-insensitive decimal
+    * accumulation for both the bucket-sign dots and the cosine scores,
+    * making the bucketed output replayable cross-engine from the
+    * seeded hyperplanes.
     */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
-      threshold: Double, planes: Option[Int] = scala.None,
+      threshold: Double, planes: Option[Int] = scala.Some(16),
       exact: Boolean = false, seed: Long = 42L): DataFrame = {
     val a = df.select(id.as("ida"), vec.as("va"))
     val b = df.select(id.as("idb"), vec.as("vb"))
@@ -215,9 +237,9 @@ object Dedup {
         val dim = df.select(F.size(vec)).head().getInt(0)
         val hp = Similarity.hyperplanes(p, dim, seed)
         val ab = df.select(id.as("ida"), vec.as("va"),
-          Similarity.lshBucket(vec, hp).as("bucket"))
+          Similarity.lshBucket(vec, hp, exact).as("bucket"))
         val bb = df.select(id.as("idb"), vec.as("vb"),
-          Similarity.lshBucket(vec, hp).as("bucket"))
+          Similarity.lshBucket(vec, hp, exact).as("bucket"))
         ab.join(bb, Seq("bucket")).filter(col("ida") < col("idb"))
       case scala.None =>
         a.join(b, col("ida") < col("idb"))

@@ -602,17 +602,35 @@ final class GroupBy(
     * observed values — what the reference builds internally for
     * `observed_only=False` (`util.py:1280-1287`). Feed it to
     * [[reindex]]. Output cardinality is the product of the level
-    * cardinalities, so guard it at scale exactly like a pivot domain;
-    * each per-level distinct is a partial aggregation and the
-    * cross-join of the (small) results is broadcast.
+    * cardinalities — a silent scale-killer with a high-cardinality
+    * level (user ids), so the product is counted FIRST (one cheap
+    * count-distinct pass) and the build fails loudly past `maxDomain`
+    * rather than materializing an unbounded cross join. Each per-level
+    * distinct is a partial aggregation and the cross-join of the
+    * (bounded) results is broadcast.
     */
-  def keyDomain: DataFrame =
+  def keyDomain: DataFrame = keyDomain(GroupBy.DefaultMaxDomain)
+
+  def keyDomain(maxDomain: Long): DataFrame = {
+    require(maxDomain > 0, s"maxDomain must be positive, got $maxDomain")
+    val counts = dfWithKeys
+      .select(keyNames.map(n => F.count_distinct(col(n)).as(n)): _*)
+      .head()
+    val card = keyNames.indices.map(i => BigInt(counts.getLong(i))).product
+    require(card <= maxDomain,
+      s"keyDomain cardinality $card (= ${keyNames.zipWithIndex
+        .map { case (n, i) => s"$n:${counts.getLong(i)}" }
+        .mkString(" x ")}) exceeds maxDomain=$maxDomain; " +
+        "observed_only=False over this key set would materialize an " +
+        "unbounded cartesian domain — raise maxDomain explicitly if " +
+        "the product is genuinely intended")
     // per-level distincts over rows where THAT level is non-null (not
     // `base`, which pre-drops rows with a null in ANY level — a value
     // observed only alongside another level's null must still appear,
     // matching the reference's independent per-level factorization)
     keyNames.map(n => dfWithKeys.filter(col(n).isNotNull).select(col(n)).distinct())
       .reduce((a, b) => a.crossJoin(F.broadcast(b)))
+  }
 
   /** group-label → sorted row ids (reference `groups`, `core.py:323`);
     * distributed as collect_list, for moderate group sizes only.
@@ -624,6 +642,12 @@ final class GroupBy(
 
 object GroupBy {
   private[operators] val SizeCol = "__observed_size"
+
+  /** Default cap on [[GroupBy.keyDomain]]'s cartesian cardinality
+    * (SURVEY §7.4 item 4): large enough for any real categorical
+    * domain, far below the user-id-cartesian failure mode.
+    */
+  val DefaultMaxDomain: Long = 10000000L
 
   def apply(df: DataFrame, keys: Seq[Column], sort: Boolean = true,
       dropNullKeys: Boolean = true): GroupBy =

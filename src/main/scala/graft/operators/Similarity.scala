@@ -118,18 +118,27 @@ object Similarity {
       exact: Boolean = false): Column = {
     require(nProbe >= 1 && nProbe <= planes.size + 1,
       s"nProbe must be in [1, planes+1], got $nProbe for ${planes.size} planes")
-    val dots = planeDots(vec, planes, exact)
-    val base = dots.zipWithIndex.map { case (dot, i) =>
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    // (margin, bit-mask) structs: array_sort orders lexicographically,
-    // and the mask is monotone in plane index, so (|dot|, mask) asc ==
-    // (|dot|, plane) asc. Mask stored directly because shiftleft takes
-    // only a literal shift amount.
-    val margins = array(dots.zipWithIndex.map { case (dot, i) =>
-      F.named_struct(lit("m"), abs(dot), lit("f"), lit(1L << i))
+    // nProbe == 1 (the lshTopK default) is just the vector's own bucket
+    // — skip the margin/array_sort/slice machinery entirely
+    if (nProbe == 1) return array(lshBucket(vec, planes, exact))
+    // one (margin, bit-mask, signed-bit) struct array holding each
+    // plane's dot exactly once; base and flips both derive from THIS
+    // array, so the per-plane dot subtree appears once in the plan
+    // (codegen subexpression elimination shares the identical array
+    // between the two consumers) instead of being embedded twice.
+    // array_sort orders structs lexicographically and the mask is
+    // monotone in plane index, so (|dot|, mask, bit) asc == (|dot|,
+    // plane) asc — `bit` is determined by (dot, mask) and cannot
+    // reorder ties. Mask stored directly because shiftleft takes only
+    // a literal shift amount.
+    val structs = array(planeDots(vec, planes, exact).zipWithIndex.map {
+      case (dot, i) =>
+        F.named_struct(lit("m"), abs(dot), lit("f"), lit(1L << i),
+          lit("b"), when(dot >= 0, lit(1L << i)).otherwise(lit(0L)))
     }: _*)
-    val flips = F.transform(slice(array_sort(margins), 1, nProbe - 1),
+    val base = aggregate(structs, lit(0L),
+      (acc, s) => acc.bitwiseOR(s.getField("b")))
+    val flips = F.transform(slice(array_sort(structs), 1, nProbe - 1),
       s => s.getField("f"))
     F.concat(array(base), F.transform(flips, f => base.bitwiseXOR(f)))
   }
@@ -237,9 +246,20 @@ object Similarity {
     * partial-aggregated groupBy of #centroids × dim cells). Only the
     * centroid table itself ever reaches the driver.
     */
+  /** Hard bound on [[ivfCentroids]]' `nCentroids`: the centroid table
+    * is collected to the driver (nCentroids × dim doubles) and the
+    * assignment expression tree grows linearly with it, so "≤ a few
+    * hundred" is a structural contract, not advice — enforced so it
+    * cannot be silently violated at scale.
+    */
+  val MaxCentroids = 512
+
   def ivfCentroids(corpus: DataFrame, id: Column, vec: Column,
       nCentroids: Int, iters: Int = 2, exact: Boolean = false,
       seedHash: Column => Column = F.xxhash64(_)): Seq[(Int, Seq[Double])] = {
+    require(nCentroids >= 1 && nCentroids <= MaxCentroids,
+      s"nCentroids must be in [1, $MaxCentroids] (centroids are collected " +
+        s"to the driver and embedded as literal expressions), got $nCentroids")
     val c = corpus.select(id.as("nid"), vec.as("nv"))
     var centroids: Seq[(Int, Seq[Double])] = c
       // id tie-break after the hash so seed selection is total even

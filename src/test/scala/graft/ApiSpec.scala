@@ -113,9 +113,12 @@ class ApiSpec extends AnyFunSuite {
 
   test("binnedMeans produces equal-frequency bins with means") {
     val d = (1 to 100).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
+    // exactBins = true: this test pins the ntile path (the sibling test
+    // below pins the approx default); orderBy so rows.head is bin 1 by
+    // construction, not by collect() luck
     val out = GroupScatter.binnedMeans(d, col("x"), col("y"), 4,
-      tieBreak = Seq(col("x")))
-    val rows = out.collect()
+      tieBreak = Seq(col("x")), exactBins = true)
+    val rows = out.orderBy("bin").collect()
     assert(rows.length === 4)
     assert(rows.map(_.getAs[Long]("n")).toSeq === Seq(25L, 25L, 25L, 25L))
     assert(math.abs(rows.head.getAs[Double]("x_mean") - 13.0) < 1e-12)

@@ -71,6 +71,19 @@ class GroupBySpec extends AnyFunSuite {
       (2, "b") -> 0L, (3, "a") -> 0L, (3, "b") -> 0L))
   }
 
+  test("keyDomain refuses an unbounded cartesian domain (maxDomain guard)") {
+    // 60 x 60 distinct values = 3600 combos > maxDomain=1000: the build
+    // must fail loudly BEFORE materializing the cross join (SURVEY §7.4
+    // item 4 — a high-cardinality key would otherwise silently explode)
+    val d = (0 until 60).map(i => (i, s"v$i", 1.0)).toDF("k1", "k2", "value")
+    val g = new GroupBy(d, Seq(col("k1"), col("k2")))
+    val e = intercept[IllegalArgumentException] { g.keyDomain(maxDomain = 1000) }
+    assert(e.getMessage.contains("3600"))
+    assert(e.getMessage.contains("maxDomain"))
+    // under the cap the same domain builds fine
+    assert(g.keyDomain(maxDomain = 5000).count() === 3600)
+  }
+
   test("reindex fills only join-missed combos, not genuine null aggregates") {
     // group "a" has only null values → mean is genuinely null and must
     // SURVIVE the fill; "c" is unobserved → filled (advisory regression:

@@ -119,6 +119,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ivf recall $recall over ${bf.size} pairs")
   }
 
+  test("ivfCentroids enforces the driver-side centroid bound") {
+    // the centroid table is collected to the driver and embedded as
+    // literal expressions — the documented "≤ a few hundred" contract
+    // is a require, so it cannot be silently violated at scale
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfCentroids(clustered, col("vec_id"), col("embedding"),
+        nCentroids = Similarity.MaxCentroids + 1)
+    }
+    assert(e.getMessage.contains("nCentroids"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfCentroids(clustered, col("vec_id"), col("embedding"),
+        nCentroids = 0)
+    }
+  }
+
+  test("embeddingPairs default LSH path is a bucket-consistent subset of all-pairs") {
+    val df = clustered
+    val all = Dedup.embeddingPairs(df, col("vec_id"), col("embedding"),
+        threshold = 0.8, planes = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default (bucketed) path: scores are exact cosine, so its output
+    // is always a subset of the all-pairs result at the same threshold
+    val lsh = Dedup.embeddingPairs(df, col("vec_id"), col("embedding"),
+        threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.nonEmpty)
+    assert(lsh.subsetOf(all), s"bucketed pairs not a subset: ${lsh -- all}")
+    // clustered fixture: near-dups are same-cluster, so 16-plane LSH
+    // keeps most of them
+    assert(lsh.size.toDouble / all.size >= 0.5,
+      s"bucketed recall ${lsh.size.toDouble / all.size} over ${all.size}")
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val d = Seq((Array(1f, 0f), Array(1f, 0f), Array(0f, 2f))).toDF("a", "b", "c")
     val r = d.select(Similarity.cosine(col("a"), col("b")),
