@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextFunctions
 import graft.operators.{Dedup, GroupBy, Joins, Margins, Reshape, RollingOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -42,6 +43,7 @@ object Bench {
     // the keys once and persist, so timed ops skip the shuffle
     val liGb = new GroupBy(li, Seq(col("l_returnflag"), col("l_linestatus"))).persisted
     val evOps = new RollingOps(new GroupBy(ev, Seq(col("user_id"))).persisted)
+    val nUsers = ev.agg(max(col("user_id"))).head().getLong(0) + 1
 
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
@@ -78,7 +80,23 @@ object Bench {
           .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
             col("value").as("p_value")),
         Seq("user_id"), "ts", "ts",
-        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value")))
+        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))),
+      // composed pipeline (quality filter → near-dup removal → join →
+      // grouped agg): catches composition regressions — recomputation,
+      // partitioning lost between stages — that single-op rows hide
+      "pipeline_e2e" -> (() => {
+        val good = docs
+          .select(col("doc_id"), col("text"),
+            TextFunctions.qualityScore(col("text"), col("n_chars")).as("q"))
+          .filter(col("q") > 0.3)
+        val dupIds = Dedup.minHashPairs(good, col("doc_id"), col("text"),
+          threshold = 0.5).select(col("idb").as("doc_id")).distinct()
+        val kept = good.join(dupIds, Seq("doc_id"), "left_anti")
+        val joined = ev.join(kept,
+          pmod(col("doc_id"), lit(nUsers)) === col("user_id"))
+        new GroupBy(joined, Seq(col("event_type")))
+          .sum(Seq(col("value").as("sum_value")))
+      })
     )
 
     // The reference reports post-JIT times ("after all numba JIT
@@ -100,10 +118,103 @@ object Bench {
       name -> t
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // hot-key skew fixture: one user holds 80% of 10M left rows — the
+    // shape that serializes a per-key window on a single task (at this
+    // size the hot partition is ~8.8M rows: minutes of one-core sort at
+    // 100 TB shapes, seconds here). The split row runs the same asof
+    // with sliceWidth sub-partitioning the hot key's timeline (~64
+    // slices); output equality is proven in JoinsSpec, this measures
+    // that the skew no longer bounds wall time. (The split path costs
+    // ~3 extra small shuffles, so it only pays once the hot partition
+    // dominates — which is exactly the regime it exists for.)
+    val nHot = 10000000L
+    def hotKey = when(col("id") % 5 =!= 0, 0L)
+      .otherwise(pmod(col("id"), lit(997L)))
+    val hotLeft = spark.range(nHot).select(hotKey.as("user_id"),
+      (col("id") * 1000L).as("ts"), col("id").as("event_id")).persist()
+    val hotRight = spark.range(nHot / 10).select(hotKey.as("user_id"),
+      (col("id") * 10000L + 7L).as("ts"),
+      (col("id") % 100).cast("double").as("p_value")).persist()
+    hotLeft.count(); hotRight.count()
+    def hotAsof(width: Option[Long]) = Joins.asof(hotLeft, hotRight,
+      Seq("user_id"), "ts", "ts", rightVals = Seq("p_value" -> "p_value"),
+      sliceWidth = width)
+    val skewOps: Seq[(String, () => DataFrame)] = Seq(
+      "asof_hotkey" -> (() => hotAsof(None)),
+      "asof_hotkey_split" -> (() => hotAsof(Some(160000000L))))
+
+    // second scale point: 10× documents/embeddings/events synthesized
+    // from the sf tables (copy i of a doc rewrites every token, so
+    // near-dup DENSITY stays constant and only volume grows; embeddings
+    // rotate by i — norm-preserving, direction-changing; events shift
+    // the user-id space, so per-key density is constant and key count
+    // grows 10×). Gives the 100 TB extrapolation two points per op.
+    val docs10 = (0 until 10).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(^| )", "$1v" + i + ":"))
+          .as("text"))
+    }.reduce(_ unionByName _).persist()
+    val embs10 = (0 until 10).map { i =>
+      embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+           s"slice(embedding, 1, $i))")).as("embedding"))
+    }.reduce(_ unionByName _).persist()
+    val ev10 = (0 until 10).map { i =>
+      ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _).persist()
+    docs10.count(); embs10.count(); ev10.count()
+    val x10Ops: Seq[(String, () => DataFrame)] = Seq(
+      "dedup_minhash_x10" -> (() => Dedup.minHashPairs(docs10, col("doc_id"),
+        col("text"))),
+      "lsh_topk_x10" -> (() => Similarity.lshTopK(embs10,
+        embs10.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
+        10, planes = 10, nProbe = 4)),
+      "join_asof_x10" -> (() => Joins.asof(
+        ev10.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev10.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
+            col("value").as("p_value")),
+        Seq("user_id"), "ts", "ts",
+        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))))
+
+    // skew + x10 groups: heavier inputs, so 1 warm + 2 timed (the JIT
+    // universe is already compiled by the main loop — these reuse the
+    // same operators on different data)
+    def measureGroup(group: Seq[(String, () => DataFrame)]): Seq[(String, Double)] = {
+      group.foreach { case (_, build) => force(build()) }
+      group.map { case (name, build) =>
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          force(build())
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> t
+      }
+    }
+    val skewResults = measureGroup(skewOps)
+    hotLeft.unpersist(); hotRight.unpersist()
+    val x10Results = measureGroup(x10Ops)
+
+    val all = results ++ skewResults ++ x10Results
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // scaling exponent per x10 op: log10(t_x10 / t_x1) — 1.0 = linear,
+    // <1 sublinear (fixed overheads amortizing), >1 superlinear (a
+    // plan that would not survive 100 TB)
+    val byName = all.toMap
+    val scaling = x10Results.collect {
+      case (n, t10) if byName.contains(n.stripSuffix("_x10")) && t10 > 0 =>
+        val t1 = byName(n.stripSuffix("_x10"))
+        "\"" + n.stripSuffix("_x10") + "\":" +
+          (math.log10(t10 / t1) * 10000).round / 10000.0
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$scaling,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,9 +58,22 @@ object Joins {
     * If the right side has several rows at the winning (keys, ts), the
     * one with the greatest `rightVals` tuple wins — deterministic, but
     * callers should de-duplicate `(on, rightTs)` when that tuple is not
-    * meaningful. Scale: one hash shuffle on `on` + per-key sort; skewed
-    * keys degrade exactly like any windowed op (salt upstream or split
-    * the hot key's time range).
+    * meaningful. Scale: one hash shuffle on `on` + per-key sort.
+    *
+    * @param sliceWidth skew lever: when set, the per-key window is
+    *                  sub-partitioned into `sliceWidth`-sized TIME
+    *                  slices (ts must be integral), so one hot key no
+    *                  longer serializes on a single task — the windowed
+    *                  analogue of `GroupBy.aggregateSalted`. Each
+    *                  (key, slice) resolves independently; the boundary
+    *                  match is patched by injecting, per left-occupied
+    *                  slice, the best right row from the slices before
+    *                  it (after, for Forward) — computed with one
+    *                  per-(key, slice) aggregation plus a tiny window
+    *                  over slice summaries, never the raw rows. Output
+    *                  is identical to the unsplit path (DifferentialSpec
+    *                  proves it); pick a width near the hot key's
+    *                  event-time span divided by the wanted parallelism.
     */
   def asof(
       left: DataFrame,
@@ -72,7 +85,8 @@ object Joins {
       direction: Direction = Backward,
       allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None,
-      matchedTs: Option[String] = None): DataFrame = {
+      matchedTs: Option[String] = None,
+      sliceWidth: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "asof needs at least one equi-key")
     val ts = "__graft_ts"
     val isR = "__graft_is_right"
@@ -92,6 +106,66 @@ object Joins {
       (on.map(col) :+ col(leftTs).as(ts)) ++ leftOthers.map(col) :+
         lit(0).as(isR) :+ lit(null).cast(rightPart.schema(pay).dataType).as(pay): _*)
 
+    // sliceWidth: sub-partition the window by time slice. A left row's
+    // true match is either in its own slice or it is the globally best
+    // right row from the slices strictly before it (Backward; after,
+    // for Forward) — which, slices being time-ordered, is exactly the
+    // per-slice best of the NEAREST earlier non-empty slice. That best
+    // is injected as one synthetic right row per left-occupied slice:
+    // its ts (the matched row's real ts) lies outside the slice's time
+    // range, so it sorts first within the slice and loses to any
+    // admissible in-slice right row under the same running-last rule.
+    val sl = "__graft_slice"
+    val unioned: DataFrame = sliceWidth match {
+      case None => rightPart.unionByName(leftPart)
+      case Some(wdt) =>
+        require(wdt > 0, s"sliceWidth must be positive, got $wdt")
+        // floor division, exact across the long range (see rangeJoin)
+        def fdiv(c: Column): Column =
+          ((c.cast("decimal(38,0)") - pmod(c, lit(wdt))) / lit(wdt))
+            .cast("long")
+        val rightS = rightPart.withColumn(sl, fdiv(col(ts)))
+        val leftS = leftPart.withColumn(sl, fdiv(col(ts)))
+        // per (key, slice): the winning right row under the SAME rule
+        // the in-slice window applies — nearest ts first, then greatest
+        // payload (max of (orderTs, payload) structs)
+        val ordT = direction match {
+          case Backward => col(ts)
+          case Forward  => -col(ts)
+        }
+        val best = "__graft_best"
+        val src = "__graft_src"
+        val bestAgg = rightS.groupBy((on :+ sl).map(col): _*)
+          .agg(max(struct(ordT.as("o"), col(pay).as("p"))).as(best))
+        val need = leftS.select((on :+ sl).map(col): _*).distinct()
+          .withColumn(best, lit(null).cast(bestAgg.schema(best).dataType))
+          .withColumn(src, lit(0))
+        // running best over slice summaries (rows ≈ slices, not data):
+        // for each left-occupied slice, the nearest earlier (later, fwd)
+        // non-empty slice's best. src orders the left marker before the
+        // same slice's right summary so "1 preceding" excludes it.
+        val sliceOrd = direction match {
+          case Backward => col(sl).asc
+          case Forward  => col(sl).desc
+        }
+        val cw = Window.partitionBy(on.map(col): _*)
+          .orderBy(sliceOrd, col(src).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = "__graft_carry"
+        val carries = bestAgg.withColumn(src, lit(1)).unionByName(need)
+          .withColumn(carry, last(col(best), ignoreNulls = true).over(cw))
+          .filter(col(src) === 0 && col(carry).isNotNull)
+          .select(on.map(col) ++ Seq(col(sl),
+            col(carry).getField("p").as(pay)): _*)
+        val injected = carries.select(
+          (on.map(col) :+ col(pay).getField("_ts").as(ts)) ++
+            leftOthers.map(c =>
+              lit(null).cast(left.schema(c).dataType).as(c)) ++
+            Seq(lit(1).as(isR), col(pay), col(sl)): _*)
+        rightS.unionByName(leftS).unionByName(injected)
+    }
+    val partKeys = if (sliceWidth.isDefined) on :+ sl else on
+
     // At equal ts the right row must sort before the left row exactly
     // when exact matches are admissible. Final tie-break on the payload
     // makes duplicate right (keys, ts) rows resolve deterministically.
@@ -100,13 +174,13 @@ object Joins {
       case Forward  => col(ts).desc
     }
     val exactOrd = if (allowExactMatches) col(isR).desc else col(isR).asc
-    val w = Window.partitionBy(on.map(col): _*)
+    val w = Window.partitionBy(partKeys.map(col): _*)
       .orderBy(tsOrd, exactOrd, col(pay).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matchedRaw = "__graft_match"
     val matchedCol = last(col(pay), ignoreNulls = true).over(w)
-    val withMatch = rightPart.unionByName(leftPart)
+    val withMatch = unioned
       .withColumn(matchedRaw, matchedCol)
       .filter(col(isR) === 0)
 

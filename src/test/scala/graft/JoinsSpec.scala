@@ -126,6 +126,39 @@ class JoinsSpec extends AnyFunSuite {
     assert(out === naive)
   }
 
+  test("asof sliceWidth time-split equals the unsplit output (skew lever)") {
+    // hot key 0 holds ~half of all rows — the skew shape sliceWidth
+    // exists for; ts collisions across sides exercise the exact-match
+    // ordering and the payload tie-break across the boundary patch
+    val left = (1 to 600).map { i =>
+      (if (i % 2 == 0) 0 else i % 5, (i * 131 % 997).toLong, i)
+    }.toDF("key", "ts", "lid")
+    val right = (1 to 400).map { i =>
+      (if (i % 2 == 0) 0 else i % 5, (i * 173 % 991).toLong, i * 2)
+    }.toDF("key", "ts", "rv")
+    def run(dir: Joins.Direction, exact: Boolean, tol: Option[Long],
+        width: Option[Long]): Set[(Int, Any, Any)] =
+      Joins.asof(left, right, Seq("key"), "ts", "ts",
+          rightVals = Seq("rv" -> "rv"), direction = dir,
+          allowExactMatches = exact, tolerance = tol,
+          matchedTs = Some("mts"), sliceWidth = width)
+        .select("lid", "rv", "mts").collect()
+        .map(r => (r.getInt(0), r.get(1), r.get(2))).toSet
+    for {
+      dir <- Seq(Joins.Backward, Joins.Forward)
+      exact <- Seq(true, false)
+      tol <- Seq(None, Some(50L))
+    } {
+      val base = run(dir, exact, tol, None)
+      // widths spanning: every row its own slice; mid-size slices; one
+      // slice holding everything (degenerates to the unsplit shape)
+      for (width <- Seq(1L, 97L, 5000L)) {
+        val split = run(dir, exact, tol, Some(width))
+        assert(split === base, s"dir=$dir exact=$exact tol=$tol width=$width")
+      }
+    }
+  }
+
   def points: DataFrame = (1 to 400)
     .map(i => (i % 5, (i * 37 % 1000).toLong, i)).toDF("key", "p", "pid")
   def intervals: DataFrame = (1 to 60)
