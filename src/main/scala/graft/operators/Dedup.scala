@@ -204,17 +204,34 @@ object Dedup {
       .select(col("ida"), col("idb"), col("est_jaccard"))
   }
 
-  /** End-to-end MinHash+LSH near-dup pairs. */
+  /** End-to-end MinHash+LSH near-dup pairs.
+    *
+    * `cacheSignatures` (default on) persists the signature table —
+    * k longs per document, tiny next to the corpus — before the
+    * banding stage. The signature aggregation (shingle explode +
+    * distinct + k-min pass over every token) is the pipeline's
+    * dominant cost and has FOUR consumers downstream (both sides of
+    * the band self-join and both agreement re-joins); without the
+    * persist, Spark's exchange reuse only partially deduplicates the
+    * recomputation under AQE. The cache entry is released by the
+    * ContextCleaner once the result plan is unreachable; pass false to
+    * manage persistence yourself (e.g. when composing with your own
+    * cache of the signatures).
+    */
   def minHashPairs(df: DataFrame, id: Column, text: Column, n: Int = 2,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       seed: Long = 42L,
-      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+      baseHash: Column => Column = xxhash64(_),
+      cacheSignatures: Boolean = true): DataFrame = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands (bands > k would make " +
         "every per-band slice empty — all docs collide in every bucket)")
-    minHashCandidates(
-      minHashSignatures(shingles(df, id, text, n), k, seed, baseHash),
-      bands, threshold)
+    val sigs = minHashSignatures(shingles(df, id, text, n), k, seed, baseHash)
+    val shared =
+      if (cacheSignatures)
+        sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs
+    minHashCandidates(shared, bands, threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs. With `planes` set (the
