@@ -139,9 +139,31 @@ object Bench {
     def hotAsof(width: Option[Long]) = Joins.asof(hotLeft, hotRight,
       Seq("user_id"), "ts", "ts", rightVals = Seq("p_value" -> "p_value"),
       sliceWidth = width)
+    // the two dedup ops whose r03 defaults were scale-unsafe, on their
+    // production paths, in their own measured group so their shuffle
+    // churn cannot pollute the main loop's timings. The ngram cap is
+    // 100 here, not the 5000 default: the synthetic corpus has a ~900-
+    // bigram vocabulary with median doc-freq 285/5000 docs — EVERY
+    // shingle is boilerplate, so the default cap never engages and the
+    // join degenerates to the quadratic shape the cap exists to
+    // prevent (sum(df^2) = 73M capless vs 2.4k at cap 100). Real
+    // corpora hold near-dup signal in rare shingles; cap 100 makes the
+    // bench measure that production shape.
+    val prodDedupOps: Seq[(String, () => DataFrame)] = Seq(
+      "dedup_ngram" -> (() => Dedup.ngramJaccardPairs(docs, col("doc_id"),
+        col("text"), maxDocFreq = Some(100))),
+      "emb_dup_pairs" -> (() => Dedup.embeddingPairs(embs, col("vec_id"),
+        col("embedding"), threshold = 0.4)))
+
+    def hotRolling(width: Option[Long]) =
+      new RollingOps(new GroupBy(hotLeft, Seq(col("user_id"))))
+        .rollingSum(col("event_id").cast("double"), col("ts"), 50,
+          minPeriods = Some(1), sliceWidth = width)
     val skewOps: Seq[(String, () => DataFrame)] = Seq(
       "asof_hotkey" -> (() => hotAsof(None)),
-      "asof_hotkey_split" -> (() => hotAsof(Some(160000000L))))
+      "asof_hotkey_split" -> (() => hotAsof(Some(160000000L))),
+      "rolling_hotkey" -> (() => hotRolling(None)),
+      "rolling_hotkey_split" -> (() => hotRolling(Some(160000000L))))
 
     // second scale point: 10× documents/embeddings/events synthesized
     // from the sf tables (copy i of a doc rewrites every token, so
@@ -170,6 +192,10 @@ object Bench {
     val x10Ops: Seq[(String, () => DataFrame)] = Seq(
       "dedup_minhash_x10" -> (() => Dedup.minHashPairs(docs10, col("doc_id"),
         col("text"))),
+      "dedup_ngram_x10" -> (() => Dedup.ngramJaccardPairs(docs10, col("doc_id"),
+        col("text"), maxDocFreq = Some(100))),
+      "emb_dup_pairs_x10" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
+        col("embedding"), threshold = 0.4)),
       "lsh_topk_x10" -> (() => Similarity.lshTopK(embs10,
         embs10.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
         10, planes = 10, nProbe = 4)),
@@ -196,11 +222,12 @@ object Bench {
         name -> t
       }
     }
+    val prodDedupResults = measureGroup(prodDedupOps)
     val skewResults = measureGroup(skewOps)
     hotLeft.unpersist(); hotRight.unpersist()
     val x10Results = measureGroup(x10Ops)
 
-    val all = results ++ skewResults ++ x10Results
+    val all = results ++ prodDedupResults ++ skewResults ++ x10Results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

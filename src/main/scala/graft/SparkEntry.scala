@@ -309,6 +309,23 @@ object SparkEntry {
           |  ON l.user_id = r.user_id AND l.ts >= r.ts
           |ORDER BY l.event_id""".stripMargin)),
 
+      Q("join_asof_split",
+        // the sliceWidth skew lever must emit EXACTLY the unsplit
+        // output — gated against DuckDB's native ASOF JOIN (an
+        // independent oracle, not the engine's own unsplit path).
+        // 6h slices cut each user's event-time range into ~30 windows.
+        (s, dir) => Joins.asof(nonPurchases(s, dir), purchases(s, dir),
+            Seq("user_id"), "ts_us", "ts_us",
+            rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"),
+            sliceWidth = Some(21600000000L))
+          .orderBy(col("event_id")),
+        Some("""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+          |  r.event_id AS purchase_id, r.value AS purchase_value
+          |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.user_id AND l.ts >= r.ts
+          |ORDER BY l.event_id""".stripMargin)),
+
       Q("join_asof_fwd",
         // next purchase within 24h after each non-purchase event
         (s, dir) => Joins.asof(nonPurchases(s, dir), purchases(s, dir),

@@ -155,19 +155,38 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     * window''' (`numba.py:1240`). Masked variant computes over the
     * filtered sub-stream and joins back — masked rows are null and do
     * not advance the window.
+    *
+    * `sliceWidth` is the hot-key skew lever (the windowed analogue of
+    * `GroupBy.aggregateSalted`, same design as `Joins.asof`): the
+    * per-key window partition is cut into `sliceWidth`-sized TIME
+    * slices, and each slice's frames are completed by injecting the
+    * last `window − 1` rows preceding the slice (collected from
+    * per-slice tail summaries, never a full-key pass). One hot key
+    * then spreads over (time range / sliceWidth) tasks instead of
+    * serializing on one. Requires an integral, per-key-unique,
+    * non-null `ord`; unsupported together with `mask` (the masked
+    * variant already runs on a reduced sub-stream — slice that
+    * sub-stream's join-back instead if it is itself skewed). Output
+    * equals the unsplit path (DifferentialSpec).
     */
   def rollingAgg(op: String, value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,
-      name: String = "rolling", exact: Boolean = false): DataFrame = {
+      name: String = "rolling", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame = {
     val mp = minPeriods.getOrElse(window)
-    mask match {
-      case None =>
+    require(mask.isEmpty || sliceWidth.isEmpty,
+      "sliceWidth with mask is not supported: slice the masked " +
+        "sub-stream explicitly if it is skewed")
+    (mask, sliceWidth) match {
+      case (None, Some(wdt)) =>
+        rollingSliced(op, value, ord, window, mp, name, exact, wdt)
+      case (None, None) =>
         val frame = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
           .rowsBetween(-(window - 1), Window.currentRow)
         gb.dfWithKeys.withColumn(name,
           when(keysOk && F.count(value).over(frame) >= mp,
             liftAgg(op, value, exact, frame)))
-      case Some(_) =>
+      case (Some(_), _) =>
         subStream(value, ord, mask, name) { (v, w) =>
           val frame = w.orderBy(col("__ord")).rowsBetween(-(window - 1), Window.currentRow)
           when(F.count(v).over(frame) >= mp, liftAgg(op, v, exact, frame))
@@ -175,25 +194,100 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     }
   }
 
+  /** Skew-split rolling (see [[rollingAgg]]): rows are windowed inside
+    * (key, time-slice) partitions; every frame that would reach into
+    * earlier slices is completed by injected copies of the last
+    * `window − 1` preceding rows. Those come from per-slice tails
+    * (each slice keeps its own last `window − 1` (ord, value) pairs —
+    * a window WITHIN the slice, so it parallelizes), concatenated per
+    * key in slice order and re-truncated, so a sparse slice correctly
+    * pulls rows from several slices back. Injected rows sort before
+    * all native rows of their slice (their ord values are strictly
+    * smaller) and are dropped after the window.
+    */
+  private def rollingSliced(op: String, value: Column, ord: Column,
+      window: Int, mp: Int, name: String, exact: Boolean,
+      wdt: Long): DataFrame = {
+    require(wdt > 0, s"sliceWidth must be positive, got $wdt")
+    val sl = "__graft_slice"; val inj = "__graft_inj"
+    val o = "__graft_o"; val v = "__graft_v"
+    // floor division, exact across the long range (see Joins.rangeJoin)
+    def fdiv(c: Column): Column =
+      ((c.cast("decimal(38,0)") - pmod(c, lit(wdt))) / lit(wdt)).cast("long")
+    val native = gb.dfWithKeys
+      .withColumn(o, ord).withColumn(v, value)
+      .withColumn(sl, fdiv(col(o))).withColumn(inj, lit(0))
+    val lim = window - 1
+    val injected = if (lim == 0) {
+      // window of 1 never reaches outside its slice
+      native.limit(0)
+    } else {
+      val keySl = gb.keyCols :+ col(sl)
+      val tw = Window.partitionBy(keySl: _*).orderBy(col(o).desc)
+      val tails = native.filter(keysOk)
+        .select(keySl :+ col(o) :+ col(v): _*)
+        .withColumn("__r", row_number().over(tw))
+        .filter(col("__r") <= lim)
+      val tailAgg = tails.groupBy(keySl: _*)
+        .agg(sort_array(F.collect_list(struct(col(o).as("o"), col(v).as("v"))))
+          .as("__tail"))
+      // running concat over slice SUMMARIES (one row per occupied
+      // slice), truncated to the trailing window-1 entries — per-key
+      // data volume is slices × (window−1), not the raw rows
+      val sw = Window.partitionBy(gb.keyCols: _*).orderBy(col(sl))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carries = tailAgg
+        .withColumn("__prev", flatten(F.collect_list(col("__tail")).over(sw)))
+        .filter(F.size(col("__prev")) > 0)
+        .withColumn("__keep",
+          when(F.size(col("__prev")) <= lim, col("__prev"))
+            .otherwise(F.slice(col("__prev"), -lim, lim)))
+        .select(gb.keyCols ++ Seq(col(sl), explode(col("__keep")).as("__t")): _*)
+      val others = native.columns
+        .filterNot(c => gb.keyNames.contains(c) || Seq(o, v, sl, inj).contains(c))
+      carries.select(
+        gb.keyNames.map(col) ++
+          others.map(c => lit(null).cast(native.schema(c).dataType).as(c)) ++
+          Seq(col("__t").getField("o").as(o), col("__t").getField("v").as(v),
+            col(sl), lit(1).as(inj)): _*)
+    }
+    val frame = Window.partitionBy(gb.keyCols :+ col(sl): _*)
+      .orderBy(col(o)).rowsBetween(-lim, Window.currentRow)
+    native.unionByName(injected.select(native.columns.map(col): _*))
+      .withColumn(name,
+        when(keysOk && F.count(col(v)).over(frame) >= mp,
+          liftAgg(op, col(v), exact, frame)))
+      .filter(col(inj) === 0)
+      .drop(o, v, sl, inj)
+  }
+
   def rollingSum(value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,
-      name: String = "rolling_sum", exact: Boolean = false): DataFrame =
-    rollingAgg("sum", value, ord, window, minPeriods, mask, name, exact)
+      name: String = "rolling_sum", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame =
+    rollingAgg("sum", value, ord, window, minPeriods, mask, name, exact,
+      sliceWidth)
 
   def rollingMean(value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,
-      name: String = "rolling_mean", exact: Boolean = false): DataFrame =
-    rollingAgg("mean", value, ord, window, minPeriods, mask, name, exact)
+      name: String = "rolling_mean", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame =
+    rollingAgg("mean", value, ord, window, minPeriods, mask, name, exact,
+      sliceWidth)
 
   def rollingMin(value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,
-      name: String = "rolling_min", exact: Boolean = false): DataFrame =
-    rollingAgg("min", value, ord, window, minPeriods, mask, name, exact)
+      name: String = "rolling_min", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame =
+    rollingAgg("min", value, ord, window, minPeriods, mask, name, exact,
+      sliceWidth)
 
   def rollingMax(value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,
-      name: String = "rolling_max", exact: Boolean = false): DataFrame =
-    rollingAgg("max", value, ord, window, minPeriods, mask, name, exact)
+      name: String = "rolling_max", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame =
+    rollingAgg("max", value, ord, window, minPeriods, mask, name, exact,
+      sliceWidth)
 
   /** Compute `build(__v, partitionWindow)` over the mask-filtered
     * sub-stream and left-join the result back on (keys, ord). Both

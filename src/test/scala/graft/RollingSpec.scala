@@ -126,6 +126,38 @@ class RollingSpec extends AnyFunSuite {
     assert(vals(out, "subgroup") === Seq(0L, 0L, 1L, 1L, 0L))
   }
 
+  test("rolling sliceWidth time-split equals the unsplit output (skew lever)") {
+    // hot key 0 holds ~half the rows; nulls present so minPeriods
+    // counting crosses slice boundaries; sparse keys force frames to
+    // pull injected rows from several slices back
+    val rows = (1 to 500).map { i =>
+      val k = if (i % 2 == 0) 0 else i % 5
+      val v = if (i % 11 == 0) None else Some(i * 0.5)
+      (k, (i * 37 % 4999).toLong, v)
+    }
+    val d = rows.toDF("key", "ts", "v")
+    val gb = new GroupBy(d, Seq(col("key")))
+    def run(op: String, window: Int, mp: Option[Int], exact: Boolean,
+        width: Option[Long]): Map[(Int, Long), Any] =
+      new RollingOps(gb)
+        .rollingAgg(op, col("v"), col("ts"), window, minPeriods = mp,
+          name = "r", exact = exact, sliceWidth = width)
+        .select("key", "ts", "r").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    for {
+      (op, exact) <- Seq(("sum", true), ("mean", true), ("min", false),
+        ("max", false), ("count", false))
+      (window, mp) <- Seq((7, None), (7, Some(3)), (1, None), (50, Some(1)))
+    } {
+      val base = run(op, window, mp, exact, None)
+      // widths: single-row slices; mid; everything in one slice
+      for (width <- Seq(40L, 700L, 100000L)) {
+        val split = run(op, window, mp, exact, Some(width))
+        assert(split === base, s"op=$op window=$window mp=$mp width=$width")
+      }
+    }
+  }
+
   test("null-key rows emit null from window ops") {
     val d = Seq((0, Some(1), Some(1.0)), (1, None, Some(2.0)))
       .toDF("ord", "key", "value")
