@@ -73,80 +73,216 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     */
   def cumAgg(op: String, value: Column, ord: Column,
       mask: Option[Column] = None, skipNa: Boolean = true,
-      name: String = "cum", exact: Boolean = false): DataFrame = {
-    val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+      name: String = "cum", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame = sliceWidth match {
+    case Some(wdt) =>
+      cumSliced(op, value, ord, mask, skipNa, name, exact, wdt)
+    case None =>
+      val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val v = mask.map(m => when(m, value)).getOrElse(value)
+      val out0 = liftAgg(op, v, exact, cum)
+      val out =
+        if (skipNa) out0
+        else {
+          val nullFlag = mask.map(m => m && value.isNull).getOrElse(value.isNull)
+          when(F.count(when(nullFlag, lit(1))).over(cum) === 0, out0)
+        }
+      gb.dfWithKeys.withColumn(name, when(keysOk, out))
+  }
+
+  /** Skew-split cumulative (hot-key lever, see [[rollingAgg]]'s
+    * `sliceWidth`): rows accumulate inside (key, time-slice)
+    * partitions, and each slice's running state is seeded by ONE
+    * injected row carrying the combined prefix of all earlier slices —
+    * per-slice partial aggregates (sum/min/max, value count, null-flag
+    * count) combined with a window over slice summaries, so no full-key
+    * pass exists anywhere. Count-shaped aggregates run as weighted sums
+    * (an injected row must contribute the whole prefix count, which
+    * `count()` cannot), and sum/mean require `exact = true`: the
+    * injected prefix is an aggregate, so only order-insensitive decimal
+    * accumulation reproduces the unsplit result bit-for-bit (a double
+    * running sum re-associates). Requires integral, per-key-unique,
+    * non-null `ord`.
+    */
+  private def cumSliced(op: String, value: Column, ord: Column,
+      mask: Option[Column], skipNa: Boolean, name: String, exact: Boolean,
+      wdt: Long): DataFrame = {
+    require(wdt > 0, s"sliceWidth must be positive, got $wdt")
+    require(!Seq("sum", "mean").contains(op) || exact,
+      s"sliceWidth cum $op needs exact=true: the injected prefix is an " +
+        "aggregate, and double running sums re-associate under slicing")
+    val sl = "__graft_slice"; val inj = "__graft_inj"
+    val o = "__graft_o"; val v = "__graft_v"
+    val cw = "__graft_cw"; val nw = "__graft_nw"
+    def fdiv(c: Column): Column =
+      ((c.cast("decimal(38,0)") - pmod(c, lit(wdt))) / lit(wdt)).cast("long")
+    val vRaw = mask.map(m => when(m, value)).getOrElse(value)
+    val decimal = exact && (op == "sum" || op == "mean")
+    val vCast = if (decimal) vRaw.cast(graft.functions.Num.SumDec) else vRaw
+    val nullFlag = mask.map(m => m && value.isNull).getOrElse(value.isNull)
+    val native = gb.dfWithKeys
+      .withColumn(o, ord)
+      .withColumn(v, vCast)
+      .withColumn(cw, when(vRaw.isNotNull, 1L).otherwise(0L))
+      .withColumn(nw, when(nullFlag, 1L).otherwise(0L))
+      .withColumn(sl, fdiv(col(o)))
+      .withColumn(inj, lit(0))
+    val keySl = gb.keyCols :+ col(sl)
+    // per-slice partials (non-null-key rows), then the running prefix
+    // over slice summaries — one row per occupied slice, tiny per key
+    val partials = native.filter(keysOk).groupBy(keySl: _*).agg(
+      F.sum(col(v)).as("__s"), F.min(col(v)).as("__mn"),
+      F.max(col(v)).as("__mx"), F.sum(col(cw)).as("__c"),
+      F.sum(col(nw)).as("__n"), F.max(col(o)).as("__mo"))
+    val pw = Window.partitionBy(gb.keyCols: _*).orderBy(col(sl))
+    val pwf = pw.rowsBetween(Window.unboundedPreceding, -1)
+    val prefixV = op match {
+      case "min" => F.min(col("__mn")).over(pwf)
+      case "max" => F.max(col("__mx")).over(pwf)
+      case _     => F.sum(col("__s")).over(pwf)
+    }
+    val vType = native.schema(v).dataType
+    val others = native.columns
+      .filterNot(c => gb.keyNames.contains(c) ||
+        Seq(o, v, cw, nw, sl, inj).contains(c))
+    val injected = partials
+      .withColumn("__pv", prefixV)
+      .withColumn("__pc", F.sum(col("__c")).over(pwf))
+      .withColumn("__pn", F.sum(col("__n")).over(pwf))
+      // the prefix's own max ord: strictly below this slice's range, so
+      // the injected row sorts first; null ord never arises (required
+      // non-null) and rn=1 slices (no predecessor) are dropped
+      .withColumn("__po", F.max(col("__mo")).over(pwf))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") > 1)
+      .select(
+        gb.keyNames.map(col) ++
+          others.map(c => lit(null).cast(native.schema(c).dataType).as(c)) ++
+          Seq(col("__po").as(o), col("__pv").cast(vType).as(v),
+            coalesce(col("__pc"), lit(0L)).as(cw),
+            coalesce(col("__pn"), lit(0L)).as(nw),
+            col(sl), lit(1).as(inj)): _*)
+    val cum = Window.partitionBy(keySl: _*).orderBy(col(o))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val v = mask.map(m => when(m, value)).getOrElse(value)
-    val out0 = liftAgg(op, v, exact, cum)
-    val out =
-      if (skipNa) out0
-      else {
-        val nullFlag = mask.map(m => m && value.isNull).getOrElse(value.isNull)
-        when(F.count(when(nullFlag, lit(1))).over(cum) === 0, out0)
-      }
-    gb.dfWithKeys.withColumn(name, when(keysOk, out))
+    val cnt = F.sum(col(cw)).over(cum)
+    val out0 = op match {
+      case "sum" =>
+        F.sum(col(v)).over(cum).cast(org.apache.spark.sql.types.DoubleType)
+      case "mean" => graft.functions.Num.safeDiv(
+        F.sum(col(v)).over(cum).cast(org.apache.spark.sql.types.DoubleType),
+        cnt.cast(org.apache.spark.sql.types.DoubleType))
+      case "min"   => F.min(col(v)).over(cum)
+      case "max"   => F.max(col(v)).over(cum)
+      case "count" => cnt
+      case other   => sys.error(s"unknown sliced cumulative op: $other")
+    }
+    val out = if (skipNa) out0 else when(F.sum(col(nw)).over(cum) === 0, out0)
+    native.unionByName(injected.select(native.columns.map(col): _*))
+      .withColumn(name, when(keysOk, out))
+      .filter(col(inj) === 0)
+      .drop(o, v, cw, nw, sl, inj)
   }
 
   def cumsum(value: Column, ord: Column, mask: Option[Column] = None,
       skipNa: Boolean = true, name: String = "cumsum",
-      exact: Boolean = false): DataFrame =
-    cumAgg("sum", value, ord, mask, skipNa, name, exact)
+      exact: Boolean = false, sliceWidth: Option[Long] = None): DataFrame =
+    cumAgg("sum", value, ord, mask, skipNa, name, exact, sliceWidth)
 
   def cummin(value: Column, ord: Column, mask: Option[Column] = None,
-      skipNa: Boolean = true, name: String = "cummin"): DataFrame =
-    cumAgg("min", value, ord, mask, skipNa, name)
+      skipNa: Boolean = true, name: String = "cummin",
+      sliceWidth: Option[Long] = None): DataFrame =
+    cumAgg("min", value, ord, mask, skipNa, name, sliceWidth = sliceWidth)
 
   def cummax(value: Column, ord: Column, mask: Option[Column] = None,
-      skipNa: Boolean = true, name: String = "cummax"): DataFrame =
-    cumAgg("max", value, ord, mask, skipNa, name)
+      skipNa: Boolean = true, name: String = "cummax",
+      sliceWidth: Option[Long] = None): DataFrame =
+    cumAgg("max", value, ord, mask, skipNa, name, sliceWidth = sliceWidth)
 
   /** 0-based running ordinal per group, counting all rows including
     * null values (reference `cumcount`, `numba.py:1816-1868`; masked
     * rows carry the previous count, leading masked rows yield −1 —
-    * kernel-faithful).
+    * kernel-faithful). `sliceWidth`: hot-key lever, see [[cumAgg]].
     */
   def cumcount(ord: Column, mask: Option[Column] = None,
-      name: String = "cumcount"): DataFrame = {
-    val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val counted = mask.map(m => when(m, lit(1))).getOrElse(lit(1))
-    gb.dfWithKeys.withColumn(name,
-      when(keysOk, F.count(counted).over(cum) - 1))
+      name: String = "cumcount",
+      sliceWidth: Option[Long] = None): DataFrame = sliceWidth match {
+    case Some(_) =>
+      // counted rows = rows whose `counted` is non-null; the sliced
+      // count op counts exactly those, and the -1 survives the
+      // keysOk-null passthrough (null - 1 = null)
+      val counted = mask.map(m => when(m, lit(1))).getOrElse(lit(1))
+      cumAgg("count", counted, ord, None, skipNa = true, name,
+        sliceWidth = sliceWidth)
+        .withColumn(name, col(name) - 1)
+    case None =>
+      val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counted = mask.map(m => when(m, lit(1))).getOrElse(lit(1))
+      gb.dfWithKeys.withColumn(name,
+        when(keysOk, F.count(counted).over(cum) - 1))
   }
 
   // ------------------------------------------------------------ shift/diff
 
   /** Lag (n>0) / lead (n<0) within group in `ord` order (reference
     * `core.py:1789-1838`). Masked rows emit null and are skipped by
-    * the shift stream (`numba.py:1533-1583`).
+    * the shift stream (`numba.py:1533-1583`). `sliceWidth`: hot-key
+    * lever (see [[rollingAgg]]) — a lag reaches at most n rows back
+    * (lead: forward), so slices inject n boundary rows; unsupported
+    * with mask.
     */
   def shift(value: Column, ord: Column, n: Int = 1,
-      mask: Option[Column] = None, name: String = "shift"): DataFrame =
-    mask match {
-      case None =>
+      mask: Option[Column] = None, name: String = "shift",
+      sliceWidth: Option[Long] = None): DataFrame = {
+    require(mask.isEmpty || sliceWidth.isEmpty,
+      "sliceWidth with mask is not supported: slice the masked " +
+        "sub-stream explicitly if it is skewed")
+    (mask, sliceWidth) match {
+      case (None, Some(wdt)) =>
+        slicedStream(value, ord, math.abs(n), wdt, forward = n < 0, name) {
+          (v, w) =>
+            when(keysOk,
+              if (n >= 0) lag(v, n).over(w) else lead(v, -n).over(w))
+        }
+      case (None, None) =>
         val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
         val e = if (n >= 0) lag(value, n).over(w) else lead(value, -n).over(w)
         gb.dfWithKeys.withColumn(name, when(keysOk, e))
-      case Some(_) =>
+      case (Some(_), _) =>
         subStream(value, ord, mask, name) { (v, w) =>
           if (n >= 0) lag(v, n).over(w.orderBy(col("__ord"))) else lead(v, -n).over(w.orderBy(col("__ord")))
         }
     }
+  }
 
-  /** `x[i] − x[i−n]` within group (reference `core.py:1840-1889`). */
+  /** `x[i] − x[i−n]` within group (reference `core.py:1840-1889`).
+    * `sliceWidth`: hot-key lever, as in [[shift]].
+    */
   def diff(value: Column, ord: Column, n: Int = 1,
-      mask: Option[Column] = None, name: String = "diff"): DataFrame =
-    mask match {
-      case None =>
+      mask: Option[Column] = None, name: String = "diff",
+      sliceWidth: Option[Long] = None): DataFrame = {
+    require(mask.isEmpty || sliceWidth.isEmpty,
+      "sliceWidth with mask is not supported: slice the masked " +
+        "sub-stream explicitly if it is skewed")
+    (mask, sliceWidth) match {
+      case (None, Some(wdt)) =>
+        slicedStream(value, ord, math.abs(n), wdt, forward = n < 0, name) {
+          (v, w) =>
+            when(keysOk,
+              v - (if (n >= 0) lag(v, n).over(w) else lead(v, -n).over(w)))
+        }
+      case (None, None) =>
         val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
         val lagged = if (n >= 0) lag(value, n).over(w) else lead(value, -n).over(w)
         gb.dfWithKeys.withColumn(name, when(keysOk, value - lagged))
-      case Some(_) =>
+      case (Some(_), _) =>
         subStream(value, ord, mask, name) { (v, w) =>
           val ww = w.orderBy(col("__ord"))
           v - (if (n >= 0) lag(v, n).over(ww) else lead(v, -n).over(ww))
         }
     }
+  }
 
   // -------------------------------------------------------------- rolling
 
@@ -194,20 +330,24 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     }
   }
 
-  /** Skew-split rolling (see [[rollingAgg]]): rows are windowed inside
-    * (key, time-slice) partitions; every frame that would reach into
-    * earlier slices is completed by injected copies of the last
-    * `window − 1` preceding rows. Those come from per-slice tails
-    * (each slice keeps its own last `window − 1` (ord, value) pairs —
-    * a window WITHIN the slice, so it parallelizes), concatenated per
-    * key in slice order and re-truncated, so a sparse slice correctly
-    * pulls rows from several slices back. Injected rows sort before
-    * all native rows of their slice (their ord values are strictly
-    * smaller) and are dropped after the window.
+  /** Shared machinery of the row-reaching skew-split ops (sliced
+    * rolling / shift / diff): rows are processed inside (key,
+    * time-slice) partitions, and every computation that would reach
+    * `lim` rows beyond the slice boundary is completed by injected
+    * copies of those rows. They come from per-slice tails — each slice
+    * keeps its own boundary-nearest `lim` (ord, value) pairs via a
+    * window WITHIN the slice, so it parallelizes — concatenated per key
+    * in slice order and re-truncated, so a sparse slice correctly pulls
+    * rows from several slices back. `forward = true` mirrors everything
+    * for lead-shaped ops: slice HEADS are carried to PRECEDING slices.
+    * Injected rows sort strictly outside their slice's native ord range
+    * (before it backward, after it forward) and are dropped after the
+    * window. `out` receives the materialized value column and the
+    * (key, slice)-partitioned, ord-ascending window.
     */
-  private def rollingSliced(op: String, value: Column, ord: Column,
-      window: Int, mp: Int, name: String, exact: Boolean,
-      wdt: Long): DataFrame = {
+  private def slicedStream(value: Column, ord: Column, lim: Int, wdt: Long,
+      forward: Boolean, name: String)(
+      out: (Column, org.apache.spark.sql.expressions.WindowSpec) => Column): DataFrame = {
     require(wdt > 0, s"sliceWidth must be positive, got $wdt")
     val sl = "__graft_slice"; val inj = "__graft_inj"
     val o = "__graft_o"; val v = "__graft_v"
@@ -217,13 +357,13 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     val native = gb.dfWithKeys
       .withColumn(o, ord).withColumn(v, value)
       .withColumn(sl, fdiv(col(o))).withColumn(inj, lit(0))
-    val lim = window - 1
     val injected = if (lim == 0) {
-      // window of 1 never reaches outside its slice
+      // a frame that never leaves the current row needs no injection
       native.limit(0)
     } else {
       val keySl = gb.keyCols :+ col(sl)
-      val tw = Window.partitionBy(keySl: _*).orderBy(col(o).desc)
+      val tw = Window.partitionBy(keySl: _*)
+        .orderBy(if (forward) col(o).asc else col(o).desc)
       val tails = native.filter(keysOk)
         .select(keySl :+ col(o) :+ col(v): _*)
         .withColumn("__r", row_number().over(tw))
@@ -232,15 +372,18 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
         .agg(sort_array(F.collect_list(struct(col(o).as("o"), col(v).as("v"))))
           .as("__tail"))
       // running concat over slice SUMMARIES (one row per occupied
-      // slice), truncated to the trailing window-1 entries — per-key
-      // data volume is slices × (window−1), not the raw rows
-      val sw = Window.partitionBy(gb.keyCols: _*).orderBy(col(sl))
+      // slice), truncated to the boundary-nearest lim entries — per-key
+      // data volume is slices × lim, not the raw rows
+      val sw = Window.partitionBy(gb.keyCols: _*)
+        .orderBy(if (forward) col(sl).desc else col(sl).asc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val carries = tailAgg
-        .withColumn("__prev", flatten(F.collect_list(col("__tail")).over(sw)))
+        .withColumn("__prev",
+          sort_array(flatten(F.collect_list(col("__tail")).over(sw))))
         .filter(F.size(col("__prev")) > 0)
         .withColumn("__keep",
-          when(F.size(col("__prev")) <= lim, col("__prev"))
+          if (forward) F.slice(col("__prev"), 1, lim)
+          else when(F.size(col("__prev")) <= lim, col("__prev"))
             .otherwise(F.slice(col("__prev"), -lim, lim)))
         .select(gb.keyCols ++ Seq(col(sl), explode(col("__keep")).as("__t")): _*)
       val others = native.columns
@@ -251,15 +394,23 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
           Seq(col("__t").getField("o").as(o), col("__t").getField("v").as(v),
             col(sl), lit(1).as(inj)): _*)
     }
-    val frame = Window.partitionBy(gb.keyCols :+ col(sl): _*)
-      .orderBy(col(o)).rowsBetween(-lim, Window.currentRow)
+    val w = Window.partitionBy(gb.keyCols :+ col(sl): _*).orderBy(col(o))
     native.unionByName(injected.select(native.columns.map(col): _*))
-      .withColumn(name,
-        when(keysOk && F.count(col(v)).over(frame) >= mp,
-          liftAgg(op, col(v), exact, frame)))
+      .withColumn(name, out(col(v), w))
       .filter(col(inj) === 0)
       .drop(o, v, sl, inj)
   }
+
+  /** Skew-split rolling (see [[rollingAgg]]'s `sliceWidth`). */
+  private def rollingSliced(op: String, value: Column, ord: Column,
+      window: Int, mp: Int, name: String, exact: Boolean,
+      wdt: Long): DataFrame =
+    slicedStream(value, ord, window - 1, wdt, forward = false, name) {
+      (v, w) =>
+        val frame = w.rowsBetween(-(window - 1), Window.currentRow)
+        when(keysOk && F.count(v).over(frame) >= mp,
+          liftAgg(op, v, exact, frame))
+    }
 
   def rollingSum(value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,

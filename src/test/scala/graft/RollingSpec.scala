@@ -158,6 +158,76 @@ class RollingSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative sliceWidth time-split equals the unsplit output (skew lever)") {
+    // same hot-key/nulls fixture shape as the rolling test; mask and
+    // skipNa=false exercise the injected prefix's weight and
+    // null-poison carries across slice boundaries
+    val rows = (1 to 400).map { i =>
+      val k = if (i % 2 == 0) 0 else i % 5
+      val v = if (i % 13 == 0) None else Some(i * 0.25)
+      (k, (i * 41 % 3989).toLong, v)
+    }
+    val d = rows.toDF("key", "ts", "v")
+    val gb = new GroupBy(d, Seq(col("key")))
+    def run(op: String, exact: Boolean, skipNa: Boolean,
+        mask: Option[org.apache.spark.sql.Column],
+        width: Option[Long]): Map[(Int, Long), Any] =
+      new RollingOps(gb)
+        .cumAgg(op, col("v"), col("ts"), mask, skipNa, "c", exact, width)
+        .select("key", "ts", "c").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    for {
+      (op, exact) <- Seq(("sum", true), ("mean", true), ("min", false),
+        ("max", false), ("count", false))
+      skipNa <- Seq(true, false)
+      mask <- Seq(None, Some(col("ts") % 3 =!= 0))
+    } {
+      val base = run(op, exact, skipNa, mask, None)
+      for (width <- Seq(50L, 100000L)) {
+        val split = run(op, exact, skipNa, mask, Some(width))
+        assert(split === base,
+          s"op=$op skipNa=$skipNa mask=${mask.isDefined} width=$width")
+      }
+    }
+    // cumcount (masked): -1 for leading masked rows must survive slicing
+    val ops = new RollingOps(gb)
+    val ccBase = ops.cumcount(col("ts"), Some(col("ts") % 3 =!= 0))
+      .select("key", "ts", "cumcount").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    val ccSplit = ops.cumcount(col("ts"), Some(col("ts") % 3 =!= 0),
+        sliceWidth = Some(50L))
+      .select("key", "ts", "cumcount").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    assert(ccSplit === ccBase)
+    // sum/mean without exact must be rejected under slicing
+    intercept[IllegalArgumentException] {
+      ops.cumsum(col("v"), col("ts"), sliceWidth = Some(50L))
+    }
+  }
+
+  test("shift/diff sliceWidth time-split equals the unsplit output (lag and lead)") {
+    val rows = (1 to 400).map { i =>
+      val k = if (i % 2 == 0) 0 else i % 5
+      val v = if (i % 13 == 0) None else Some(i * 0.25)
+      (k, (i * 41 % 3989).toLong, v)
+    }
+    val d = rows.toDF("key", "ts", "v")
+    val gb = new GroupBy(d, Seq(col("key")))
+    val ops = new RollingOps(gb)
+    def grab(df: DataFrame, c: String): Map[(Int, Long), Any] =
+      df.select(col("key"), col("ts"), col(c)).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    for {
+      n <- Seq(1, 3, -2) // lag 1, lag 3 (multi-row tail), lead 2 (heads)
+      width <- Seq(50L, 100000L)
+    } {
+      assert(grab(ops.shift(col("v"), col("ts"), n, sliceWidth = Some(width)), "shift")
+        === grab(ops.shift(col("v"), col("ts"), n), "shift"), s"shift n=$n width=$width")
+      assert(grab(ops.diff(col("v"), col("ts"), n, sliceWidth = Some(width)), "diff")
+        === grab(ops.diff(col("v"), col("ts"), n), "diff"), s"diff n=$n width=$width")
+    }
+  }
+
   test("null-key rows emit null from window ops") {
     val d = Seq((0, Some(1), Some(1.0)), (1, None, Some(2.0)))
       .toDF("ord", "key", "value")
