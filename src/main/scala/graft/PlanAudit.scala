@@ -66,6 +66,35 @@ object PlanAudit {
       graft.operators.Similarity.bruteForceTopK(embs,
         embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 5)
     }
+    show("embedding pairs, default LSH bucketing (bucket equijoin, no cross)") {
+      val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embeddingPairs(embs, col("vec_id"), col("embedding"),
+        threshold = 0.4)
+    }
+    show("asof sliceWidth (windows on (key, slice); summary-sized carry side)") {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          col("event_type"))
+      graft.operators.Joins.asof(
+        ev.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value").as("p_value")),
+        Seq("user_id"), "ts", "ts", rightVals = Seq("p_value" -> "p_value"),
+        sliceWidth = Some(21600000000000L))
+    }
+    show("rolling sliceWidth (per-slice tails; no full-key window anywhere)") {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      new graft.operators.RollingOps(new GroupBy(ev, Seq(col("user_id"))))
+        .rollingSum(col("value"), col("ts"), 50, minPeriods = Some(1),
+          sliceWidth = Some(21600000000000L))
+    }
+    show("cumsum sliceWidth (one injected prefix row per slice)") {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      new graft.operators.RollingOps(new GroupBy(ev, Seq(col("user_id"))))
+        .cumsum(col("value"), col("ts"), exact = true,
+          sliceWidth = Some(21600000000000L))
+    }
     spark.stop()
   }
 }
