@@ -226,6 +226,15 @@ class RollingSpec extends AnyFunSuite {
       assert(grab(ops.diff(col("v"), col("ts"), n, sliceWidth = Some(width)), "diff")
         === grab(ops.diff(col("v"), col("ts"), n), "diff"), s"diff n=$n width=$width")
     }
+    // sliced results must not depend on the physical partitioning of
+    // the input (tail/carry assembly is explicitly sorted everywhere)
+    val base13 = new RollingOps(new GroupBy(d.repartition(13), Seq(col("key"))))
+    val base1 = new RollingOps(new GroupBy(d.repartition(1), Seq(col("key"))))
+    assert(
+      grab(base13.rollingSum(col("v"), col("ts"), 7, minPeriods = Some(1),
+        exact = true, sliceWidth = Some(50L)), "rolling_sum")
+        === grab(base1.rollingSum(col("v"), col("ts"), 7, minPeriods = Some(1),
+          exact = true, sliceWidth = Some(50L)), "rolling_sum"))
   }
 
   test("null-key rows emit null from window ops") {
