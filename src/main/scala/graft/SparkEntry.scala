@@ -143,20 +143,30 @@ object SparkEntry {
     * scores replay bit-identically.
     */
   private def embPairsLshOracleSql(planes: Int, dim: Int,
-      threshold: Double, seed: Long): String = {
-    val hp = Similarity.hyperplanes(planes, dim, seed)
-    val dots = hp.map { w =>
-      val wlist = w.mkString("[", ", ", "]")
-      s"list_sum(list_transform(generate_series(1, $dim), " +
-        s"ii -> CAST(CAST(embedding[ii] AS DOUBLE) * ($wlist)[ii] AS DECIMAL(38,8))))"
-    }.mkString("[", ", ", "]")
-    val bucket = (0 until planes).map(i =>
-      s"(CASE WHEN dots[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
-    s"""WITH d0 AS (SELECT vec_id, embedding, $dots AS dots FROM embeddings),
-       |b AS (SELECT vec_id, embedding, $bucket AS bucket FROM d0),
-       |cand AS (SELECT x.vec_id AS ida, y.vec_id AS idb,
+      threshold: Double, seed: Long, tables: Int = 1): String = {
+    // one (dots_t, bucket_t) pair per hash table, seeds seed + t —
+    // mirrors Dedup.embeddingPairs(tables = ...) term for term
+    val perTable = (0 until tables).map { t =>
+      val hp = Similarity.hyperplanes(planes, dim, seed + t)
+      val dots = hp.map { w =>
+        val wlist = w.mkString("[", ", ", "]")
+        s"list_sum(list_transform(generate_series(1, $dim), " +
+          s"ii -> CAST(CAST(embedding[ii] AS DOUBLE) * ($wlist)[ii] AS DECIMAL(38,8))))"
+      }.mkString("[", ", ", "]")
+      val bucket = (0 until planes).map(i =>
+        s"(CASE WHEN dots$t[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      (s"$dots AS dots$t", s"$bucket AS bucket$t")
+    }
+    val dotCols = perTable.map(_._1).mkString(", ")
+    val bucketCols = perTable.map(_._2).mkString(", ")
+    val anyShared = (0 until tables).map(t => s"x.bucket$t = y.bucket$t")
+      .mkString(" OR ")
+    s"""WITH d0 AS (SELECT vec_id, embedding, $dotCols FROM embeddings),
+       |b AS (SELECT vec_id, embedding, $bucketCols FROM d0),
+       |cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb,
        |    x.embedding AS ea, y.embedding AS eb
-       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |  FROM b x JOIN b y ON ($anyShared) AND x.vec_id < y.vec_id),
        |t AS (SELECT ida, idb, unnest(ea)::DOUBLE AS x, unnest(eb)::DOUBLE AS y
        |  FROM cand),
        |d AS (SELECT ida, idb,
@@ -1213,6 +1223,17 @@ object SparkEntry {
         .orderBy(col("ida"), col("idb")),
       Some(embPairsLshOracleSql(planes = 4, dim = 64, threshold = 0.4,
         seed = 42L))),
+
+    Q("emb_dup_pairs_lsh2",
+      // multi-table LSH: finer buckets (6 planes) to bound within-
+      // bucket fan-out, two independent hash tables to recover recall;
+      // exercises the ids-only pair dedup + vector re-join path
+      (s, dir) => Dedup.embeddingPairs(T(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), threshold = 0.4,
+          planes = scala.Some(6), exact = true, tables = 2)
+        .orderBy(col("ida"), col("idb")),
+      Some(embPairsLshOracleSql(planes = 6, dim = 64, threshold = 0.4,
+        seed = 42L, tables = 2))),
 
     Q("win_sliding",
       (s, dir) => EventStreams.sliding(T(s, dir, "events"), "2 days", "1 day")

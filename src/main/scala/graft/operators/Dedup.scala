@@ -243,21 +243,50 @@ object Dedup {
     * accumulation for both the bucket-sign dots and the cosine scores,
     * making the bucketed output replayable cross-engine from the
     * seeded hyperplanes.
+    *
+    * `tables` is the recall/fan-out dial for dense corpora: at scale
+    * you want MORE planes (finer buckets bound the within-bucket pair
+    * fan-out) and several independent hash tables (seeds `seed + t`)
+    * to recover the recall the finer buckets lose — candidates share a
+    * bucket in ANY table. With `tables > 1` the per-table joins carry
+    * only (bucket, id) — pairs are deduplicated on ids alone and the
+    * two vectors re-joined once (same shuffle economics as
+    * [[minHashCandidates]]).
     */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double, planes: Option[Int] = scala.Some(16),
-      exact: Boolean = false, seed: Long = 42L): DataFrame = {
+      exact: Boolean = false, seed: Long = 42L,
+      tables: Int = 1): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
     val a = df.select(id.as("ida"), vec.as("va"))
     val b = df.select(id.as("idb"), vec.as("vb"))
     val pairs = planes match {
       case scala.Some(p) =>
         val dim = df.select(F.size(vec)).head().getInt(0)
-        val hp = Similarity.hyperplanes(p, dim, seed)
-        val ab = df.select(id.as("ida"), vec.as("va"),
-          Similarity.lshBucket(vec, hp, exact).as("bucket"))
-        val bb = df.select(id.as("idb"), vec.as("vb"),
-          Similarity.lshBucket(vec, hp, exact).as("bucket"))
-        ab.join(bb, Seq("bucket")).filter(col("ida") < col("idb"))
+        def bucketed(t: Int): (DataFrame, DataFrame) = {
+          val hp = Similarity.hyperplanes(p, dim, seed + t)
+          (df.select(id.as("ida"), vec.as("va"),
+            Similarity.lshBucket(vec, hp, exact).as("bucket")),
+            df.select(id.as("idb"), vec.as("vb"),
+              Similarity.lshBucket(vec, hp, exact).as("bucket")))
+        }
+        if (tables == 1) {
+          // one bucket per vector: a pair can match at most once, no
+          // dedup pass needed and the vectors ride the single join
+          val (ab, bb) = bucketed(0)
+          ab.join(bb, Seq("bucket")).filter(col("ida") < col("idb"))
+        } else {
+          val idPairs = (0 until tables).map { t =>
+            val (ab, bb) = bucketed(t)
+            ab.select(col("ida"), col("bucket"))
+              .join(bb.select(col("idb"), col("bucket")), Seq("bucket"))
+              .filter(col("ida") < col("idb"))
+              .select(col("ida"), col("idb"))
+          }.reduce(_ unionByName _).distinct()
+          idPairs
+            .join(df.select(id.as("ida"), vec.as("va")), Seq("ida"))
+            .join(df.select(id.as("idb"), vec.as("vb")), Seq("idb"))
+        }
       case scala.None =>
         a.join(b, col("ida") < col("idb"))
     }

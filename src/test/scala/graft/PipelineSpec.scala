@@ -150,6 +150,13 @@ class PipelineSpec extends AnyFunSuite {
     // keeps most of them
     assert(lsh.size.toDouble / all.size >= 0.5,
       s"bucketed recall ${lsh.size.toDouble / all.size} over ${all.size}")
+    // multi-table: table 0 uses the same seed, so candidates are a
+    // superset of single-table; still exact-scored, so still ⊆ all
+    val lsh3 = Dedup.embeddingPairs(df, col("vec_id"), col("embedding"),
+        threshold = 0.8, tables = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(lsh3), "multi-table lost single-table candidates")
+    assert(lsh3.subsetOf(all))
   }
 
   test("cosine of identical vectors is 1, orthogonal is 0") {
