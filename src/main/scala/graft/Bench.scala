@@ -67,9 +67,12 @@ object Bench {
       "crosstab" -> (() => Reshape.crosstab(orders, Seq(col("o_orderstatus")),
         col("o_orderpriority"), margins = Margins.All, fillZero = true)),
       // LLM-pipeline extension ops — the surface where the real 100 TB
-      // risk lives; benched on their production (non-oracle) paths
-      "dedup_minhash" -> (() => Dedup.minHashPairs(docs, col("doc_id"),
-        col("text"))),
+      // risk lives; benched on their production (non-oracle) paths.
+      // Ops that persist per-build intermediates (dedup_minhash,
+      // pipeline_e2e) live in their own group below: each build caches a
+      // NEW signature table that only the ContextCleaner releases, and in
+      // round 4 that churn spanned adjacent ops' timed runs (gb_count
+      // 6x, rolling_sum 4.8x transients).
       "lsh_topk" -> (() => Similarity.lshTopK(embs,
         embs.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
         10, planes = 10, nProbe = 4)),
@@ -80,7 +83,17 @@ object Bench {
           .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
             col("value").as("p_value")),
         Seq("user_id"), "ts", "ts",
-        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))),
+        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value")))
+    )
+
+    // Ops that persist a per-build intermediate (minHashPairs caches its
+    // signature table), measured in their own group AFTER the
+    // reference-mirror loop so block-manager churn from cache
+    // accumulation cannot pollute the headline rows (the prodDedupOps
+    // pattern below).
+    val persistOps: Seq[(String, () => DataFrame)] = Seq(
+      "dedup_minhash" -> (() => Dedup.minHashPairs(docs, col("doc_id"),
+        col("text"))),
       // composed pipeline (quality filter → near-dup removal → join →
       // grouped agg): catches composition regressions — recomputation,
       // partitioning lost between stages — that single-op rows hide
@@ -208,9 +221,9 @@ object Bench {
         Seq("user_id"), "ts", "ts",
         rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))))
 
-    // skew + x10 groups: heavier inputs, so 1 warm + 2 timed (the JIT
-    // universe is already compiled by the main loop — these reuse the
-    // same operators on different data)
+    // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
+    // timed (the JIT universe is already compiled by the main loop —
+    // these reuse the same operators on different data)
     def measureGroup(group: Seq[(String, () => DataFrame)]): Seq[(String, Double)] = {
       group.foreach { case (_, build) => force(build()) }
       group.map { case (name, build) =>
@@ -222,15 +235,19 @@ object Bench {
         name -> t
       }
     }
+    val persistResults = measureGroup(persistOps)
     val prodDedupResults = measureGroup(prodDedupOps)
     val skewResults = measureGroup(skewOps)
     hotLeft.unpersist(); hotRight.unpersist()
     val x10Results = measureGroup(x10Ops)
 
-    val all = results ++ prodDedupResults ++ skewResults ++ x10Results
+    val all = results ++ persistResults ++ prodDedupResults ++ skewResults ++ x10Results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // same op set as prior rounds' "total" (main loop + the two
+    // persisting ops, now measured separately), so the headline stays
+    // comparable round-over-round
+    val total = (results ++ persistResults).map(_._2).sum
     // scaling exponent per x10 op: log10(t_x10 / t_x1) — 1.0 = linear,
     // <1 sublinear (fixed overheads amortizing), >1 superlinear (a
     // plan that would not survive 100 TB)

@@ -649,6 +649,20 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER ($cumFrameSql) AS DOUBLE) AS cumsum
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    Q("cum_sum_split",
+      // the sliceWidth skew lever must emit EXACTLY the unsplit output —
+      // gated against the same independent DuckDB ROWS-BETWEEN oracle as
+      // cum_sum, not this engine's own unsplit path (join_asof_split is
+      // the template). 6h micros slices cut each user's range into ~30
+      // windows; ord is ts_us (integral, per-key-unique).
+      (s, dir) => evOut(new RollingOps(
+          new GroupBy(eventsUs(s, dir), Seq(col("user_id"))))
+        .cumsum(col("value"), col("ts_us"), exact = true,
+          sliceWidth = Some(21600000000L)), "cumsum"),
+      Some(s"""SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER ($cumFrameSql) AS DOUBLE) AS cumsum
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     Q("cum_sum_masked",
       (s, dir) => evOut(new RollingOps(evGb(s, dir))
         .cumsum(nullableValue, col("ts"), mask = Some(col("event_type") =!= "click"),
@@ -730,6 +744,19 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
 
+    Q("roll_sum_split",
+      // sliced rolling vs the same independent ROWS-BETWEEN oracle as
+      // roll_sum_mean (not the engine's own unsplit path)
+      (s, dir) => evOut(new RollingOps(
+          new GroupBy(eventsUs(s, dir), Seq(col("user_id"))))
+        .rollingSum(col("value"), col("ts_us"), 50, minPeriods = Some(1),
+          exact = true, sliceWidth = Some(21600000000L)), "rolling_sum"),
+      Some("""SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
     Q("roll_minmax",
       (s, dir) => {
         val d1 = new RollingOps(evGb(s, dir))
@@ -759,6 +786,26 @@ object SparkEntry {
         |) s ON e.user_id = s.user_id AND e.ts = s.ts
         |ORDER BY e.event_id""".stripMargin)),
 
+    Q("roll_sum_masked_split",
+      // masked + sliceWidth: the sliced machinery applied to the
+      // mask-filtered sub-stream (the round-4 gap — a skewed key stays
+      // skewed after filtering), vs the same sub-stream-join oracle as
+      // roll_sum_masked
+      (s, dir) => evOut(new RollingOps(
+          new GroupBy(eventsUs(s, dir), Seq(col("user_id"))))
+        .rollingSum(col("value"), col("ts_us"), 10, minPeriods = Some(3),
+          mask = Some(col("event_type") =!= "click"), exact = true,
+          sliceWidth = Some(21600000000L)), "rolling_sum"),
+      Some("""SELECT e.event_id, e.user_id, s.rolling_sum
+        |FROM events e LEFT JOIN (
+        |  SELECT user_id, ts,
+        |    CASE WHEN COUNT(value) OVER w >= 3
+        |      THEN CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) END AS rolling_sum
+        |  FROM events WHERE event_type <> 'click'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |) s ON e.user_id = s.user_id AND e.ts = s.ts
+        |ORDER BY e.event_id""".stripMargin)),
+
     Q("sessionize",
       (s, dir) => {
         // ts arrives as long nanos (nanosAsLong) or as a timestamp,
@@ -770,6 +817,30 @@ object SparkEntry {
         }
         evOut(new RollingOps(new GroupBy(ev, Seq(col("user_id"))))
           .groupNearbyMembers(tsVal, col("ts"), gap), "subgroup")
+      },
+      Some(s"""SELECT event_id, user_id,
+        | CAST(SUM(flag) OVER ($cumFrameSql) AS BIGINT) AS subgroup
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts) > 43200000000 THEN 1 ELSE 0 END AS flag
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("sessionize_split",
+      // groupNearbyMembers' sliceWidth lever vs the same independent
+      // oracle as sessionize; ord is the integral ts value itself
+      // (same order as ts), slices are 6h in its unit
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val (tsVal, gap, width) = ev.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            (col("ts"), 4.32e13, 21600000000000L)
+          case _ => (unix_micros(col("ts")), 4.32e10, 21600000000L)
+        }
+        evOut(new RollingOps(new GroupBy(ev, Seq(col("user_id"))))
+          .groupNearbyMembers(tsVal, tsVal, gap,
+            sliceWidth = Some(width)), "subgroup")
       },
       Some(s"""SELECT event_id, user_id,
         | CAST(SUM(flag) OVER ($cumFrameSql) AS BIGINT) AS subgroup

@@ -222,7 +222,24 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       seed: Long = 42L,
       baseHash: Column => Column = xxhash64(_),
-      cacheSignatures: Boolean = true): DataFrame = {
+      cacheSignatures: Boolean = true): DataFrame =
+    minHashPairsWithSignatures(df, id, text, n, k, bands, threshold, seed,
+      baseHash, cacheSignatures)._1
+
+  /** [[minHashPairs]] variant that also returns the (persisted, when
+    * `cacheSignatures`) signature table the pairs were built on. The
+    * cache entry is otherwise released only when the ContextCleaner
+    * collects the unreachable plan — fine for one-shot jobs, but a
+    * long-lived session issuing many dedups can accumulate
+    * MEMORY_AND_DISK entries between GC cycles. With the handle the
+    * caller can `unpersist()` deterministically once the pairs are
+    * materialized (or reuse the signatures for further banding runs).
+    */
+  def minHashPairsWithSignatures(df: DataFrame, id: Column, text: Column,
+      n: Int = 2, k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_),
+      cacheSignatures: Boolean = true): (DataFrame, DataFrame) = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands (bands > k would make " +
         "every per-band slice empty — all docs collide in every bucket)")
@@ -231,7 +248,7 @@ object Dedup {
       if (cacheSignatures)
         sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs
-    minHashCandidates(shared, bands, threshold)
+    (minHashCandidates(shared, bands, threshold), shared)
   }
 
   /** Embedding-cosine near-duplicate pairs. With `planes` set (the
@@ -252,19 +269,29 @@ object Dedup {
     * only (bucket, id) — pairs are deduplicated on ids alone and the
     * two vectors re-joined once (same shuffle economics as
     * [[minHashCandidates]]).
+    *
+    * `dim` is the embedding dimensionality; when omitted it is probed
+    * with one tiny driver job (`select size(vec) limit 1`) — supply it
+    * for fully lazy composition (streaming frames cannot run the
+    * probe).
     */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double, planes: Option[Int] = scala.Some(16),
       exact: Boolean = false, seed: Long = 42L,
-      tables: Int = 1): DataFrame = {
+      tables: Int = 1, dim: Option[Int] = scala.None): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(dim.forall(_ > 0), s"dim must be positive, got $dim")
     val a = df.select(id.as("ida"), vec.as("va"))
     val b = df.select(id.as("idb"), vec.as("vb"))
     val pairs = planes match {
       case scala.Some(p) =>
-        val dim = df.select(F.size(vec)).head().getInt(0)
+        // the hyperplane table needs the embedding dimensionality; the
+        // fallback probe is one tiny driver job, but it IS a driver
+        // action inside an otherwise lazy builder (and fails on a
+        // streaming frame) — pass `dim` to stay fully lazy
+        val d = dim.getOrElse(df.select(F.size(vec)).head().getInt(0))
         def bucketed(t: Int): (DataFrame, DataFrame) = {
-          val hp = Similarity.hyperplanes(p, dim, seed + t)
+          val hp = Similarity.hyperplanes(p, d, seed + t)
           (df.select(id.as("ida"), vec.as("va"),
             Similarity.lshBucket(vec, hp, exact).as("bucket")),
             df.select(id.as("idb"), vec.as("vb"),

@@ -38,6 +38,8 @@ object Joins {
     * For every left row, picks the single right row with the same `on`
     * keys whose `rightTs` is nearest `leftTs` in `direction`; left rows
     * with no admissible match keep null right values (LEFT semantics).
+    * A left row with a NULL `leftTs` never matches (deterministic null
+    * right values, on the split and unsplit paths alike).
     *
     * @param on        equi-join key column names, present on both sides
     * @param leftTs    left ordering column name (numeric or orderable;
@@ -193,7 +195,11 @@ object Joins {
         }
         d <= lit(t)
     }
-    val admissible = col(matchedRaw).isNotNull && inTol
+    // a null left ts is never an admissible match target: without this
+    // guard the unsplit Forward window (ts desc sorts nulls last) would
+    // hand a null-ts left row the earliest right payload, while the
+    // sliced path gives it none — both paths now agree on "no match"
+    val admissible = col(ts).isNotNull && col(matchedRaw).isNotNull && inTol
     val matched = when(admissible, col(matchedRaw))
 
     val outCols =

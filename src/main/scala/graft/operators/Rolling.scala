@@ -37,6 +37,19 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     if (gb.dropNullKeys) gb.keyNames.map(col(_).isNotNull).reduce(_ && _)
     else lit(true)
 
+  /** Materializes `ord` for a sliced path, failing loudly when a
+    * grouped row carries a null ord: the slicing machinery would file
+    * it under a null slice that receives no carry/prefix injection, so
+    * the output would silently diverge from the unsplit path (which
+    * sorts nulls first) instead of erroring. Null-KEY rows pass
+    * through — they emit null output on every path anyway.
+    */
+  private def checkedOrd(ord: Column): Column =
+    when(keysOk && ord.isNull, raise_error(lit(
+      "graft: sliceWidth requires a non-null ord on every grouped row " +
+        "(null ords silently diverge from the unsplit path)")))
+      .otherwise(ord)
+
   private def aggOf(op: String, v: Column): Column = op match {
     case "sum"   => F.sum(v)
     case "mean"  => F.avg(v)
@@ -122,7 +135,7 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     val vCast = if (decimal) vRaw.cast(graft.functions.Num.SumDec) else vRaw
     val nullFlag = mask.map(m => m && value.isNull).getOrElse(value.isNull)
     val native = gb.dfWithKeys
-      .withColumn(o, ord)
+      .withColumn(o, checkedOrd(ord))
       .withColumn(v, vCast)
       .withColumn(cw, when(vRaw.isNotNull, 1L).otherwise(0L))
       .withColumn(nw, when(nullFlag, 1L).otherwise(0L))
@@ -229,16 +242,17 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     * `core.py:1789-1838`). Masked rows emit null and are skipped by
     * the shift stream (`numba.py:1533-1583`). `sliceWidth`: hot-key
     * lever (see [[rollingAgg]]) — a lag reaches at most n rows back
-    * (lead: forward), so slices inject n boundary rows; unsupported
-    * with mask.
+    * (lead: forward), so slices inject n boundary rows; combined with
+    * `mask` it slices the filtered sub-stream ([[maskedSliced]]).
     */
   def shift(value: Column, ord: Column, n: Int = 1,
       mask: Option[Column] = None, name: String = "shift",
-      sliceWidth: Option[Long] = None): DataFrame = {
-    require(mask.isEmpty || sliceWidth.isEmpty,
-      "sliceWidth with mask is not supported: slice the masked " +
-        "sub-stream explicitly if it is skewed")
+      sliceWidth: Option[Long] = None): DataFrame =
     (mask, sliceWidth) match {
+      case (Some(m), Some(_)) =>
+        maskedSliced(value, ord, m, name) { sub =>
+          sub.shift(col("__v"), col("__ord"), n, None, name, sliceWidth)
+        }
       case (None, Some(wdt)) =>
         slicedStream(value, ord, math.abs(n), wdt, forward = n < 0, name) {
           (v, w) =>
@@ -249,23 +263,23 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
         val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
         val e = if (n >= 0) lag(value, n).over(w) else lead(value, -n).over(w)
         gb.dfWithKeys.withColumn(name, when(keysOk, e))
-      case (Some(_), _) =>
+      case (Some(_), None) =>
         subStream(value, ord, mask, name) { (v, w) =>
           if (n >= 0) lag(v, n).over(w.orderBy(col("__ord"))) else lead(v, -n).over(w.orderBy(col("__ord")))
         }
     }
-  }
 
   /** `x[i] − x[i−n]` within group (reference `core.py:1840-1889`).
     * `sliceWidth`: hot-key lever, as in [[shift]].
     */
   def diff(value: Column, ord: Column, n: Int = 1,
       mask: Option[Column] = None, name: String = "diff",
-      sliceWidth: Option[Long] = None): DataFrame = {
-    require(mask.isEmpty || sliceWidth.isEmpty,
-      "sliceWidth with mask is not supported: slice the masked " +
-        "sub-stream explicitly if it is skewed")
+      sliceWidth: Option[Long] = None): DataFrame =
     (mask, sliceWidth) match {
+      case (Some(m), Some(_)) =>
+        maskedSliced(value, ord, m, name) { sub =>
+          sub.diff(col("__v"), col("__ord"), n, None, name, sliceWidth)
+        }
       case (None, Some(wdt)) =>
         slicedStream(value, ord, math.abs(n), wdt, forward = n < 0, name) {
           (v, w) =>
@@ -276,13 +290,12 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
         val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
         val lagged = if (n >= 0) lag(value, n).over(w) else lead(value, -n).over(w)
         gb.dfWithKeys.withColumn(name, when(keysOk, value - lagged))
-      case (Some(_), _) =>
+      case (Some(_), None) =>
         subStream(value, ord, mask, name) { (v, w) =>
           val ww = w.orderBy(col("__ord"))
           v - (if (n >= 0) lag(v, n).over(ww) else lead(v, -n).over(ww))
         }
     }
-  }
 
   // -------------------------------------------------------------- rolling
 
@@ -300,20 +313,22 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     * per-slice tail summaries, never a full-key pass). One hot key
     * then spreads over (time range / sliceWidth) tasks instead of
     * serializing on one. Requires an integral, per-key-unique,
-    * non-null `ord`; unsupported together with `mask` (the masked
-    * variant already runs on a reduced sub-stream — slice that
-    * sub-stream's join-back instead if it is itself skewed). Output
-    * equals the unsplit path (DifferentialSpec).
+    * non-null `ord`; combined with `mask` it slices the mask-filtered
+    * sub-stream ([[maskedSliced]] — a skewed key usually stays skewed
+    * after filtering). Output equals the unsplit path
+    * (DifferentialSpec).
     */
   def rollingAgg(op: String, value: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, mask: Option[Column] = None,
       name: String = "rolling", exact: Boolean = false,
       sliceWidth: Option[Long] = None): DataFrame = {
     val mp = minPeriods.getOrElse(window)
-    require(mask.isEmpty || sliceWidth.isEmpty,
-      "sliceWidth with mask is not supported: slice the masked " +
-        "sub-stream explicitly if it is skewed")
     (mask, sliceWidth) match {
+      case (Some(m), Some(_)) =>
+        maskedSliced(value, ord, m, name) { sub =>
+          sub.rollingAgg(op, col("__v"), col("__ord"), window, Some(mp),
+            None, name, exact, sliceWidth)
+        }
       case (None, Some(wdt)) =>
         rollingSliced(op, value, ord, window, mp, name, exact, wdt)
       case (None, None) =>
@@ -322,7 +337,7 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
         gb.dfWithKeys.withColumn(name,
           when(keysOk && F.count(value).over(frame) >= mp,
             liftAgg(op, value, exact, frame)))
-      case (Some(_), _) =>
+      case (Some(_), None) =>
         subStream(value, ord, mask, name) { (v, w) =>
           val frame = w.orderBy(col("__ord")).rowsBetween(-(window - 1), Window.currentRow)
           when(F.count(v).over(frame) >= mp, liftAgg(op, v, exact, frame))
@@ -355,7 +370,7 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     def fdiv(c: Column): Column =
       ((c.cast("decimal(38,0)") - pmod(c, lit(wdt))) / lit(wdt)).cast("long")
     val native = gb.dfWithKeys
-      .withColumn(o, ord).withColumn(v, value)
+      .withColumn(o, checkedOrd(ord)).withColumn(v, value)
       .withColumn(sl, fdiv(col(o))).withColumn(inj, lit(0))
     val injected = if (lim == 0) {
       // a frame that never leaves the current row needs no injection
@@ -460,6 +475,28 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
       .drop("__ord")
   }
 
+  /** Masked + sliceWidth: the masked variants run on the mask-filtered
+    * sub-stream, which can itself be hot-key skewed (a bot-heavy key
+    * stays hot after a quality filter). This builds a [[RollingOps]]
+    * over that sub-stream — where the whole sliced machinery applies
+    * unchanged — lets `run` compute the sliced op on it, and joins the
+    * result back on (keys, ord) exactly like [[subStream]]. Same
+    * contract as the unmasked sliced paths: integral, per-key-unique,
+    * non-null `ord` (on the sub-stream's rows).
+    */
+  private def maskedSliced(value: Column, ord: Column, mask: Column,
+      name: String)(run: RollingOps => DataFrame): DataFrame = {
+    val sub = gb.base.filter(mask)
+      .select(gb.keyCols :+ ord.as("__ord") :+ value.as("__v"): _*)
+    val subOut = run(new RollingOps(
+        new GroupBy(sub, gb.keyNames.map(col), gb.sort, gb.dropNullKeys)))
+      .select(gb.keyCols :+ col("__ord") :+ col(name): _*)
+    gb.dfWithKeys
+      .withColumn("__ord", ord)
+      .join(subOut, gb.keyNames :+ "__ord", "left")
+      .drop("__ord")
+  }
+
   // -------------------------------------------------------- sessionization
 
   /** Split each group into sub-groups wherever the gap between
@@ -469,13 +506,33 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     * sub-group index (`name`); pair with the group keys for a global
     * identity. The streaming twin is `session_window(ts, gap)`
     * (graft.streaming).
+    *
+    * `sliceWidth`: hot-key lever, same contract as [[rollingAgg]]
+    * (integral, per-key-unique, non-null `ord`). The op decomposes
+    * into the two sliced shapes already proven: gap flags via a 1-row
+    * lag completed across slice boundaries ([[slicedStream]]), then
+    * the running gap count as a sliced cumulative count (one
+    * count-weighted prefix row per slice, [[cumAgg]]) — both carries
+    * are slice-summary-sized, no full-key pass anywhere.
     */
   def groupNearbyMembers(value: Column, ord: Column, maxDiff: Double,
-      name: String = "subgroup"): DataFrame = {
-    val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gap = when(value - lag(value, 1).over(w) > maxDiff, lit(1)).otherwise(lit(0))
-    gb.dfWithKeys.withColumn(name, when(keysOk, F.sum(gap).over(cum)))
+      name: String = "subgroup",
+      sliceWidth: Option[Long] = None): DataFrame = sliceWidth match {
+    case Some(wdt) =>
+      val flag = "__graft_gap"
+      val flagged = slicedStream(value, ord, 1, wdt, forward = false, flag) {
+        (v, w) => when(v - lag(v, 1).over(w) > maxDiff, lit(1))
+      }
+      new RollingOps(new GroupBy(flagged, gb.keyNames.map(col), gb.sort,
+          gb.dropNullKeys))
+        .cumAgg("count", col(flag), ord, None, skipNa = true, name,
+          sliceWidth = sliceWidth)
+        .drop(flag)
+    case None =>
+      val w = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = when(value - lag(value, 1).over(w) > maxDiff, lit(1)).otherwise(lit(0))
+      gb.dfWithKeys.withColumn(name, when(keysOk, F.sum(gap).over(cum)))
   }
 }
 

@@ -204,6 +204,27 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === Set((1, 10)))
   }
 
+  test("asof: a null left ts never matches (both directions, split and unsplit)") {
+    // without the guard, the unsplit Forward window (ts desc, nulls
+    // last) hands a null-ts left row the earliest right payload while
+    // the sliced path gives it none — both must emit no match
+    val l = Seq((Option("a"), Option(10L), 1), (Option("a"), Option.empty[Long], 2))
+      .toDF("key", "ts", "lid")
+    val r = Seq(("a", 5L, 100.0)).toDF("key", "ts", "px")
+    for {
+      dir <- Seq(Joins.Backward, Joins.Forward)
+      width <- Seq(None, Some(7L))
+    } {
+      val out = Joins.asof(l, r, Seq("key"), "ts", "ts",
+        rightVals = Seq("px" -> "px"), direction = dir, sliceWidth = width)
+      val m = out.collect().map(row => row.getInt(row.fieldIndex("lid")) ->
+        (if (row.isNullAt(row.fieldIndex("px"))) null
+         else row.getDouble(row.fieldIndex("px")))).toMap
+      val expected1: Any = if (dir == Joins.Backward) 100.0 else null
+      assert(m === Map(1 -> expected1, 2 -> null), s"dir=$dir width=$width")
+    }
+  }
+
   test("rangeJoin plans an equi-join, not a nested-loop join") {
     val plan = Joins.rangeJoin(points, intervals, Seq("key"),
       "p", "lo", "hi", bucketWidth = 64L)

@@ -26,6 +26,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Map("a" -> (1L, 2L), "b" -> (3L, 1L)))
   }
 
+  test("minHashPairsWithSignatures exposes the persisted handle for deterministic release") {
+    val (pairs, sigs) = Dedup.minHashPairsWithSignatures(docs,
+      col("doc_id"), col("text"), threshold = 0.5)
+    val viaPlain = Dedup.minHashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.5).select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHandle = pairs.select("ida", "idb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHandle === viaPlain)
+    // the handle IS the cached frame: callers can unpersist it once the
+    // pairs are materialized instead of waiting for the ContextCleaner
+    assert(sigs.storageLevel.useMemory)
+    sigs.unpersist(blocking = true)
+    assert(!sigs.storageLevel.useMemory)
+    // cacheSignatures=false returns an unpersisted frame
+    val (_, uncached) = Dedup.minHashPairsWithSignatures(docs,
+      col("doc_id"), col("text"), threshold = 0.5, cacheSignatures = false)
+    assert(!uncached.storageLevel.useMemory)
+  }
+
+  test("embeddingPairs with dim supplied skips the probe and matches the probed output") {
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    def pairsOf(d: Option[Int]): Set[(Long, Long)] =
+      Dedup.embeddingPairs(embs, col("vec_id"), col("embedding"),
+        threshold = 0.4, dim = d)
+        .select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(Some(dim)) === pairsOf(None))
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(embs, col("vec_id"), col("embedding"),
+        threshold = 0.4, dim = Some(0))
+    }
+  }
+
   test("minhash candidates recover the exact-jaccard near-dup pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       n = 2, threshold = 0.5).select("ida", "idb")

@@ -237,6 +237,90 @@ class RollingSpec extends AnyFunSuite {
           exact = true, sliceWidth = Some(50L)), "rolling_sum"))
   }
 
+  test("masked rolling/shift/diff sliceWidth equals the unsplit masked output") {
+    // the masked variants run on the mask-filtered sub-stream, which
+    // stays skewed when the key is; sliceWidth must split THAT stream
+    // and join back identically to the unsplit masked path
+    val rows = (1 to 400).map { i =>
+      val k = if (i % 2 == 0) 0 else i % 5
+      val v = if (i % 13 == 0) None else Some(i * 0.25)
+      (k, (i * 41 % 3989).toLong, v)
+    }
+    val d = rows.toDF("key", "ts", "v")
+    val ops = new RollingOps(new GroupBy(d, Seq(col("key"))))
+    val m = Some(col("ts") % 3 =!= 0)
+    def grab(df: DataFrame, c: String): Map[(Int, Long), Any] =
+      df.select(col("key"), col("ts"), col(c)).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    for (width <- Seq(50L, 700L, 100000L)) {
+      assert(grab(ops.rollingSum(col("v"), col("ts"), 7, minPeriods = Some(3),
+        mask = m, exact = true, sliceWidth = Some(width)), "rolling_sum")
+        === grab(ops.rollingSum(col("v"), col("ts"), 7, minPeriods = Some(3),
+          mask = m, exact = true), "rolling_sum"), s"rolling width=$width")
+      for (n <- Seq(2, -1)) {
+        assert(grab(ops.shift(col("v"), col("ts"), n, mask = m,
+          sliceWidth = Some(width)), "shift")
+          === grab(ops.shift(col("v"), col("ts"), n, mask = m), "shift"),
+          s"shift n=$n width=$width")
+        assert(grab(ops.diff(col("v"), col("ts"), n, mask = m,
+          sliceWidth = Some(width)), "diff")
+          === grab(ops.diff(col("v"), col("ts"), n, mask = m), "diff"),
+          s"diff n=$n width=$width")
+      }
+    }
+  }
+
+  test("groupNearbyMembers sliceWidth equals the unsplit output") {
+    // monotone-ish value with occasional big jumps; sub-group
+    // boundaries must land identically however the timeline is sliced
+    // (including boundaries that coincide with slice edges)
+    val rows = (1 to 400).map { i =>
+      val k = i % 3
+      val ts = (i * 7).toLong
+      val v = i * 1.0 + (if (i % 17 == 0) i * 10.0 else 0.0)
+      (k, ts, v)
+    }
+    val d = rows.toDF("key", "ts", "v")
+    val ops = new RollingOps(new GroupBy(d, Seq(col("key"))))
+    def grab(df: DataFrame): Map[(Int, Long), Any] =
+      df.select(col("key"), col("ts"), col("subgroup")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
+    val base = grab(ops.groupNearbyMembers(col("v"), col("ts"), 30.0))
+    for (width <- Seq(7L, 100L, 100000L)) {
+      assert(grab(ops.groupNearbyMembers(col("v"), col("ts"), 30.0,
+        sliceWidth = Some(width))) === base, s"width=$width")
+    }
+  }
+
+  test("sliced ops raise on a null ord instead of silently diverging") {
+    // a null ord would land in a null slice that receives no
+    // carry/prefix injection; the guard fails loudly. Null-KEY rows
+    // with null ords pass through (they emit null output anyway).
+    val d = Seq((Option(0), Option(1L), 1.0), (Option(0), Option.empty[Long], 2.0))
+      .toDF("key", "ts", "v")
+    val ops = new RollingOps(new GroupBy(d, Seq(col("key"))))
+    for (run <- Seq[() => DataFrame](
+      () => ops.rollingSum(col("v"), col("ts"), 2, minPeriods = Some(1),
+        sliceWidth = Some(10L)),
+      () => ops.cumsum(col("v"), col("ts"), exact = true,
+        sliceWidth = Some(10L)),
+      () => ops.shift(col("v"), col("ts"), 1, sliceWidth = Some(10L)))) {
+      val e = intercept[Exception] { run().collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("non-null ord")), e.toString)
+    }
+    // null-key row with a null ord is fine — output is null there
+    val dn = Seq((Option(0), Option(1L), 1.0), (Option.empty[Int], Option.empty[Long], 2.0))
+      .toDF("key", "ts", "v")
+    val out = new RollingOps(new GroupBy(dn, Seq(col("key"))))
+      .cumsum(col("v"), col("ts"), exact = true, sliceWidth = Some(10L))
+      .select("key", "cumsum").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.get(0)) ->
+        (if (r.isNullAt(1)) null else r.get(1))).toMap
+    assert(out === Map(0 -> 1.0, (null: Any) -> null))
+  }
+
   test("null-key rows emit null from window ops") {
     val d = Seq((0, Some(1), Some(1.0)), (1, None, Some(2.0)))
       .toDF("ord", "key", "value")
