@@ -44,6 +44,35 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       sql: Option[String])
 
+  /** DuckDB replay of Dedup.ngramJaccardPairs (word-bigram shingles,
+    * exact Jaccard, thresholded), with the optional doc-frequency cap
+    * applied before pairing exactly as the engine does. The SAME SQL
+    * oracles the plain inverted-index path and the prefix-filtered
+    * path (`prefixFilter = true`): prefix filtering is lossless, so
+    * both must hash-match this all-pairs ground truth.
+    */
+  private def ngramOracleSql(threshold: Double, cap: Option[Int]): String = {
+    val universe = cap match {
+      case scala.Some(c) =>
+        s"""| keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $c),
+            | sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),"""
+          .stripMargin
+      case scala.None => " sh AS (SELECT doc_id, s FROM sh0),"
+    }
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       | sh0 AS (SELECT DISTINCT doc_id,
+       |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+       |   FROM w),
+       |$universe
+       | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+       |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+       |WHERE i * 1.0 / (ca.n + cb.n - i) >= $threshold
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   /** DuckDB replay of Dedup.minHashPairs over PortableHash.polyHash:
     * word-bigram shingles → per-doc k-min signatures (the exact
     * (a_j·x + b_j) mod p permutations, coefficients shared via
@@ -1063,17 +1092,19 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 2, threshold = 0.2,
         maxDocFreq = scala.None)
         .orderBy(col("ida"), col("idb")),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        | sh AS (SELECT DISTINCT doc_id,
-        |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
-        |   FROM w),
-        | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
-        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jaccard
-        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
-        |ORDER BY ida, idb""".stripMargin)),
+      Some(ngramOracleSql(threshold = 0.2, cap = scala.None))),
+
+    Q("dedup_ngram_prefix",
+      // the prefix-filtered exact path (AllPairs/PPJoin candidate
+      // generation + exact verification) at a near-dup threshold —
+      // LOSSLESS, so it is gated against the same all-pairs ground
+      // truth SQL as dedup_ngram, just at its own threshold: a
+      // recall-100% proof, not a spot check.
+      (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 2, threshold = 0.5,
+        maxDocFreq = scala.None, prefixFilter = true)
+        .orderBy(col("ida"), col("idb")),
+      Some(ngramOracleSql(threshold = 0.5, cap = scala.None))),
 
     Q("dedup_ngram_capped",
       // the production (default-shaped) path: shingles with doc-freq
@@ -1085,19 +1116,7 @@ object SparkEntry {
         col("doc_id"), col("text"), n = 2, threshold = 0.2,
         maxDocFreq = scala.Some(30))
         .orderBy(col("ida"), col("idb")),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        | sh0 AS (SELECT DISTINCT doc_id,
-        |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
-        |   FROM w),
-        | keep AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 30),
-        | sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
-        | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
-        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jaccard
-        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
-        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
-        |ORDER BY ida, idb""".stripMargin)),
+      Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
 
     // MinHash+LSH and SimHash are hash-seeded, so they are oracle-
     // checkable only if the oracle can compute the SAME hashes: the

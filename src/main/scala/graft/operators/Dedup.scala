@@ -80,10 +80,26 @@ object Dedup {
     * documents otherwise turns the self-join quadratic on a single hot
     * key, precisely on the corpora this operator targets. Pass `None`
     * only as an explicit opt-out for small-corpus verification.
+    *
+    * `prefixFilter` (off by default) switches candidate generation to
+    * prefix filtering (the AllPairs/PPJoin family, Bayardo et al.
+    * 2007): under a global shingle order (rarest first), a pair with
+    * Jaccard ≥ t must share a shingle within each document's first
+    * `|d| − ⌈t·|d|⌉ + 1` shingles, so only those prefixes are indexed
+    * and self-joined; a size filter (`min ≥ t·max`) prunes further,
+    * and surviving candidates are verified with the exact
+    * intersection count. This is LOSSLESS — output is identical to
+    * the all-pairs form at the same threshold — but the join volume
+    * drops from Σ df² to Σ (prefix-df)², concentrated on the rarest
+    * shingles. It pays in the near-dup regime (t ≥ ~0.5, prefixes
+    * ~(1−t) of each doc); at low thresholds the prefixes approach the
+    * full sets and the plain inverted index is cheaper. Composes with
+    * `maxDocFreq` (prefixes are taken over the capped universe).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 2, threshold: Double = 0.2,
-      maxDocFreq: Option[Int] = scala.Some(5000)): DataFrame = {
+      maxDocFreq: Option[Int] = scala.Some(5000),
+      prefixFilter: Boolean = false): DataFrame = {
     val sh0 = shingles(df, id, text, n)
     val sh = maxDocFreq match {
       case scala.Some(cap) =>
@@ -98,11 +114,14 @@ object Dedup {
       case scala.None => sh0
     }
     val counts = sh.groupBy("doc_id").agg(F.count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(F.count(lit(1)).as("i"))
+    val inter =
+      if (!prefixFilter)
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .agg(F.count(lit(1)).as("i"))
+      else prefixFilteredIntersections(sh, threshold)
     inter
       .join(counts.as("ca"), col("ida") === col("ca.doc_id"))
       .join(counts.as("cb"), col("idb") === col("cb.doc_id"))
@@ -111,6 +130,57 @@ object Dedup {
           (col("ca.n_sh") + col("cb.n_sh") - col("i")).cast(DoubleType))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate generation + exact verification for the prefix-filtered
+    * Jaccard path. Returns (ida, idb, i) intersection counts for every
+    * pair that can reach `threshold` — a lossless superset filter:
+    *
+    *   J(a,b) ≥ t  ⇒  |a∩b| ≥ ⌈t·|a|⌉ (and ⌈t·|b|⌉), so the
+    *   intersection cannot fit entirely in either document's last
+    *   ⌈t·|d|⌉ − 1 shingles; under ANY global total order the
+    *   smallest common shingle therefore falls inside BOTH prefixes
+    *   of length |d| − ⌈t·|d|⌉ + 1.
+    *
+    * The global order is (doc-frequency asc, shingle asc) — rarest
+    * first, which makes the indexed prefixes land on the most
+    * selective shingles. The `1e-9` slack on the two ⌈t·n⌉ / t·max
+    * comparisons guards against double rounding UP past an exact
+    * integer product (which would shorten a prefix below the safe
+    * bound); rounding the other way only lengthens prefixes — safe.
+    *
+    * Shuffles: doc-freq agg (by shingle, co-partitioned with the sh
+    * lineage), one window (by doc_id) for the per-doc rank, the prefix
+    * self-join (by shingle, volume Σ prefix-df²), pair-distinct, and
+    * the two verification probes of the full posting lists restricted
+    * to candidate ids. All bounded by candidate volume — never corpus².
+    */
+  private def prefixFilteredIntersections(sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(F.count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("__df"), col("shingle"))
+    val ranked = sh.join(dfreq, "shingle")
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(byRarity).as("__rnk"),
+        F.count(lit(1)).over(Window.partitionBy("doc_id")).as("__n"))
+    val prefix = ranked
+      .filter(col("__rnk") <=
+        col("__n") - F.ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("shingle"), col("__n"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.__n"), col("b.__n")).cast(DoubleType) >=
+            lit(threshold) * greatest(col("a.__n"), col("b.__n")) - lit(1e-9))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("ida"), col("shingle")), Seq("ida"))
+      .join(sh.select(col("doc_id").as("idb"), col("shingle")),
+        Seq("idb", "shingle"))
+      .groupBy("ida", "idb").agg(F.count(lit(1)).as("i"))
   }
 
   /** The permutation coefficients (a_j, b_j) of [[minHashSignatures]],

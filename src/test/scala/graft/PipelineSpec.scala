@@ -375,6 +375,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped.head.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("prefix-filtered ngram jaccard is lossless vs the all-pairs path") {
+    // prefix filtering must return the IDENTICAL pair set and scores —
+    // across thresholds (prefix length depends on t), with and without
+    // the doc-frequency cap (prefixes are over the capped universe),
+    // on real corpus data
+    def pairs(t: Double, cap: Option[Int], prefix: Boolean): Map[(Long, Long), Double] =
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 2, threshold = t, maxDocFreq = cap, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (t <- Seq(0.2, 0.5, 0.8); cap <- Seq(None, Some(30))) {
+      val plain = pairs(t, cap, prefix = false)
+      val pref = pairs(t, cap, prefix = true)
+      assert(pref === plain, s"threshold=$t cap=$cap")
+      if (t <= 0.5) assert(plain.nonEmpty, s"vacuous at threshold=$t")
+    }
+    // boundary case: threshold exactly at a pair's jaccard must keep it
+    // on both paths (the 1e-9 prefix slack may not lose boundary pairs)
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("id", "t")
+    // bigrams: {ab,bc,cd,de} vs {ab,bc,cd,dx} → i=3, union=5, J=0.6
+    for (prefix <- Seq(false, true)) {
+      val out = Dedup.ngramJaccardPairs(d, col("id"), col("t"),
+        n = 2, threshold = 0.6, prefixFilter = prefix, maxDocFreq = None)
+        .collect()
+      assert(out.length === 1 && out.head.getDouble(2) === 0.6,
+        s"prefix=$prefix boundary pair lost")
+    }
+  }
+
   test("shingles handles documents shorter than n (review regression)") {
     val d = Seq((1L, "one"), (2L, "a b"), (3L, "a b c")).toDF("id", "t")
     val out = Dedup.shingles(d, col("id"), col("t"), n = 2)
