@@ -165,6 +165,14 @@ object Bench {
     val prodDedupOps: Seq[(String, () => DataFrame)] = Seq(
       "dedup_ngram" -> (() => Dedup.ngramJaccardPairs(docs, col("doc_id"),
         col("text"), maxDocFreq = Some(100))),
+      // prefix-filter A/B at a near-dup threshold: same capped universe
+      // and threshold, candidate generation flipped — the output is
+      // identical (lossless), the join volume is not
+      "dedup_ngram_t6" -> (() => Dedup.ngramJaccardPairs(docs, col("doc_id"),
+        col("text"), threshold = 0.6, maxDocFreq = Some(100))),
+      "dedup_ngram_prefix" -> (() => Dedup.ngramJaccardPairs(docs,
+        col("doc_id"), col("text"), threshold = 0.6, maxDocFreq = Some(100),
+        prefixFilter = true)),
       "emb_dup_pairs" -> (() => Dedup.embeddingPairs(embs, col("vec_id"),
         col("embedding"), threshold = 0.4)))
 
@@ -207,6 +215,9 @@ object Bench {
         col("text"))),
       "dedup_ngram_x10" -> (() => Dedup.ngramJaccardPairs(docs10, col("doc_id"),
         col("text"), maxDocFreq = Some(100))),
+      "dedup_ngram_prefix_x10" -> (() => Dedup.ngramJaccardPairs(docs10,
+        col("doc_id"), col("text"), threshold = 0.6, maxDocFreq = Some(100),
+        prefixFilter = true)),
       "emb_dup_pairs_x10" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
         col("embedding"), threshold = 0.4)),
       "lsh_topk_x10" -> (() => Similarity.lshTopK(embs10,

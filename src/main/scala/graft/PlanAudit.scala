@@ -67,6 +67,10 @@ object PlanAudit {
         Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
           maxDocFreq = Some(100)),
         noSinglePartition = true, equiJoinOnly = true),
+      Audited("ngram jaccard prefix-filtered (prefix equijoin + exact verify)",
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+          threshold = 0.6, maxDocFreq = Some(100), prefixFilter = true),
+        noSinglePartition = true, equiJoinOnly = true),
       Audited("minhash LSH banding (shuffle on (band, slice-array) key)",
         Dedup.minHashPairs(docs, col("doc_id"), col("text")),
         noSinglePartition = true, equiJoinOnly = true),

@@ -450,6 +450,17 @@ object SparkEntry {
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS size
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("gb_ngroups",
+      // ngroups is an action (a Long); the gate wraps the returned
+      // scalar in a one-row frame so the real API path is what's
+      // oracle-checked
+      (s, dir) => {
+        import s.implicits._
+        Seq(new GroupBy(T(s, dir, "lineitem"), liKeys).ngroups).toDF("ngroups")
+      },
+      Some("""SELECT COUNT(*) AS ngroups FROM
+        |  (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)""".stripMargin)),
+
     Q("gb_count_masked",
       (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregate(
         Seq(AggSpec("count", col("l_quantity"), "n")),
@@ -1159,6 +1170,36 @@ object SparkEntry {
         |   FROM t GROUP BY 1, 2)
         |SELECT qid, nid, dot / (sqrt(na) * sqrt(nb)) AS cos,
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, nid) AS rank
+        |FROM d QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    Q("sql_cosine_topk",
+      // the SQL-callable surface end to end: GraftFunctions.register +
+      // a pure spark.sql query over the native graft_cosine expression.
+      // Output carries ranks but NOT raw cosines: the native expression
+      // accumulates doubles left-to-right while DuckDB sums unnested
+      // terms in its own order, so scores agree to ~1 ulp — ranks (with
+      // the nid tie-break) are deterministic, last-ulp floats are not.
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        T(s, dir, "embeddings").createOrReplaceTempView("graft_sql_emb")
+        s.sql("""WITH q AS (SELECT vec_id, embedding FROM graft_sql_emb
+          |   WHERE vec_id < 5),
+          | scored AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+          |   graft_cosine(q.embedding, e.embedding) AS cos
+          |   FROM q JOIN graft_sql_emb e ON q.vec_id <> e.vec_id)
+          |SELECT qid, nid, CAST(rank AS BIGINT) AS rank FROM (
+          |  SELECT qid, nid, ROW_NUMBER() OVER (
+          |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM scored)
+          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+      },
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        | t AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |   unnest(q.embedding)::DOUBLE AS x, unnest(e.embedding)::DOUBLE AS y
+        |   FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id),
+        | d AS (SELECT qid, nid, SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))) AS cos
+        |   FROM t GROUP BY 1, 2)
+        |SELECT qid, nid,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
         |FROM d QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     Q("emb_lsh_topk",

@@ -1,0 +1,112 @@
+// Hosted under org.apache.spark.sql for the same reason as
+// VectorExpressions: the function-registry surface
+// (SparkSession.sessionState, classic.ExpressionUtils) is
+// private[sql] — the standard packaging for a native function library
+// that wants a SQL-callable face.
+package org.apache.spark.sql.graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+
+/** SQL-callable registration of the graft function library, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` works for pure-SQL
+  * users — the whole library stays usable without touching the Scala
+  * API. Two entry points:
+  *
+  *   - config `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  *     registers at session build time (the [[GraftExtensions]] class);
+  *   - [[GraftFunctions.register]] injects into an already-running
+  *     session.
+  *
+  * The native Catalyst expressions (graft_cosine / graft_dot) register
+  * directly; the composition-style functions (text stats, language-ID,
+  * fingerprint) register through the Column ↔ Expression bridge — the
+  * registered builder returns the SAME expression tree the Scala API
+  * builds, so SQL callers get identical semantics, codegen, and
+  * pushdown behavior.
+  */
+object GraftFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def fixedArity(name: String, n: Int)(f: Seq[Expression] => Expression): Builder =
+    (children: Seq[Expression]) => {
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${children.length}")
+      f(children)
+    }
+
+  /** Bridge a Column-composition function into a FunctionBuilder: wrap
+    * the child expressions as Columns, apply the library function, and
+    * EAGERLY convert the composed node tree back to a Catalyst
+    * expression. The lazy wrapper (`ExpressionUtils.expression`) is not
+    * enough here: the SQL analyzer never runs the column-node converter
+    * on a builder's return value, so an unconverted ColumnNodeExpression
+    * would survive analysis and explode at codegen.
+    */
+  private def viaColumns(name: String, n: Int)(f: Seq[Column] => Column): Builder =
+    fixedArity(name, n) { children =>
+      ColumnNodeToExpressionConverter(f(children.map(ExpressionUtils.column)).node)
+    }
+
+  private def entry(name: String, builder: Builder, usage: String)
+      : (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage,
+        "", "", "", "misc_funcs", "", "", "built-in"),
+      builder)
+
+  /** Every registered function: (identifier, info, builder). */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    entry("graft_cosine",
+      fixedArity("graft_cosine", 2)(c => CosineSimilarity(c(0), c(1))),
+      "graft_cosine(a, b) - cosine similarity of two float/double arrays (native codegen'd expression)"),
+    entry("graft_dot",
+      fixedArity("graft_dot", 2)(c => VecDot(c(0), c(1))),
+      "graft_dot(a, b) - dot product of two float/double arrays (native codegen'd expression)"),
+    entry("graft_token_count",
+      viaColumns("graft_token_count", 1)(c => TextFunctions.tokenCountWs(c(0))),
+      "graft_token_count(text) - whitespace token count"),
+    entry("graft_punct_count",
+      viaColumns("graft_punct_count", 1)(c => TextFunctions.punctCount(c(0))),
+      "graft_punct_count(text) - punctuation character count"),
+    entry("graft_stopword_ratio",
+      viaColumns("graft_stopword_ratio", 1)(c => TextFunctions.stopwordRatio(c(0))),
+      "graft_stopword_ratio(text) - fraction of tokens that are stopwords"),
+    entry("graft_mean_word_length",
+      viaColumns("graft_mean_word_length", 1)(c => TextFunctions.meanWordLength(c(0))),
+      "graft_mean_word_length(text) - mean token length"),
+    entry("graft_quality_score",
+      viaColumns("graft_quality_score", 2)(c => TextFunctions.qualityScore(c(0), c(1))),
+      "graft_quality_score(text, n_chars) - composite [0,1] quality heuristic"),
+    entry("graft_lang_id",
+      viaColumns("graft_lang_id", 1)(c => TextFunctions.langId(c(0))),
+      "graft_lang_id(text) - marker-stopword language-ID heuristic"),
+    entry("graft_fingerprint",
+      viaColumns("graft_fingerprint", 1)(c => TextFunctions.fingerprint(c(0))),
+      "graft_fingerprint(text) - rolling polynomial document fingerprint"))
+
+  /** Register every graft function on a live session (idempotent —
+    * re-registration replaces the same entries).
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point: registers [[GraftFunctions]]
+  * at session construction, for clusters where the config is the
+  * deployment contract (no code-side hook).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

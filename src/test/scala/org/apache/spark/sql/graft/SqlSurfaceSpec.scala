@@ -1,0 +1,97 @@
+// In the sql package so the spec can drive the private[sql] half of
+// the extension surface (SparkSessionExtensions.registerFunctions)
+// directly — an in-JVM proof of the spark.sql.extensions path, which
+// cannot be exercised end-to-end here because that static conf only
+// applies when the SparkContext itself is created with it.
+package org.apache.spark.sql.graft
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-callable face of the library: GraftFunctions.register on a
+  * live session, the GraftExtensions injection contract, and
+  * SQL-vs-Column-API result identity (the registered builders return
+  * the same expression trees the Scala API builds, so results must be
+  * bit-identical, doubles included).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("registered text functions match the Column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_token_count(text) AS n_tok,
+        |  graft_punct_count(text) AS n_punct,
+        |  graft_stopword_ratio(text) AS stop_ratio,
+        |  graft_mean_word_length(text) AS mean_wlen,
+        |  graft_quality_score(text, n_chars) AS quality,
+        |  graft_lang_id(text) AS lang,
+        |  graft_fingerprint(text) AS fp
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select(col("doc_id"),
+      TextFunctions.tokenCountWs(col("text")).as("n_tok"),
+      TextFunctions.punctCount(col("text")).as("n_punct"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.meanWordLength(col("text")).as("mean_wlen"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql === viaApi)
+  }
+
+  test("registered native vector expressions match the Column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    embs.createOrReplaceTempView("sqlspec_embs")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+        |  graft_cosine(a.embedding, b.embedding) AS cos,
+        |  graft_dot(a.embedding, b.embedding) AS dot
+        |FROM sqlspec_embs a JOIN sqlspec_embs b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 20 AND b.vec_id < 20
+        |ORDER BY ida, idb""".stripMargin).collect()
+    val a = embs.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .filter(col("ida") < 20)
+    val b = embs.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      .filter(col("idb") < 20)
+    val viaApi = a.join(b, col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        VectorExpressions.cosineSim(col("va"), col("vb")).as("cos"),
+        VectorExpressions.vecDot(col("va"), col("vb")).as("dot"))
+      .orderBy(col("ida"), col("idb")).collect()
+    assert(viaSql === viaApi)
+  }
+
+  test("wrong arity fails loudly at builder time") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine expects 2 argument"))
+  }
+
+  test("GraftExtensions injects every function and the builders evaluate") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val reg = ext.registerFunctions(FunctionRegistry.builtin.clone())
+    for ((id, _, _) <- GraftFunctions.all)
+      assert(reg.functionExists(id), id.funcName)
+    // the injected builder produces a working expression tree
+    val dot = reg.lookupFunction(FunctionIdentifier("graft_dot"), Seq(
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType))))
+    assert(dot.eval(null) === 11.0)
+  }
+}
