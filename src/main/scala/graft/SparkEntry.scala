@@ -112,6 +112,39 @@ object SparkEntry {
        |WHERE est_jaccard >= $threshold ORDER BY ida, idb""".stripMargin
   }
 
+  /** DuckDB replay of Dedup.minHashKeep (ord = doc_id): signatures as
+    * in [[minHashOracleSql]], exploded to per-band bucket slices; each
+    * (band, bucket) is claimed by its minimum doc_id, and a document's
+    * verdict counts the bands it failed to claim.
+    */
+  private def minHashKeepOracleSql(k: Int, bands: Int, seed: Long): String = {
+    import graft.functions.PortableHash
+    val p = PortableHash.P
+    val minTerms = Dedup.minHashCoeffs(k, seed).zipWithIndex.map {
+      case ((a, b), j) => s"MIN(($a * x + $b) % $p) AS h$j"
+    }.mkString(", ")
+    val sigList = (0 until k).map(j => s"h$j").mkString("[", ", ", "]")
+    val rpb = k / bands
+    val hi = s"CASE WHEN g.bb = ${bands - 1} THEN $k ELSE (g.bb + 1) * $rpb END"
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS s FROM w)),
+       |hx AS (SELECT doc_id, ${PortableHash.polyHashSql("s")} AS x FROM sh),
+       |sg0 AS (SELECT doc_id, $minTerms FROM hx GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigList AS sig FROM sg0),
+       |bkt AS (SELECT doc_id, g.bb AS band,
+       |    sig[(g.bb * $rpb + 1):($hi)] AS bucket
+       |  FROM sg, generate_series(0, ${bands - 1}) g(bb)),
+       |clm AS (SELECT band, bucket, MIN(doc_id) AS claimant
+       |  FROM bkt GROUP BY 1, 2)
+       |SELECT b.doc_id,
+       |  COUNT(CASE WHEN c.claimant <> b.doc_id THEN 1 END) AS lost_bands,
+       |  COUNT(CASE WHEN c.claimant <> b.doc_id THEN 1 END) = 0 AS kept
+       |FROM bkt b JOIN clm c USING (band, bucket)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB replay of Similarity.lshTopK(exact=true): the seeded
     * hyperplanes are literal double lists (java.util.Random is a fixed
     * LCG; Double.toString round-trips), bucket-sign dots and cosine
@@ -1142,6 +1175,16 @@ object SparkEntry {
         baseHash = graft.functions.PortableHash.polyHash(_))
         .orderBy(col("ida"), col("idb")),
       Some(minHashOracleSql(k = 64, bands = 16, threshold = 0.5, seed = 42L))),
+
+    Q("dedup_minhash_keep",
+      // the suppression verdict form (first-claimant-by-ord bucket
+      // semantics, no pair materialization) on the portable hash so
+      // the whole greedy claim chain replays in DuckDB
+      (s, dir) => Dedup.minHashKeep(T(s, dir, "documents"),
+        col("doc_id"), col("text"), ord = col("doc_id"),
+        baseHash = graft.functions.PortableHash.polyHash(_))
+        .orderBy(col("doc_id")),
+      Some(minHashKeepOracleSql(k = 64, bands = 16, seed = 42L))),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simHashPairs(T(s, dir, "documents"),

@@ -42,28 +42,30 @@ object Dedup {
       df.withWatermark(eventTime, horizon).dropDuplicatesWithinWatermark(keys)
     else df.dropDuplicates(keys)
 
+  /** Row-local word n-gram shingle array of a text column (possibly
+    * with duplicates — downstream consumers either `distinct()` after
+    * exploding or are duplicate-insensitive like the MinHash min).
+    * Documents shorter than n words yield an empty array.
+    */
+  def shingleArray(text: Column, n: Int, sep: String = " "): Column = {
+    val w = split(text, java.util.regex.Pattern.quote(sep))
+    if (n == 1) w
+    else
+      // the descending sequence(0, size-n) on a short doc would
+      // evaluate slice(start=0) and throw — guard with an empty array
+      when(F.size(w) >= n,
+        F.transform(F.sequence(lit(0), F.size(w) - n),
+          i => array_join(F.slice(w, i + lit(1), lit(n)), sep)))
+        .otherwise(array())
+  }
+
   /** Distinct (id, word n-gram shingle) pairs of a text column —
     * the shared first stage of the similarity-based dedups.
     */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int,
-      sep: String = " "): DataFrame = {
-    val base = df.select(id.as("doc_id"),
-      split(text, java.util.regex.Pattern.quote(sep)).as("__w"))
-    // SQL string literal escaping for the join separator (the split
-    // side is regex-quoted separately)
-    val sepSql = sep.replace("\\", "\\\\").replace("'", "\\'")
-    val sh =
-      if (n == 1) explode(col("__w"))
-      else
-        // documents shorter than n words produce no shingles — the
-        // descending sequence(0, size-n) would otherwise evaluate
-        // slice(start=0) and throw
-        explode(when(F.size(col("__w")) >= n, expr(
-          s"transform(sequence(0, size(__w) - $n), i -> " +
-            s"array_join(slice(__w, i + 1, $n), '$sepSql'))"))
-          .otherwise(array()))
-    base.select(col("doc_id"), sh.as("shingle")).distinct()
-  }
+      sep: String = " "): DataFrame =
+    df.select(id.as("doc_id"), explode(shingleArray(text, n, sep)).as("shingle"))
+      .distinct()
 
   /** Exact n-gram Jaccard similarity for every pair of ids sharing at
     * least one shingle, thresholded. The inverted-index self-join on
@@ -245,19 +247,29 @@ object Dedup {
     * signature table, and its pre-exchange aggregation is shared via
     * exchange reuse.
     */
+  /** Explode a frame carrying a `sig` column into one row per LSH band:
+    * every non-`sig` column is preserved, plus (band, bucket) where
+    * bucket is the band's signature slice. Rows-per-band =
+    * size(sig) div bands, with the LAST band absorbing the remainder —
+    * every signature hash participates in banding even when bands does
+    * not divide k. (bands > k degenerates to empty early slices; the
+    * public entry points reject that combination.)
+    */
+  private[operators] def bandBuckets(withSig: DataFrame, bands: Int): DataFrame = {
+    val rpb = s"(size(sig) div $bands)"
+    val len = s"IF(b = ${bands - 1}, size(sig) - b * $rpb, $rpb)"
+    withSig.select(col("*"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"slice(sig, b * $rpb + 1, $len))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+      .drop("sig")
+  }
+
   def minHashCandidates(signatures: DataFrame, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
-    // rows-per-band = size(sig) div bands, with the LAST band absorbing
-    // the remainder — every signature hash participates in banding even
-    // when bands does not divide k. (bands > k still degenerates to
-    // empty early slices; minHashPairs rejects that combination.)
-    val rpb = s"(size(sig) div $bands)"
-    val len = s"IF(b = ${bands - 1}, size(sig) - b * $rpb, $rpb)"
-    val buckets = signatures.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-          s"slice(sig, b * $rpb + 1, $len))")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val buckets = bandBuckets(signatures.select(col("doc_id"), col("sig")), bands)
     val pairs = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -319,6 +331,112 @@ object Dedup {
         sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs
     (minHashCandidates(shared, bands, threshold), shared)
+  }
+
+  /** MinHash signature as a pure per-row PROJECTION (appended as
+    * column `out`) — zero shuffles, because the k-min is
+    * duplicate-insensitive: min over the row-local shingle array
+    * equals min over the distinct shingle set, so the explode +
+    * distinct + groupBy of [[minHashSignatures]] is unnecessary when
+    * the consumer only needs the signature. This is also the only
+    * formulation available on an unbounded stream (no groupBy).
+    * Documents with no shingles (shorter than n words) get an
+    * all-null signature — filter or handle explicitly downstream.
+    *
+    * The intermediate base-hash array is materialized in its own
+    * projection so the k per-coefficient folds share ONE hash pass
+    * (CollapseProject keeps a multiply-referenced non-trivial alias
+    * out of line rather than inlining it k times).
+    */
+  def withMinHashSignature(df: DataFrame, text: Column, out: String = "sig",
+      n: Int = 2, k: Int = 64, seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_), sep: String = " "): DataFrame = {
+    val p = graft.functions.PortableHash.P
+    val coeffs = minHashCoeffs(k, seed)
+    df.withColumn("__graft_xs",
+        F.transform(shingleArray(text, n, sep), s => pmod(baseHash(s), lit(p))))
+      .withColumn(out, F.array(coeffs.map { case (a, b) =>
+        array_min(F.transform(col("__graft_xs"),
+          x => pmod(x * lit(a) + lit(b), lit(p))))
+      }: _*))
+      .drop("__graft_xs")
+  }
+
+  /** Near-dup SUPPRESSION (a keep/drop verdict per document) rather
+    * than pair enumeration: each of a document's LSH band buckets is
+    * CLAIMED by the first document sharing it (minimum `ord`, doc_id
+    * tie-break), and a document is kept iff it claims every one of its
+    * own bands. This is the greedy streaming-dedup semantic expressed
+    * in batch: near-dups of a kept document lose at least one bucket;
+    * near-dups of a SUPPRESSED document may also be suppressed
+    * (transitive chains — the standard greedy bucket-claim behavior).
+    *
+    * Returns (doc_id, lost_bands, kept), one row per document with at
+    * least one shingle. All stages are bounded aggregations/joins on
+    * the (band, bucket) key — no pair materialization at all, so this
+    * is CHEAPER than [[minHashPairs]] + anti-join when only the
+    * verdict is needed.
+    */
+  def minHashKeep(df: DataFrame, id: Column, text: Column, ord: Column,
+      n: Int = 2, k: Int = 64, bands: Int = 16, seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands must be in [1, k=$k], got $bands")
+    val sigs = minHashSignatures(shingles(df, id, text, n), k, seed, baseHash)
+    val ords = df.select(id.as("doc_id"), ord.as("__ord"))
+    val withOrd = bandBuckets(sigs, bands).join(ords, "doc_id")
+    val claims = withOrd.groupBy("band", "bucket")
+      .agg(F.min(struct(col("__ord"), col("doc_id"))).as("__c"))
+      .select(col("band"), col("bucket"),
+        col("__c").getField("doc_id").as("__claimant"))
+    withOrd.join(claims, Seq("band", "bucket"))
+      .groupBy("doc_id")
+      .agg(F.count(when(col("__claimant") =!= col("doc_id"), lit(1)))
+        .as("lost_bands"))
+      .select(col("doc_id"), col("lost_bands"),
+        (col("lost_bands") === 0).as("kept"))
+  }
+
+  /** Streaming twin of [[minHashKeep]]: emits the doc_ids that claim
+    * ALL their LSH band buckets within the watermark horizon. Two
+    * chained stateful operators, both with horizon-bounded state:
+    * `dropDuplicatesWithinWatermark` on (band, bucket) keeps each
+    * bucket's first-ARRIVED claim, and a tumbling event-time window
+    * counts each document's surviving claims (== bands ⇒ kept), so a
+    * verdict is emitted once the watermark passes its window.
+    * Signatures come from [[withMinHashSignature]] — a pure
+    * projection, the only streaming-safe formulation. Caveats mirror
+    * [[exactStream]]: near-dups farther apart than the horizon are
+    * both kept (their claims were reaped), and within one micro-batch
+    * arrival order is not totalized (the batch twin's `ord` is). On a
+    * batch frame it falls back to [[minHashKeep]] ordered by
+    * (eventTime, id).
+    */
+  def minHashKeepStream(df: DataFrame, id: Column, text: Column,
+      eventTime: String, horizon: String,
+      n: Int = 2, k: Int = 64, bands: Int = 16, seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands must be in [1, k=$k], got $bands")
+    if (!df.isStreaming)
+      minHashKeep(df, id, text, struct(col(eventTime), id), n, k, bands,
+        seed, baseHash)
+        .filter(col("kept")).select("doc_id")
+    else {
+      val sigDf = withMinHashSignature(
+          df.select(id.as("doc_id"), col(eventTime), text.as("__graft_t")),
+          col("__graft_t"), "sig", n, k, seed, baseHash)
+        .drop("__graft_t")
+        // empty documents have no shingle signal: all-null signature
+        .filter(F.size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+      bandBuckets(sigDf, bands)
+        .withWatermark(eventTime, horizon)
+        .dropDuplicatesWithinWatermark(Seq("band", "bucket"))
+        .groupBy(col("doc_id"), F.window(col(eventTime), horizon))
+        .agg(F.count(lit(1)).as("__graft_n"))
+        .filter(col("__graft_n") === bands)
+        .select("doc_id")
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs. With `planes` set (the

@@ -3,7 +3,7 @@ package graft
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.{EventStreams, SessionEvent, StatefulSessions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,6 +70,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     val recall = (exact & mh).size.toDouble / exact.size
     assert(recall >= 0.9, s"minhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("projection-form minhash signatures equal the groupBy form") {
+    // the zero-shuffle per-row signature must reproduce the explode +
+    // distinct + k-min aggregation exactly (min is duplicate-
+    // insensitive), for both the production and the portable hash
+    for (h <- Seq[Column => Column](xxhash64(_),
+        graft.functions.PortableHash.polyHash(_))) {
+      val viaAgg = Dedup.minHashSignatures(
+          Dedup.shingles(docs, col("doc_id"), col("text"), 2),
+          k = 64, seed = 42L, baseHash = h)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaProj = Dedup.withMinHashSignature(docs, col("text"),
+          k = 64, seed = 42L, baseHash = h)
+        .select(col("doc_id"), col("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaProj === viaAgg)
+    }
+  }
+
+  test("minHashKeep claims buckets by ord and suppresses later near-dups") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words in this one")).toDF("id", "t")
+    val out = Dedup.minHashKeep(d, col("id"), col("t"), ord = col("id"),
+      bands = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((0L, true)))   // first claimant keeps all bands
+    assert(out(2L) === ((16L, false))) // identical doc loses every band
+    assert(out(3L) === ((0L, true)))   // unrelated doc kept
+    // on corpus data: every suppressed doc must share >= 1 band bucket
+    // with an EARLIER doc — i.e. appear as idb in the candidate pairs
+    // (threshold 0 keeps every banding collision)
+    val keep = Dedup.minHashKeep(docs, col("doc_id"), col("text"),
+      ord = col("doc_id"))
+    val suppressed = keep.filter(!col("kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val laterOfPair = Dedup.minHashPairs(docs, col("doc_id"), col("text"),
+      threshold = 0.0)
+      .select("idb").collect().map(_.getLong(0)).toSet
+    assert(suppressed.nonEmpty)
+    assert(suppressed.subsetOf(laterOfPair))
+  }
+
+  test("streaming minhash keep matches the batch twin across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mhk-ckpt").toFile
+    val base = 1000000000000000L // µs
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val src = ms.toDS().toDF("doc_id", "text", "ts")
+    val q = Dedup.minHashKeepStream(src, col("doc_id"), col("text"),
+        eventTime = "ts", horizon = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_mhk")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    def ts(off: Long) = new java.sql.Timestamp(base / 1000 + off)
+    // batch 1: two distinct docs
+    ms.addData((1L, "alpha beta gamma delta epsilon zeta", ts(0)),
+      (2L, "one two three four five six seven", ts(10)))
+    q.processAllAvailable()
+    // batch 2: near-dup of doc 1 (suppressed) + a fresh doc
+    ms.addData((3L, "alpha beta gamma delta epsilon zeta", ts(1000)),
+      (4L, "fresh unrelated content entirely here now", ts(1010)))
+    q.processAllAvailable()
+    // advance the watermark far past every window so verdicts emit
+    ms.addData((99L, "watermark mover sentinel words go here", ts(60000)))
+    q.processAllAvailable()
+    val got = spark.table("graft_mhk").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got === Set(1L, 2L, 4L))
+    // batch twin on the same data agrees (sentinel included)
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", ts(0)),
+      (2L, "one two three four five six seven", ts(10)),
+      (3L, "alpha beta gamma delta epsilon zeta", ts(1000)),
+      (4L, "fresh unrelated content entirely here now", ts(1010)),
+      (99L, "watermark mover sentinel words go here", ts(60000)))
+      .toDF("doc_id", "text", "ts")
+    val viaBatch = Dedup.minHashKeepStream(batch, col("doc_id"), col("text"),
+      eventTime = "ts", horizon = "10 seconds")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaBatch === Set(1L, 2L, 4L, 99L))
   }
 
   test("simhash of identical texts is identical; near-dups are close") {
