@@ -74,6 +74,10 @@ object PlanAudit {
       Audited("minhash LSH banding (shuffle on (band, slice-array) key)",
         Dedup.minHashPairs(docs, col("doc_id"), col("text")),
         noSinglePartition = true, equiJoinOnly = true),
+      Audited("minhash keep verdicts (claim agg + verdict agg, no pair join)",
+        Dedup.minHashKeep(docs, col("doc_id"), col("text"),
+          ord = col("doc_id")),
+        noSinglePartition = true, equiJoinOnly = true),
       Audited("brute-force ANN (native cosine expr — scoring inside codegen)",
         graft.operators.Similarity.bruteForceTopK(embs,
           embs.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), 5),

@@ -1162,6 +1162,63 @@ object SparkEntry {
         .orderBy(col("ida"), col("idb")),
       Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
 
+    Q("pipeline_quality_dedup",
+      // composed END-TO-END pipeline gated against one DuckDB replay:
+      // quality filter → prefix-filtered exact near-dup removal
+      // (anti-join on later pair members) → language-ID → grouped
+      // count + decimal-exact mean quality. Catches composition bugs
+      // (lineage recomputation, lost aliases, filter/dedup ordering)
+      // that single-op rows cannot.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val good = docs.select(col("doc_id"), col("text"),
+            TextFunctions.qualityScore(col("text"), col("n_chars")).as("q"))
+          .filter(col("q") > 0.3)
+        val dupIds = Dedup.ngramJaccardPairs(good, col("doc_id"), col("text"),
+            n = 2, threshold = 0.5, maxDocFreq = scala.None,
+            prefixFilter = true)
+          .select(col("idb").as("doc_id")).distinct()
+        val kept = good.join(dupIds, Seq("doc_id"), "left_anti")
+        new GroupBy(kept.select(
+            TextFunctions.langId(col("text")).as("lang"), col("q")),
+          Seq(col("lang"))).aggregate(Seq(
+            AggSpec("size", lit(1), "n_docs"),
+            AggSpec("mean", col("q"), "mean_q", exact = true)))
+      },
+      Some(s"""WITH qd AS (SELECT doc_id, text,
+        |  least(1.0, n_chars / 400.0) * 0.5 +
+        |    least(1.0, (len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |      / len(string_split(text, ' '))::DOUBLE) * 5.0) * 0.5 AS q
+        |  FROM documents),
+        | good AS (SELECT * FROM qd WHERE q > 0.3),
+        | w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM good),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+        |   FROM w),
+        | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | dup AS (SELECT DISTINCT idb AS doc_id
+        |   FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |   WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),
+        | kept AS (SELECT * FROM good
+        |   WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+        | c AS (SELECT q,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('the','of','and','is','to'))) AS c_en,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('der','die','das','und','ist'))) AS c_de,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','est','les'))) AS c_fr,
+        |  len(list_filter(string_split(text,' '), w -> w IN ('el','los','es','y','las'))) AS c_es
+        |  FROM kept),
+        | lng AS (SELECT q, CASE
+        |   WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) AND c_en > 0 THEN 'en'
+        |   WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) AND c_de > 0 THEN 'de'
+        |   WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) AND c_fr > 0 THEN 'fr'
+        |   WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es) AND c_es > 0 THEN 'es'
+        |   ELSE 'und' END AS lang FROM c)
+        |SELECT lang, COUNT(*) AS n_docs, ${dmean("q")} AS mean_q
+        |FROM lng GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // MinHash+LSH and SimHash are hash-seeded, so they are oracle-
     // checkable only if the oracle can compute the SAME hashes: the
     // gate variants run on PortableHash (polynomial char hash mod

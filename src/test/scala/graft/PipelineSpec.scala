@@ -475,6 +475,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(pref === plain, s"threshold=$t cap=$cap")
       if (t <= 0.5) assert(plain.nonEmpty, s"vacuous at threshold=$t")
     }
+    // the Zipf shape the bench fixture uses (shared boilerplate run +
+    // doc-unique tails, near-dup neighbors sharing rare tokens): the
+    // regime prefix filtering exists for — equality must hold there too
+    val zipf = spark.range(300).select(col("id").as("doc_id"),
+      concat(
+        lit("terms of service apply to this document "),
+        expr("concat_ws(' ', transform(sequence(0, 29), " +
+          "j -> concat('u', CAST(id - (CASE WHEN id % 10 = 1 THEN 1 ELSE 0 END) " +
+          "AS STRING), '_', CAST(j AS STRING))))"),
+        expr("concat(' t', CAST(id % 10 AS STRING))")).as("text"))
+    def zp(prefix: Boolean): Map[(Long, Long), Double] =
+      Dedup.ngramJaccardPairs(zipf, col("doc_id"), col("text"),
+        n = 2, threshold = 0.6, maxDocFreq = None, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val zPlain = zp(prefix = false)
+    assert(zPlain.size === 30) // one near-dup pair per 10 docs
+    assert(zp(prefix = true) === zPlain)
+
     // boundary case: threshold exactly at a pair's jaccard must keep it
     // on both paths (the 1e-9 prefix slack may not lose boundary pairs)
     val d = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("id", "t")
@@ -485,6 +503,38 @@ class PipelineSpec extends AnyFunSuite {
         .collect()
       assert(out.length === 1 && out.head.getDouble(2) === 0.6,
         s"prefix=$prefix boundary pair lost")
+    }
+  }
+
+  test("randomized corpora: both ngram paths match a sequential Scala oracle") {
+    // reference-style differential (DifferentialSpec pattern): random
+    // small-vocab corpora so shingle collisions are dense, both the
+    // inverted-index and the prefix-filtered path asserted against an
+    // independent sequential oracle — not just against each other
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 12).map(i => s"w$i")
+    for ((t, trial) <- Seq(0.15, 0.4, 0.7).zipWithIndex) {
+      val data = (0L until 60L).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = data.toDF("id", "t")
+      def sh(s: String): Set[String] = {
+        val w = s.split(" ")
+        if (w.length < 2) Set.empty else w.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val oracle = (for {
+        (i, ti) <- data; (j, tj) <- data if i < j
+        si = sh(ti); sj = sh(tj)
+        inter = (si & sj).size if inter > 0
+        jac = inter.toDouble / (si.size + sj.size - inter) if jac >= t
+      } yield (i, j) -> jac).toMap
+      for (prefix <- Seq(false, true)) {
+        val got = Dedup.ngramJaccardPairs(df, col("id"), col("t"),
+          n = 2, threshold = t, maxDocFreq = None, prefixFilter = prefix)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        assert(got === oracle, s"trial=$trial prefix=$prefix")
+      }
     }
   }
 
