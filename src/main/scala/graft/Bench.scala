@@ -217,36 +217,41 @@ object Bench {
     // near-dup DENSITY stays constant and only volume grows; embeddings
     // rotate by i — norm-preserving, direction-changing; events shift
     // the user-id space, so per-key density is constant and key count
-    // grows 10×). Gives the 100 TB extrapolation two points per op.
-    val docs10 = (0 until 10).map { i =>
+    // grows xMult×). Gives the 100 TB extrapolation two points per op.
+    // SPARK_GRAFT_X (default 10, the driver shape) raises the second
+    // point — e.g. 30 for a one-off wider extrapolation run; the
+    // embedding rotation supports xMult <= dim (64).
+    val xMult = sys.env.getOrElse("SPARK_GRAFT_X", "10").toInt
+    val xs = s"_x$xMult"
+    val docs10 = (0 until xMult).map { i =>
       docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
         (if (i == 0) col("text")
          else regexp_replace(col("text"), "(^| )", "$1v" + i + ":"))
           .as("text"))
     }.reduce(_ unionByName _).persist()
-    val embs10 = (0 until 10).map { i =>
+    val embs10 = (0 until xMult).map { i =>
       embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         (if (i == 0) col("embedding")
          else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
            s"slice(embedding, 1, $i))")).as("embedding"))
     }.reduce(_ unionByName _).persist()
-    val ev10 = (0 until 10).map { i =>
+    val ev10 = (0 until xMult).map { i =>
       ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
         col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
         col("event_type"), col("value"))
     }.reduce(_ unionByName _).persist()
     docs10.count(); embs10.count(); ev10.count()
     val x10Ops: Seq[(String, () => DataFrame)] = Seq(
-      "dedup_minhash_x10" -> (() => Dedup.minHashPairs(docs10, col("doc_id"),
+      s"dedup_minhash$xs" -> (() => Dedup.minHashPairs(docs10, col("doc_id"),
         col("text"))),
-      "dedup_ngram_x10" -> (() => Dedup.ngramJaccardPairs(docs10, col("doc_id"),
+      s"dedup_ngram$xs" -> (() => Dedup.ngramJaccardPairs(docs10, col("doc_id"),
         col("text"), maxDocFreq = Some(100))),
-      "emb_dup_pairs_x10" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
+      s"emb_dup_pairs$xs" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
         col("embedding"), threshold = 0.4)),
-      "lsh_topk_x10" -> (() => Similarity.lshTopK(embs10,
+      s"lsh_topk$xs" -> (() => Similarity.lshTopK(embs10,
         embs10.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
         10, planes = 10, nProbe = 4)),
-      "join_asof_x10" -> (() => Joins.asof(
+      s"join_asof$xs" -> (() => Joins.asof(
         ev10.filter(col("event_type") =!= "purchase")
           .select(col("user_id"), col("ts"), col("event_id")),
         ev10.filter(col("event_type") === "purchase")
@@ -285,15 +290,15 @@ object Bench {
     // persisting ops, now measured separately), so the headline stays
     // comparable round-over-round
     val total = (results ++ persistResults).map(_._2).sum
-    // scaling exponent per x10 op: log10(t_x10 / t_x1) — 1.0 = linear,
-    // <1 sublinear (fixed overheads amortizing), >1 superlinear (a
-    // plan that would not survive 100 TB)
+    // scaling exponent per xMult op: log(t_xMult / t_x1) / log(xMult)
+    // — 1.0 = linear, <1 sublinear (fixed overheads amortizing), >1
+    // superlinear (a plan that would not survive 100 TB)
     val byName = all.toMap
     val scaling = x10Results.collect {
-      case (n, t10) if byName.contains(n.stripSuffix("_x10")) && t10 > 0 =>
-        val t1 = byName(n.stripSuffix("_x10"))
-        "\"" + n.stripSuffix("_x10") + "\":" +
-          (math.log10(t10 / t1) * 10000).round / 10000.0
+      case (n, t10) if byName.contains(n.stripSuffix(xs)) && t10 > 0 =>
+        val t1 = byName(n.stripSuffix(xs))
+        "\"" + n.stripSuffix(xs) + "\":" +
+          (math.log10(t10 / t1) / math.log10(xMult.toDouble) * 10000).round / 10000.0
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$scaling,"sf":"$sfDir"}""")
     spark.stop()

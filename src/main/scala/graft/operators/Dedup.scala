@@ -469,8 +469,13 @@ object Dedup {
       tables: Int = 1, dim: Option[Int] = scala.None): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     require(dim.forall(_ > 0), s"dim must be positive, got $dim")
-    val a = df.select(id.as("ida"), vec.as("va"))
-    val b = df.select(id.as("idb"), vec.as("vb"))
+    // per-vector norms ride each join side so pair scoring is one
+    // fused dot, not three accumulators (bit-identical — see
+    // Similarity.cosineWithNorms)
+    val a = df.select(id.as("ida"), vec.as("va"),
+      Similarity.norm(vec).as("__na"))
+    val b = df.select(id.as("idb"), vec.as("vb"),
+      Similarity.norm(vec).as("__nb"))
     val pairs = planes match {
       case scala.Some(p) =>
         // the hyperplane table needs the embedding dimensionality; the
@@ -480,10 +485,8 @@ object Dedup {
         val d = dim.getOrElse(df.select(F.size(vec)).head().getInt(0))
         def bucketed(t: Int): (DataFrame, DataFrame) = {
           val hp = Similarity.hyperplanes(p, d, seed + t)
-          (df.select(id.as("ida"), vec.as("va"),
-            Similarity.lshBucket(vec, hp, exact).as("bucket")),
-            df.select(id.as("idb"), vec.as("vb"),
-              Similarity.lshBucket(vec, hp, exact).as("bucket")))
+          (a.withColumn("bucket", Similarity.lshBucket(col("va"), hp, exact)),
+            b.withColumn("bucket", Similarity.lshBucket(col("vb"), hp, exact)))
         }
         if (tables == 1) {
           // one bucket per vector: a pair can match at most once, no
@@ -498,9 +501,7 @@ object Dedup {
               .filter(col("ida") < col("idb"))
               .select(col("ida"), col("idb"))
           }.reduce(_ unionByName _).distinct()
-          idPairs
-            .join(df.select(id.as("ida"), vec.as("va")), Seq("ida"))
-            .join(df.select(id.as("idb"), vec.as("vb")), Seq("idb"))
+          idPairs.join(a, Seq("ida")).join(b, Seq("idb"))
         }
       case scala.None =>
         a.join(b, col("ida") < col("idb"))
@@ -508,7 +509,8 @@ object Dedup {
     val scored =
       if (!exact)
         pairs.select(col("ida"), col("idb"),
-          Similarity.cosine(col("va"), col("vb")).as("cos"))
+          Similarity.cosineWithNorms(col("va"), col("vb"),
+            col("__na"), col("__nb")).as("cos"))
       else {
         val terms = pairs.select(col("ida"), col("idb"),
           explode(zip_with(col("va"), col("vb"), (x, y) =>

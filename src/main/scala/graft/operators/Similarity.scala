@@ -31,6 +31,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.cosineSim(a, b)
 
+  /** ‖v‖ = sqrt(v·v), the cosine denominator factor. Precomputed ONCE
+    * per vector (a projection on each join side) the candidate-pair
+    * scoring loop drops from three accumulators per element to one
+    * fused dot — at 100 TB the pair volume dwarfs the vector count,
+    * so this is a ~3× flop cut on the ANN hot path. Same
+    * left-to-right accumulation as [[cosine]]'s internal norms.
+    */
+  def norm(vec: Column): Column =
+    sqrt(org.apache.spark.sql.graft.VectorExpressions.vecDot(vec, vec))
+
+  /** Cosine from a fused dot and two precomputed norms — BIT-IDENTICAL
+    * to [[cosine]](a, b): same dot and norm accumulation order, IEEE
+    * multiplication is commutative, and the null surface matches
+    * (length mismatch / null element poison the dot or a norm; zero
+    * norm nulls via safeDiv exactly like cosine's zero denominator).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    Num.safeDiv(
+      org.apache.spark.sql.graft.VectorExpressions.vecDot(a, b), na * nb)
+
   /** Exact top-k neighbours of each query vector (`queries` must be
     * broadcast-small; the corpus side streams). `exact=true` computes
     * the dot products via explode + decimal sums — order-insensitive,
@@ -39,13 +59,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       vec: Column, k: Int, exact: Boolean = false): DataFrame = {
-    val q = queries.select(id.as("qid"), vec.as("qv"))
-    val c = corpus.select(id.as("nid"), vec.as("nv"))
+    val q = queries.select(id.as("qid"), vec.as("qv"), norm(vec).as("__qn"))
+    val c = corpus.select(id.as("nid"), vec.as("nv"), norm(vec).as("__nn"))
     val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
     val scored =
       if (exact) exactCosScores(cand)
       else cand.select(col("qid"), col("nid"),
-        cosine(col("qv"), col("nv")).as("cos"))
+        cosineWithNorms(col("qv"), col("nv"),
+          col("__qn"), col("__nn")).as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
@@ -179,15 +200,16 @@ object Similarity {
     val dim = corpus.select(F.size(vec)).head().getInt(0)
     val hp = hyperplanes(planes, dim, seed)
     val c = corpus.select(id.as("nid"), vec.as("nv"),
-      lshBucket(vec, hp, exact).as("bucket"))
+      norm(vec).as("__nn"), lshBucket(vec, hp, exact).as("bucket"))
     val q = queries.select(id.as("qid"), vec.as("qv"),
-      explode(lshProbes(vec, hp, nProbe, exact)).as("bucket"))
+      norm(vec).as("__qn"), explode(lshProbes(vec, hp, nProbe, exact)).as("bucket"))
     val cand = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
     val scored =
       if (exact) exactCosScores(cand)
       else cand.select(col("qid"), col("nid"),
-        cosine(col("qv"), col("nv")).as("cos"))
+        cosineWithNorms(col("qv"), col("nv"),
+          col("__qn"), col("__nn")).as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))
@@ -308,15 +330,16 @@ object Similarity {
       seedHash: Column => Column = F.xxhash64(_)): DataFrame = {
     val cents = ivfCentroids(corpus, id, vec, nCentroids, iters, exact, seedHash)
     val indexed = corpus.select(id.as("nid"), vec.as("nv"),
-      nearestCid(vec, cents, exact).as("cid"))
+      norm(vec).as("__nn"), nearestCid(vec, cents, exact).as("cid"))
     val probes = queries.select(id.as("qid"), vec.as("qv"),
-      explode(probeCids(vec, cents, nProbe, exact)).as("cid"))
+      norm(vec).as("__qn"), explode(probeCids(vec, cents, nProbe, exact)).as("cid"))
     val cand = indexed.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("nid"))
     val scored =
       if (exact) exactCosScores(cand)
       else cand.select(col("qid"), col("nid"),
-        cosine(col("qv"), col("nv")).as("cos"))
+        cosineWithNorms(col("qv"), col("nv"),
+          col("__qn"), col("__nn")).as("cos"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))))

@@ -157,6 +157,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaBatch === Set(1L, 2L, 4L, 99L))
   }
 
+  test("prenormed cosine scoring is bit-identical to the fused cosine expression") {
+    val pairs = embs.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .join(embs.select(col("vec_id").as("idb"), col("embedding").as("vb")),
+        col("ida") < col("idb") && col("ida") < 40 && col("idb") < 40)
+    val both = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("c1"),
+      Similarity.cosineWithNorms(col("va"), col("vb"),
+        Similarity.norm(col("va")), Similarity.norm(col("vb"))).as("c2"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // null-surface parity: zero norm and length mismatch null out on
+    // both formulations
+    val edges = Seq(
+      (Array(0f, 0f), Array(1f, 2f)),
+      (Array(1f, 2f), Array(1f, 2f, 3f))).toDF("x", "y")
+    edges.select(Similarity.cosine(col("x"), col("y")).as("c1"),
+      Similarity.cosineWithNorms(col("x"), col("y"),
+        Similarity.norm(col("x")), Similarity.norm(col("y"))).as("c2"))
+      .collect()
+      .foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("simhash of identical texts is identical; near-dups are close") {
     val d = Seq((1L, "x y z w"), (2L, "x y z w"), (3L, "completely different words here"))
       .toDF("id", "t")
