@@ -532,6 +532,18 @@ class PipelineSpec extends AnyFunSuite {
       assert(out.length === 1 && out.head.getDouble(2) === 0.6,
         s"prefix=$prefix boundary pair lost")
     }
+    // unigram shingles and extreme thresholds follow the same equality
+    for (t <- Seq(0.0001, 0.5, 1.0)) {
+      val u = pairs(t, None, prefix = false)
+      assert(pairs(t, None, prefix = true) === u, s"bigram t=$t")
+    }
+    def uni(t: Double, prefix: Boolean): Map[(Long, Long), Double] =
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        n = 1, threshold = t, maxDocFreq = None, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val u1 = uni(0.5, prefix = false)
+    assert(uni(0.5, prefix = true) === u1)
+    assert(u1.nonEmpty)
   }
 
   test("randomized corpora: both ngram paths match a sequential Scala oracle") {
