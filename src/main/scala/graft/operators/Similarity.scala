@@ -193,12 +193,17 @@ object Similarity {
     * (no corpus blow-up, same single equijoin shape). `exact=true`
     * makes bucket assignment AND scores decimal-exact (cross-engine
     * reproducible given the same seed).
+    *
+    * `dim` is the embedding dimensionality; when omitted it is probed
+    * with one tiny driver job — supply it for fully lazy composition
+    * (mirrors the embeddingPairs contract).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: Column, vec: Column,
       k: Int, planes: Int = 12, seed: Long = 42L, nProbe: Int = 1,
-      exact: Boolean = false): DataFrame = {
-    val dim = corpus.select(F.size(vec)).head().getInt(0)
-    val hp = hyperplanes(planes, dim, seed)
+      exact: Boolean = false, dim: Option[Int] = None): DataFrame = {
+    require(dim.forall(_ > 0), s"dim must be positive, got $dim")
+    val d = dim.getOrElse(corpus.select(F.size(vec)).head().getInt(0))
+    val hp = hyperplanes(planes, d, seed)
     val c = corpus.select(id.as("nid"), vec.as("nv"),
       norm(vec).as("__nn"), lshBucket(vec, hp, exact).as("bucket"))
     val q = queries.select(id.as("qid"), vec.as("qv"),

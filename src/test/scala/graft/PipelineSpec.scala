@@ -194,6 +194,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 10)
   }
 
+  test("lshTopK with dim supplied skips the probe and matches the probed output") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val d = embs.select(size(col("embedding"))).head().getInt(0)
+    def hits(dim: Option[Int]): Set[(Long, Long)] =
+      Similarity.lshTopK(embs, queries, col("vec_id"), col("embedding"),
+        3, planes = 4, dim = dim)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(Some(d)) === hits(None))
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(embs, queries, col("vec_id"), col("embedding"),
+        3, planes = 4, dim = Some(0))
+    }
+  }
+
   test("lsh ANN hits are a subset of brute-force ranking universe and recall is sane") {
     val queries = embs.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(embs, queries, col("vec_id"),
