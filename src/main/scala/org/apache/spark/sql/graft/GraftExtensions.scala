@@ -6,10 +6,12 @@
 package org.apache.spark.sql.graft
 
 import graft.functions.TextFunctions
+import graft.operators.Dedup
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL-callable registration of the graft function library, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works for pure-SQL
@@ -88,7 +90,24 @@ object GraftFunctions {
       "graft_lang_id(text) - marker-stopword language-ID heuristic"),
     entry("graft_fingerprint",
       viaColumns("graft_fingerprint", 1)(c => TextFunctions.fingerprint(c(0))),
-      "graft_fingerprint(text) - rolling polynomial document fingerprint"))
+      "graft_fingerprint(text) - rolling polynomial document fingerprint"),
+    entry("graft_shingles",
+      fixedArity("graft_shingles", 2) { c =>
+        ColumnNodeToExpressionConverter(
+          Dedup.shingleArray(ExpressionUtils.column(c(0)),
+            intLiteral("graft_shingles", "n", c(1))).node)
+      },
+      "graft_shingles(text, n) - word n-gram shingle array (n a foldable integer); the dedup family's first stage — explode it for a pure-SQL inverted-index near-dup pipeline"))
+
+  /** Extract a foldable integer argument (e.g. a shingle width) — the
+    * structural parameters of the dedup family shape the expression
+    * tree itself, so they must be literals in SQL.
+    */
+  private def intLiteral(fn: String, arg: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
 
   /** Register every graft function on a live session (idempotent —
     * re-registration replaces the same entries).

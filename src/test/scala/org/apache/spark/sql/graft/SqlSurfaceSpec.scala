@@ -74,6 +74,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("graft_shingles matches the Scala shingle stage and demands a literal n") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_docs")
+    // a full pure-SQL near-dup first stage: explode the shingle array
+    val viaSql = spark.sql(
+      """SELECT doc_id, shingle FROM sqlspec_docs
+        |LATERAL VIEW explode(graft_shingles(text, 2)) AS shingle
+        |GROUP BY doc_id, shingle ORDER BY doc_id, shingle""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val viaApi = graft.operators.Dedup.shingles(docs, col("doc_id"),
+        col("text"), n = 2)
+      .orderBy(col("doc_id"), col("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaSql === viaApi)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, doc_id) FROM sqlspec_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("must be an integer literal"))
+  }
+
   test("wrong arity fails loudly at builder time") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
