@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Joins, Margins, Multimodal, Reshape, RollingOps, SelectionOps, Similarity}
+import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Joins, Margins, Multimodal, Reshape, RollingOps, Sampling, SelectionOps, Similarity}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1161,6 +1161,39 @@ object SparkEntry {
         maxDocFreq = scala.Some(30))
         .orderBy(col("ida"), col("idb")),
       Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
+
+    Q("sample_deterministic",
+      // hash-ring sampling: a row's fate is a pure function of its id,
+      // so the oracle replays the kept set ROW-FOR-ROW (not just the
+      // count) — the property that makes samples reproducible across
+      // partitionings, retries, cluster sizes, and engines
+      (s, dir) => Sampling.deterministicSample(T(s, dir, "documents"),
+        col("doc_id"), fraction = 0.35, seed = 7)
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ${Sampling.ringPositionSql("doc_id", seed = 7)} < ${Sampling.threshold(0.35)}
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_mixture",
+      // mixture rebalance end to end: the oracle recomputes the
+      // per-stratum counts, the largest feasible total T, the
+      // fractions and the floor thresholds with the same float
+      // evaluation order as Sampling.mixtureFractions (c/w, MIN,
+      // (w·T)/c, LEAST 1.0) — so the kept rows match exactly even
+      // though the fractions are data-dependent
+      (s, dir) => Sampling.rebalanceMixture(T(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), seed = 7)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        | w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+        | t AS (SELECT MIN(c / wt) AS T FROM cnt JOIN w USING (lang)),
+        | thr AS (SELECT lang,
+        |   CAST(FLOOR(LEAST(1.0, (wt * T) / c) * 2147483647) AS BIGINT) AS th
+        |   FROM cnt JOIN w USING (lang), t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |WHERE ${Sampling.ringPositionSql("d.doc_id", seed = 7)} < thr.th
+        |ORDER BY d.doc_id""".stripMargin)),
 
     Q("pipeline_quality_dedup",
       // composed END-TO-END pipeline gated against one DuckDB replay:
