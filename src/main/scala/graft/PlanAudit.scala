@@ -37,7 +37,8 @@ object PlanAudit {
       df: DataFrame,
       noSinglePartition: Boolean = false,
       keySlicedWindows: Boolean = false,
-      equiJoinOnly: Boolean = false)
+      equiJoinOnly: Boolean = false,
+      noShuffle: Boolean = false)
 
   def plans(spark: SparkSession, dir: String): Seq[Audited] = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -63,6 +64,10 @@ object PlanAudit {
           col("o_orderpriority"), margins = Margins.All, fillZero = true)),
       Audited("approx nunique (HLL partial/final, no distinct expand)",
         new GroupBy(li, liKeys).nuniqueApprox(Seq(col("l_partkey")))),
+      Audited("deterministic hash-ring sample (pure map-side filter)",
+        graft.operators.Sampling.deterministicSample(docs, col("doc_id"),
+          fraction = 0.35, seed = 7),
+        noSinglePartition = true, noShuffle = true),
       Audited("ngram jaccard with hot-shingle cap (co-partitioned df filter)",
         Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
           maxDocFreq = Some(100)),

@@ -37,6 +37,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("plans flagged noShuffle contain no Exchange at all") {
+    val flagged = audited.filter(_._1.noShuffle)
+    assert(flagged.nonEmpty)
+    for ((a, plan) <- flagged)
+      assert(!plan.contains("Exchange"), s"${a.name}:\n$plan")
+  }
+
   test("bucketed candidate generators plan equijoins, not cartesian/nested-loop") {
     val flagged = audited.filter(_._1.equiJoinOnly)
     assert(flagged.nonEmpty)
