@@ -1195,6 +1195,26 @@ object SparkEntry {
         |WHERE ${Sampling.ringPositionSql("d.doc_id", seed = 7)} < thr.th
         |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("sample_splits",
+      // deterministic holdout assignment: the oracle embeds the same
+      // driver-computed ring cuts, so every row's split label replays
+      (s, dir) => Sampling.assignSplits(T(s, dir, "documents"),
+        col("doc_id"),
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id")),
+      Some {
+        val cuts = Sampling.splitCuts(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val cases = cuts.init.map { case (l, c) =>
+          s"WHEN ring < $c THEN '$l'"
+        }.mkString(" ")
+        s"""WITH r AS (SELECT doc_id,
+          |  ${Sampling.ringPositionSql("doc_id", seed = 7)} AS ring
+          |  FROM documents)
+          |SELECT doc_id, CASE $cases ELSE '${cuts.last._1}' END AS split
+          |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
     Q("pipeline_quality_dedup",
       // composed END-TO-END pipeline gated against one DuckDB replay:
       // quality filter → prefix-filtered exact near-dup removal

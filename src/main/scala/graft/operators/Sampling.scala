@@ -96,6 +96,50 @@ object Sampling {
     w.map { case (k, wk) => k -> math.min(1.0, (wk * t) / counts(k)) }
   }
 
+  /** Deterministic train/val/test assignment: the ring [0, P) is cut
+    * at the normalized cumulative weights and each row's id lands in
+    * exactly one segment — splits are DISJOINT and EXHAUSTIVE by
+    * construction (the last cut is pinned to P so floating floors
+    * cannot orphan the tail), reproducible anywhere, and stable as
+    * data grows: a row's split never changes when other rows arrive,
+    * the property that keeps eval holdouts uncontaminated across
+    * pipeline re-runs. Weights are normalized to sum 1. Rows with a
+    * null id get a null label. Stateless projection — works identically
+    * on batch frames and unbounded streams.
+    */
+  def assignSplits(df: DataFrame, id: Column,
+      splits: Seq[(String, Double)], seed: Long = 0L,
+      name: String = "split"): DataFrame =
+    df.withColumn(name, splitLabel(id, splits, seed))
+
+  /** The label expression behind [[assignSplits]]; cuts exposed via
+    * [[splitCuts]] so an oracle can embed the identical thresholds.
+    */
+  def splitLabel(id: Column, splits: Seq[(String, Double)],
+      seed: Long = 0L): Column = {
+    val cuts = splitCuts(splits)
+    val ring = ringPosition(id, seed)
+    cuts.init.foldRight(when(ring < lit(cuts.last._2), lit(cuts.last._1))) {
+      case ((label, cut), acc) => when(ring < lit(cut), lit(label)).otherwise(acc)
+    }
+  }
+
+  /** Upper ring cut per split label, in declaration order; the last
+    * cut is exactly P.
+    */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"duplicate split labels in $splits")
+    require(splits.forall(_._2 > 0),
+      s"split weights must be positive, got $splits")
+    val sum = splits.map(_._2).sum
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / sum }.tail
+    splits.map(_._1).zip(cums).zipWithIndex.map { case ((l, c), i) =>
+      l -> (if (i == splits.size - 1) PortableHash.P else (c * PortableHash.P).toLong)
+    }
+  }
+
   /** Rebalance a skewed corpus to a target domain mixture, keeping as
     * much data as the targets allow: counts strata (ONE explicit
     * counting job — the only action here, bounded by the number of

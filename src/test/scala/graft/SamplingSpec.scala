@@ -59,6 +59,51 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("assignSplits: disjoint, exhaustive, proportional, and stable under data growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplits(docs, col("doc_id"), splits, seed = 7)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === docs.count())               // exhaustive, one label each
+    assert(out.values.toSet === Set("train", "val", "test"))
+    val n = out.size.toDouble
+    for ((l, w) <- splits)
+      assert(math.abs(out.values.count(_ == l) / n - w) < 0.07,
+        s"$l: ${out.values.count(_ == l) / n} vs $w")
+    // stability: a row's split never changes when OTHER rows disappear
+    val subset = Sampling.assignSplits(docs.filter(col("doc_id") % 3 === 0),
+        col("doc_id"), splits, seed = 7)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(subset.forall { case (id, l) => out(id) == l })
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.splitCuts(Seq("a" -> 1.0, "a" -> 1.0))
+    }
+  }
+
+  test("deterministic sampling is a stateless projection: identical on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-smp-ckpt").toFile
+    val ms = MemoryStream[Long]
+    val q = Sampling.deterministicSample(ms.toDS().toDF("id"), col("id"),
+        fraction = 0.4, seed = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_stream_sample")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    ms.addData(0L until 500L: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("graft_stream_sample")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batch = Sampling.deterministicSample(
+        spark.range(500).toDF("id"), col("id"), fraction = 0.4, seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("rebalanceMixture realizes the target mixture on the corpus") {
     val targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
     val out = Sampling.rebalanceMixture(docs, col("doc_id"), col("lang"),
