@@ -1195,6 +1195,23 @@ object SparkEntry {
         |WHERE ${Sampling.ringPositionSql("d.doc_id", seed = 7)} < thr.th
         |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("sample_token_budget",
+      // data-dependent fraction = budget / Σ tokens: the token total
+      // is an exact integer sum, so the fraction (one double
+      // division, same on both engines) and its floor threshold
+      // replay row-for-row
+      (s, dir) => Sampling.takeTokenBudget(T(s, dir, "documents"),
+        col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")),
+        budget = 50000L, seed = 7)
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT SUM(len(string_split(text, ' '))) AS total
+        |  FROM documents)
+        |SELECT doc_id FROM documents, t
+        |WHERE ${Sampling.ringPositionSql("doc_id", seed = 7)} <
+        |  CAST(FLOOR((CAST(50000 AS DOUBLE) / total) * 2147483647) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_splits",
       // deterministic holdout assignment: the oracle embeds the same
       // driver-computed ring cuts, so every row's split label replays

@@ -140,6 +140,26 @@ object Sampling {
     }
   }
 
+  /** Select a deterministic ~`budget`-token subset: one explicit
+    * counting job sums the token column exactly (integer sum — the
+    * derived fraction is replayable in any engine), then the hash
+    * ring keeps fraction = budget / total of the rows. The kept
+    * token count is approximate (hash sampling is binomial around
+    * the target; relative deviation shrinks as 1/√rows — at corpus
+    * scale it is sharp). A budget at or above the total keeps
+    * everything. The "give me ~1B tokens of this corpus" primitive,
+    * with the same reproducibility-anywhere property as
+    * [[deterministicSample]], and nested across budgets: a smaller
+    * budget's subset is contained in a larger one's.
+    */
+  def takeTokenBudget(df: DataFrame, id: Column, tokens: Column,
+      budget: Long, seed: Long = 0L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val total = df.agg(sum(tokens.cast("long"))).head.getLong(0)
+    if (budget >= total) df
+    else deterministicSample(df, id, budget.toDouble / total, seed)
+  }
+
   /** Rebalance a skewed corpus to a target domain mixture, keeping as
     * much data as the targets allow: counts strata (ONE explicit
     * counting job — the only action here, bounded by the number of

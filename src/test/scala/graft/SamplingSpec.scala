@@ -104,6 +104,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("takeTokenBudget keeps ~budget tokens, nests, and degrades to identity") {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokenCountWs(col("text"))
+    val total = docs.agg(sum(toks.cast("long"))).head.getLong(0)
+    val budget = total * 2 / 5
+    val kept = Sampling.takeTokenBudget(docs, col("doc_id"), toks,
+      budget, seed = 7)
+    val keptTokens = kept.agg(sum(toks.cast("long"))).head.getLong(0)
+    assert(math.abs(keptTokens - budget).toDouble / budget < 0.12,
+      s"kept $keptTokens of target $budget")
+    // nested: a smaller budget's rows are a subset of a larger one's
+    def ids(b: Long): Set[Long] =
+      Sampling.takeTokenBudget(docs, col("doc_id"), toks, b, seed = 7)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(total / 5).subsetOf(ids(budget)))
+    // budget >= total keeps everything
+    assert(Sampling.takeTokenBudget(docs, col("doc_id"), toks,
+      total, seed = 7).count() === docs.count())
+  }
+
   test("rebalanceMixture realizes the target mixture on the corpus") {
     val targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
     val out = Sampling.rebalanceMixture(docs, col("doc_id"), col("lang"),
