@@ -1162,6 +1162,17 @@ object SparkEntry {
         .orderBy(col("ida"), col("idb")),
       Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
 
+    Q("dedup_ngram_capped_prefix",
+      // BOTH knobs composed: prefixes are taken over the capped
+      // shingle universe (Dedup.scala's documented composition), and
+      // prefix filtering stays lossless there — so the output must
+      // hash-match the capped all-pairs ground truth exactly
+      (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 2, threshold = 0.2,
+        maxDocFreq = scala.Some(30), prefixFilter = true)
+        .orderBy(col("ida"), col("idb")),
+      Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
+
     Q("sample_deterministic",
       // hash-ring sampling: a row's fate is a pure function of its id,
       // so the oracle replays the kept set ROW-FOR-ROW (not just the
@@ -1211,6 +1222,34 @@ object SparkEntry {
         |WHERE ${Sampling.ringPositionSql("doc_id", seed = 7)} <
         |  CAST(FLOOR((CAST(50000 AS DOUBLE) / total) * 2147483647) AS BIGINT)
         |ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_token_mixture",
+      // "N tokens at THIS domain mixture" in one call: the oracle
+      // recomputes the per-stratum TOKEN totals, the budget-capped
+      // feasible total T = LEAST(MIN(c/w), budget), the per-stratum
+      // fractions and floor thresholds, with the same float
+      // evaluation order as Sampling.tokenMixtureFractions (c/w, MIN,
+      // LEAST budget, (w·T)/c, LEAST 1.0 — weights dyadic so DECIMAL
+      // → DOUBLE promotion is exact)
+      (s, dir) => Sampling.takeTokenMixture(T(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")),
+        targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25),
+        budget = 15000L, seed = 7)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some(s"""WITH tk AS (SELECT doc_id, lang,
+        |   len(string_split(text, ' ')) AS nt FROM documents),
+        | cnt AS (SELECT lang, CAST(SUM(nt) AS DOUBLE) AS c
+        |   FROM tk GROUP BY 1),
+        | w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.25)),
+        | t AS (SELECT LEAST(MIN(c / wt), CAST(15000 AS DOUBLE)) AS T
+        |   FROM cnt JOIN w USING (lang)),
+        | thr AS (SELECT lang,
+        |   CAST(FLOOR(LEAST(1.0, (wt * T) / c) * 2147483647) AS BIGINT) AS th
+        |   FROM cnt JOIN w USING (lang), t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |WHERE ${Sampling.ringPositionSql("d.doc_id", seed = 7)} < thr.th
+        |ORDER BY d.doc_id""".stripMargin)),
 
     Q("sample_splits",
       // deterministic holdout assignment: the oracle embeds the same
@@ -1371,6 +1410,47 @@ object SparkEntry {
         |SELECT qid, nid,
         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
         |FROM d QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    Q("sql_sample",
+      // deterministic sampling from pure SQL: graft_sample embeds the
+      // SAME driver-computed floor threshold the Column API uses
+      // (literal-pinned fraction/seed), gated against
+      // sample_deterministic's existing row-for-row oracle
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        T(s, dir, "documents").createOrReplaceTempView("graft_sql_docs")
+        s.sql("""SELECT doc_id FROM graft_sql_docs
+          |WHERE graft_sample(doc_id, 0.35, 7) ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ${Sampling.ringPositionSql("doc_id", seed = 7)} < ${Sampling.threshold(0.35)}
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("sql_split",
+      // holdout assignment from pure SQL: the variadic
+      // graft_split_label builder folds the literal (label, weight)
+      // pairs through the same splitCuts the Column API uses, so every
+      // row's label replays against sample_splits' oracle shape
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        T(s, dir, "documents").createOrReplaceTempView("graft_sql_docs2")
+        s.sql("""SELECT doc_id,
+          |  graft_split_label(doc_id, 7, 'train', 0.8, 'val', 0.1, 'test', 0.1)
+          |    AS split
+          |FROM graft_sql_docs2 ORDER BY doc_id""".stripMargin)
+      },
+      Some {
+        val cuts = Sampling.splitCuts(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        val cases = cuts.init.map { case (l, c) =>
+          s"WHEN ring < $c THEN '$l'"
+        }.mkString(" ")
+        s"""WITH r AS (SELECT doc_id,
+          |  ${Sampling.ringPositionSql("doc_id", seed = 7)} AS ring
+          |  FROM documents)
+          |SELECT doc_id, CASE $cases ELSE '${cuts.last._1}' END AS split
+          |FROM r ORDER BY doc_id""".stripMargin
+      }),
 
     Q("emb_lsh_topk",
       // exact=true: bucket-sign dots and cosine scores accumulate in

@@ -353,13 +353,21 @@ object Dedup {
       baseHash: Column => Column = xxhash64(_), sep: String = " "): DataFrame = {
     val p = graft.functions.PortableHash.P
     val coeffs = minHashCoeffs(k, seed)
-    df.withColumn("__graft_xs",
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists on the input — pick another " +
+        "`out` name (silently replacing a caller's column is never right)")
+    // collision-free temp name: the input may legitimately carry
+    // __graft_xs (e.g. a frame round-tripped through another graft op)
+    val xs = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_xs" else s"__graft_xs$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(xs,
         F.transform(shingleArray(text, n, sep), s => pmod(baseHash(s), lit(p))))
       .withColumn(out, F.array(coeffs.map { case (a, b) =>
-        array_min(F.transform(col("__graft_xs"),
+        array_min(F.transform(col(xs),
           x => pmod(x * lit(a) + lit(b), lit(p))))
       }: _*))
-      .drop("__graft_xs")
+      .drop(xs)
   }
 
   /** Near-dup SUPPRESSION (a keep/drop verdict per document) rather

@@ -147,32 +147,109 @@ object Sampling {
     * token count is approximate (hash sampling is binomial around
     * the target; relative deviation shrinks as 1/√rows — at corpus
     * scale it is sharp). A budget at or above the total keeps
-    * everything. The "give me ~1B tokens of this corpus" primitive,
-    * with the same reproducibility-anywhere property as
-    * [[deterministicSample]], and nested across budgets: a smaller
-    * budget's subset is contained in a larger one's.
+    * everything — including the degenerate total of 0 (empty frame or
+    * all-null token column), where there is nothing to trim and the
+    * frame passes through unchanged. The "give me ~1B tokens of this
+    * corpus" primitive, with the same reproducibility-anywhere
+    * property as [[deterministicSample]], and nested across budgets:
+    * a smaller budget's subset is contained in a larger one's.
+    *
+    * Pass `total` when the corpus token sum is already known (e.g.
+    * from catalog stats or a prior aggregation) to skip the counting
+    * job entirely — then the operator is a pure lazy projection,
+    * composable on unbounded streams.
     */
   def takeTokenBudget(df: DataFrame, id: Column, tokens: Column,
-      budget: Long, seed: Long = 0L): DataFrame = {
+      budget: Long, seed: Long = 0L,
+      total: Option[Long] = None): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val total = df.agg(sum(tokens.cast("long"))).head.getLong(0)
-    if (budget >= total) df
-    else deterministicSample(df, id, budget.toDouble / total, seed)
+    // sum(all-null / zero rows) is a null cell — read boxed, not getLong
+    val tot = total.getOrElse {
+      Option(df.agg(sum(tokens.cast("long"))).head.getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
+    }
+    require(tot >= 0, s"total token count must be >= 0, got $tot")
+    if (budget >= tot) df
+    else deterministicSample(df, id, budget.toDouble / tot, seed)
   }
+
+  /** Per-stratum aggregate probe shared by the mixture ops: one
+    * bounded job (result size = number of strata). The stratum is
+    * cast to string so integer/date domain columns work, and null
+    * strata are dropped — they can carry no target weight, so they
+    * behave exactly like any other stratum the targets do not name.
+    */
+  private def stratumTotals(df: DataFrame, stratum: Column,
+      value: Column): Map[String, Long] =
+    df.groupBy(stratum.cast("string").as("__s"))
+      .agg(sum(value.cast("long")).as("__v"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(0) || r.isNullAt(1)) None
+                    else Some(r.getString(0) -> r.getLong(1)))
+      .toMap
 
   /** Rebalance a skewed corpus to a target domain mixture, keeping as
     * much data as the targets allow: counts strata (ONE explicit
-    * counting job — the only action here, bounded by the number of
-    * strata), derives the largest feasible total via
+    * counting job bounded by the number of strata — skipped entirely
+    * when `counts` is supplied, making the op lazy and
+    * stream-composable), derives the largest feasible total via
     * [[mixtureFractions]], and deterministically samples each stratum.
-    * Strata not named in `targets` are dropped.
+    * Strata not named in `targets` are dropped; the stratum column is
+    * compared as a string (matching the `Map[String, …]` targets), so
+    * non-string domain columns work.
     */
   def rebalanceMixture(df: DataFrame, id: Column, stratum: Column,
-      targets: Map[String, Double], seed: Long = 0L): DataFrame = {
-    val counts = df.groupBy(stratum.as("__s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    stratifiedSample(df, id, stratum,
-      mixtureFractions(counts.filter { case (k, _) => targets.contains(k) },
+      targets: Map[String, Double], seed: Long = 0L,
+      counts: Option[Map[String, Long]] = None): DataFrame = {
+    val c = counts.getOrElse(stratumTotals(df, stratum, lit(1L)))
+    stratifiedSample(df, id, stratum.cast("string"),
+      mixtureFractions(c.filter { case (k, _) => targets.contains(k) },
         targets), seed)
+  }
+
+  /** Budget-capped mixture plan over per-stratum TOKEN totals: the
+    * largest total T with weight_s·T ≤ tokens_s for every stratum,
+    * further capped at `budget`; the per-stratum sampling fraction is
+    * (weight_s · T) / tokens_s. With the cap binding, no stratum is
+    * kept whole — every stratum is trimmed to its share of the budget.
+    * Weights normalize to sum 1. Float evaluation ORDER (for oracle
+    * replay): tokens_s / w_s per stratum, MIN, LEAST with the budget,
+    * then (w_s · T) / tokens_s, LEAST 1.0.
+    */
+  def tokenMixtureFractions(tokenTotals: Map[String, Long],
+      targets: Map[String, Double], budget: Long): Map[String, Double] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0),
+      s"target weights must be positive, got $targets")
+    val sum = targets.values.sum
+    val w = targets.map { case (k, v) => k -> v / sum }
+    val missing = w.keySet -- tokenTotals.keySet
+    require(missing.isEmpty,
+      s"targeted strata absent from the data: ${missing.toSeq.sorted}")
+    val tMax = w.map { case (k, wk) => tokenTotals(k) / wk }.min
+    val t = math.min(tMax, budget.toDouble)
+    w.map { case (k, wk) => k -> math.min(1.0, (wk * t) / tokenTotals(k)) }
+  }
+
+  /** "N tokens at THIS domain mixture" in one call — the pretraining
+    * composition of [[takeTokenBudget]] and [[rebalanceMixture]]: one
+    * bounded per-stratum token-sum job (skipped when `tokenTotals` is
+    * supplied), the [[tokenMixtureFractions]] plan, then the
+    * deterministic per-stratum hash-ring filter. Kept token counts
+    * per stratum are binomial around weight_s·T (sharp at corpus
+    * scale); strata not named in `targets` are dropped. Fully
+    * deterministic: same inputs → the same kept rows on any cluster,
+    * partitioning, or engine.
+    */
+  def takeTokenMixture(df: DataFrame, id: Column, stratum: Column,
+      tokens: Column, targets: Map[String, Double], budget: Long,
+      seed: Long = 0L,
+      tokenTotals: Option[Map[String, Long]] = None): DataFrame = {
+    val totals = tokenTotals.getOrElse(stratumTotals(df, stratum, tokens))
+    stratifiedSample(df, id, stratum.cast("string"),
+      tokenMixtureFractions(
+        totals.filter { case (k, _) => targets.contains(k) },
+        targets, budget), seed)
   }
 }

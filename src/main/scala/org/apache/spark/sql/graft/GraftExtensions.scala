@@ -6,12 +6,14 @@
 package org.apache.spark.sql.graft
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-callable registration of the graft function library, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works for pure-SQL
@@ -97,7 +99,43 @@ object GraftFunctions {
           Dedup.shingleArray(ExpressionUtils.column(c(0)),
             intLiteral("graft_shingles", "n", c(1))).node)
       },
-      "graft_shingles(text, n) - word n-gram shingle array (n a foldable integer); the dedup family's first stage — explode it for a pure-SQL inverted-index near-dup pipeline"))
+      "graft_shingles(text, n) - word n-gram shingle array (n a foldable integer); the dedup family's first stage — explode it for a pure-SQL inverted-index near-dup pipeline"),
+    // ---- deterministic sampling family: the two ops a SQL-only data
+    // engineer most wants (reproducible sampling and holdout splits).
+    // The structural parameters (seed, fraction, split weights) shape
+    // the expression tree — driver-computed thresholds, literal-pinned
+    // like graft_shingles — so they must be literals in SQL.
+    entry("graft_ring_position",
+      fixedArity("graft_ring_position", 2) { c =>
+        ColumnNodeToExpressionConverter(Sampling.ringPosition(
+          ExpressionUtils.column(c(0)),
+          longLiteral("graft_ring_position", "seed", c(1))).node)
+      },
+      "graft_ring_position(id, seed) - position of id on the engine-portable deterministic sampling ring [0, 2^31-1); seed a foldable integer"),
+    entry("graft_sample",
+      fixedArity("graft_sample", 3) { c =>
+        val fraction = doubleLiteral("graft_sample", "fraction", c(1))
+        val seed = longLiteral("graft_sample", "seed", c(2))
+        ColumnNodeToExpressionConverter(
+          (Sampling.ringPosition(ExpressionUtils.column(c(0)), seed)
+            < lit(Sampling.threshold(fraction))).node)
+      },
+      "graft_sample(id, fraction, seed) - deterministic keep verdict: true iff id's ring position falls under floor(fraction * 2^31-1). Partition/retry/engine independent; fractions nest"),
+    entry("graft_split_label",
+      (children: Seq[Expression]) => {
+        if (children.length < 4 || children.length % 2 != 0)
+          throw new IllegalArgumentException(
+            "graft_split_label expects (id, seed, label1, weight1, ...), " +
+              s"got ${children.length} argument(s)")
+        val seed = longLiteral("graft_split_label", "seed", children(1))
+        val splits = children.drop(2).grouped(2).map { pair =>
+          stringLiteral("graft_split_label", "label", pair(0)) ->
+            doubleLiteral("graft_split_label", "weight", pair(1))
+        }.toSeq
+        ColumnNodeToExpressionConverter(Sampling.splitLabel(
+          ExpressionUtils.column(children(0)), splits, seed).node)
+      },
+      "graft_split_label(id, seed, label1, weight1, ...) - deterministic train/val/test split assignment: disjoint, exhaustive, stable as data grows; labels/weights foldable literals"))
 
   /** Extract a foldable integer argument (e.g. a shingle width) — the
     * structural parameters of the dedup family shape the expression
@@ -107,6 +145,35 @@ object GraftFunctions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** Foldable integral argument as Long (SQL `7` parses as INT). */
+  private def longLiteral(fn: String, arg: String, e: Expression): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** Foldable numeric argument as Double. SQL `0.35` parses as a
+    * DECIMAL literal by default; Decimal.toDouble yields the same
+    * IEEE double a Scala `0.35` source literal does, so thresholds
+    * computed from it match the Column API bit-for-bit.
+    */
+  private def doubleLiteral(fn: String, arg: String, e: Expression): Double = e match {
+    case Literal(v: Decimal, _: DecimalType) => v.toDouble
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Float, FloatType) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got $other")
+  }
+
+  private def stringLiteral(fn: String, arg: String, e: Expression): String = e match {
+    case Literal(v: UTF8String, _: StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
   }
 
   /** Register every graft function on a live session (idempotent —

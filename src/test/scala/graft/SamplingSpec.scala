@@ -124,6 +124,87 @@ class SamplingSpec extends AnyFunSuite {
       total, seed = 7).count() === docs.count())
   }
 
+  test("takeTokenBudget: degenerate totals pass through, precomputed total is identical") {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokenCountWs(col("text"))
+    // empty frame: sum(...) is a null cell — must pass through, not NPE
+    val empty = docs.filter(lit(false))
+    assert(Sampling.takeTokenBudget(empty, col("doc_id"), toks,
+      1000L, seed = 7).count() === 0)
+    // all-null token column: nothing to budget, frame unchanged
+    val nulls = docs.select(col("doc_id"), lit(null).cast("long").as("t"))
+    assert(Sampling.takeTokenBudget(nulls, col("doc_id"), col("t"),
+      1000L, seed = 7).count() === docs.count())
+    // supplying the total skips the probe and selects the same rows
+    val total = docs.agg(sum(toks.cast("long"))).head.getLong(0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Sampling.takeTokenBudget(docs, col("doc_id"), toks,
+        total / 3, seed = 7, total = Some(total)))
+      === ids(Sampling.takeTokenBudget(docs, col("doc_id"), toks,
+        total / 3, seed = 7)))
+  }
+
+  test("rebalanceMixture: non-string strata, null strata dropped, precomputed counts") {
+    // integer stratum column — compared through its string form
+    val byMod = docs.select(col("doc_id"), (col("doc_id") % 3).as("m"))
+    val out = Sampling.rebalanceMixture(byMod, col("doc_id"), col("m"),
+        Map("0" -> 0.5, "1" -> 0.5), seed = 7)
+      .groupBy("m").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(0L, 1L))
+    // null strata are dropped like any unnamed stratum, not NPE'd
+    val withNull = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, col("lang")).as("l"))
+    val outN = Sampling.rebalanceMixture(withNull, col("doc_id"), col("l"),
+      Map("en" -> 1.0), seed = 7)
+    assert(outN.filter(col("l").isNull).count() === 0 && outN.count() > 0)
+    // precomputed counts: lazy (no counting job) and row-identical
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 0.5, "de" -> 0.5)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Sampling.rebalanceMixture(docs, col("doc_id"), col("lang"),
+        targets, seed = 7, counts = Some(counts)))
+      === ids(Sampling.rebalanceMixture(docs, col("doc_id"), col("lang"),
+        targets, seed = 7)))
+  }
+
+  test("takeTokenMixture keeps ~budget tokens at the target mixture; lazy totals identical") {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokenCountWs(col("text"))
+    val targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+    val totals = docs.groupBy("lang").agg(sum(toks.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val feasible = targets.map { case (k, w) => totals(k) / w }.min
+    val budget = (feasible * 0.5).toLong // the cap binds
+    val kept = Sampling.takeTokenMixture(docs, col("doc_id"), col("lang"),
+      toks, targets, budget, seed = 7)
+    val keptTok = kept.groupBy("lang").agg(sum(toks.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptTok.keySet === targets.keySet)
+    // per-stratum kept tokens approach weight·budget (binomial at
+    // this SF — generous tolerance)
+    for ((k, w) <- targets)
+      assert(math.abs(keptTok(k) - w * budget) / (w * budget) < 0.30,
+        s"$k: ${keptTok(k)} vs target ${w * budget}")
+    // supplying the totals skips the probe and selects the same rows
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Sampling.takeTokenMixture(docs, col("doc_id"), col("lang"),
+        toks, targets, budget, seed = 7, tokenTotals = Some(totals)))
+      === ids(kept))
+    // budget at/above the feasible max degrades to the pure mixture
+    // rebalance (binding stratum kept whole)
+    val full = Sampling.takeTokenMixture(docs, col("doc_id"), col("lang"),
+      toks, targets, budget = Long.MaxValue, seed = 7)
+    val fullTok = full.groupBy("lang").agg(sum(toks.cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = targets.keys.minBy(k => totals(k) / targets(k))
+    assert(fullTok(binding) === totals(binding))
+  }
+
   test("rebalanceMixture realizes the target mixture on the corpus") {
     val targets = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
     val out = Sampling.rebalanceMixture(docs, col("doc_id"), col("lang"),

@@ -95,6 +95,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be an integer literal"))
   }
 
+  test("sampling family from SQL matches the Column API bit-for-bit") {
+    import graft.operators.Sampling
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_ring_position(doc_id, 7) AS ring,
+        |  graft_sample(doc_id, 0.35, 7) AS keep,
+        |  graft_split_label(doc_id, 7, 'train', 0.8, 'val', 0.1, 'test', 0.1)
+        |    AS split
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select(col("doc_id"),
+      Sampling.ringPosition(col("doc_id"), 7).as("ring"),
+      (Sampling.ringPosition(col("doc_id"), 7)
+        < lit(Sampling.threshold(0.35))).as("keep"),
+      Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 7).as("split"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql === viaApi)
+    // structural parameters must be literals — fail loudly, not wrongly
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sample(doc_id, n_chars, 7) FROM sqlspec_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("must be a numeric literal"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_split_label(doc_id, 7, 'a') FROM sqlspec_docs")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_split_label expects"))
+  }
+
   test("wrong arity fails loudly at builder time") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
