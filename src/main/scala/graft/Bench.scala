@@ -94,6 +94,18 @@ object Bench {
     val persistOps: Seq[(String, () => DataFrame)] = Seq(
       "dedup_minhash" -> (() => Dedup.minHashPairs(docs, col("doc_id"),
         col("text"))),
+      // the suppression-verdict form vs its pair-enumeration
+      // equivalent: minHashKeep claims to be cheaper than pairs +
+      // anti-join when only the verdict is needed (bounded aggs/joins
+      // on (band, bucket), no pair materialization) — these two rows
+      // measure that claim head-to-head on identical inputs
+      "dedup_minhash_keep" -> (() => Dedup.minHashKeep(docs, col("doc_id"),
+        col("text"), ord = col("doc_id"))),
+      "dedup_minhash_keep_pairs" -> (() => {
+        val drop = Dedup.minHashPairs(docs, col("doc_id"), col("text"))
+          .select(col("idb").as("doc_id")).distinct()
+        docs.select(col("doc_id")).join(drop, Seq("doc_id"), "left_anti")
+      }),
       // composed pipeline (quality filter → near-dup removal → join →
       // grouped agg): catches composition regressions — recomputation,
       // partitioning lost between stages — that single-op rows hide
@@ -143,12 +155,18 @@ object Bench {
     val nHot = 10000000L
     def hotKey = when(col("id") % 5 =!= 0, 0L)
       .otherwise(pmod(col("id"), lit(997L)))
+    // persist() here only MARKS for caching — materialization (the
+    // count) happens immediately before this group's measureGroup, and
+    // the blocks are freed right after, so no group measures under
+    // another group's block-manager residue (round 5's heavy rows did:
+    // five fixture sets were resident before the first secondary
+    // measurement, and the recorded prefix_30k reading was ~5× off two
+    // fresh runs)
     val hotLeft = spark.range(nHot).select(hotKey.as("user_id"),
       (col("id") * 1000L).as("ts"), col("id").as("event_id")).persist()
     val hotRight = spark.range(nHot / 10).select(hotKey.as("user_id"),
       (col("id") * 10000L + 7L).as("ts"),
       (col("id") % 100).cast("double").as("p_value")).persist()
-    hotLeft.count(); hotRight.count()
     def hotAsof(width: Option[Long]) = Joins.asof(hotLeft, hotRight,
       Seq("user_id"), "ts", "ts", rightVals = Seq("p_value" -> "p_value"),
       sliceWidth = width)
@@ -191,7 +209,6 @@ object Bench {
         expr("concat(' t', CAST(id % 10 AS STRING))")).as("text"))
     val zipf10k = zipfCorpus(10000).persist()
     val zipf30k = zipfCorpus(30000).persist()
-    zipf10k.count(); zipf30k.count()
     val zipfOps: Seq[(String, () => DataFrame)] = Seq(
       "ngram_exact_quad_10k" -> (() => Dedup.ngramJaccardPairs(zipf10k,
         col("doc_id"), col("text"), threshold = 0.6, maxDocFreq = None)),
@@ -222,6 +239,9 @@ object Bench {
     // point — e.g. 30 for a one-off wider extrapolation run; the
     // embedding rotation supports xMult <= dim (64).
     val xMult = sys.env.getOrElse("SPARK_GRAFT_X", "10").toInt
+    require(xMult >= 1 && xMult <= 64,
+      s"SPARK_GRAFT_X must be in [1, 64] (the embedding rotation " +
+        s"supports at most dim=64 positions), got $xMult")
     val xs = s"_x$xMult"
     val docs10 = (0 until xMult).map { i =>
       docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
@@ -240,10 +260,16 @@ object Bench {
         col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
         col("event_type"), col("value"))
     }.reduce(_ unionByName _).persist()
-    docs10.count(); embs10.count(); ev10.count()
     val x10Ops: Seq[(String, () => DataFrame)] = Seq(
       s"dedup_minhash$xs" -> (() => Dedup.minHashPairs(docs10, col("doc_id"),
         col("text"))),
+      s"dedup_minhash_keep$xs" -> (() => Dedup.minHashKeep(docs10,
+        col("doc_id"), col("text"), ord = col("doc_id"))),
+      s"dedup_minhash_keep_pairs$xs" -> (() => {
+        val drop = Dedup.minHashPairs(docs10, col("doc_id"), col("text"))
+          .select(col("idb").as("doc_id")).distinct()
+        docs10.select(col("doc_id")).join(drop, Seq("doc_id"), "left_anti")
+      }),
       s"dedup_ngram$xs" -> (() => Dedup.ngramJaccardPairs(docs10, col("doc_id"),
         col("text"), maxDocFreq = Some(100))),
       s"emb_dup_pairs$xs" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
@@ -262,34 +288,49 @@ object Bench {
 
     // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
     // timed (the JIT universe is already compiled by the main loop —
-    // these reuse the same operators on different data)
+    // these reuse the same operators on different data). Rows whose
+    // faster timed run still exceeds 2 s get a third run and report the
+    // MEDIAN: min-of-2 cannot reject a GC/compaction burst spanning
+    // both runs, and these are exactly the rows the 100 TB evidence
+    // (scaling exponents, skew-lever wins) rests on.
     def measureGroup(group: Seq[(String, () => DataFrame)]): Seq[(String, Double)] = {
       group.foreach { case (_, build) => force(build()) }
       group.map { case (name, build) =>
-        val t = (1 to 2).map { _ =>
+        def timed(): Double = {
           val t0 = System.nanoTime()
           force(build())
           (System.nanoTime() - t0) / 1e9
-        }.min
+        }
+        val t1 = timed(); val t2 = timed()
+        val t = if (math.min(t1, t2) > 2.0) Seq(t1, t2, timed()).sorted.apply(1)
+                else math.min(t1, t2)
         name -> t
       }
     }
+    // each group's fixtures materialize immediately before its
+    // measurement and are freed (blocking) right after — no group
+    // measures under another's cache residue
     val persistResults = measureGroup(persistOps)
     val prodDedupResults = measureGroup(prodDedupOps)
+    zipf10k.count(); zipf30k.count()
     val zipfResults = measureGroup(zipfOps)
-    zipf10k.unpersist(); zipf30k.unpersist()
+    zipf10k.unpersist(true); zipf30k.unpersist(true)
+    hotLeft.count(); hotRight.count()
     val skewResults = measureGroup(skewOps)
-    hotLeft.unpersist(); hotRight.unpersist()
+    hotLeft.unpersist(true); hotRight.unpersist(true)
+    docs10.count(); embs10.count(); ev10.count()
     val x10Results = measureGroup(x10Ops)
+    docs10.unpersist(true); embs10.unpersist(true); ev10.unpersist(true)
 
     val all = results ++ persistResults ++ prodDedupResults ++ zipfResults ++
       skewResults ++ x10Results
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // same op set as prior rounds' "total" (main loop + the two
-    // persisting ops, now measured separately), so the headline stays
-    // comparable round-over-round
-    val total = (results ++ persistResults).map(_._2).sum
+    // same op set as prior rounds' "total" (main loop + dedup_minhash +
+    // pipeline_e2e — NOT the new keep-vs-pairs rows), so the headline
+    // stays comparable round-over-round
+    val total = (results ++ persistResults.filter { case (n, _) =>
+      n == "dedup_minhash" || n == "pipeline_e2e" }).map(_._2).sum
     // scaling exponent per xMult op: log(t_xMult / t_x1) / log(xMult)
     // — 1.0 = linear, <1 sublinear (fixed overheads amortizing), >1
     // superlinear (a plan that would not survive 100 TB)
