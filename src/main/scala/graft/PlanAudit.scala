@@ -31,6 +31,10 @@ object PlanAudit {
     *  - `equiJoinOnly`: no cartesian/nested-loop join anywhere — set on
     *    the bucketed candidate generators whose whole point is turning
     *    an all-pairs comparison into an equijoin.
+    *  - `broadcastProbe`: the plan joins via BroadcastHashJoin with no
+    *    SortMergeJoin — set on the decontamination screen, whose point
+    *    is that the training-corpus scan is probed map-side and never
+    *    shuffled for the join.
     */
   final case class Audited(
       name: String,
@@ -38,7 +42,8 @@ object PlanAudit {
       noSinglePartition: Boolean = false,
       keySlicedWindows: Boolean = false,
       equiJoinOnly: Boolean = false,
-      noShuffle: Boolean = false)
+      noShuffle: Boolean = false,
+      broadcastProbe: Boolean = false)
 
   def plans(spark: SparkSession, dir: String): Seq[Audited] = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -120,7 +125,12 @@ object PlanAudit {
         new graft.operators.RollingOps(new GroupBy(ev, Seq(col("user_id"))))
           .groupNearbyMembers(col("ts"), col("ts"), 4.32e13,
             sliceWidth = Some(sixHoursNs)),
-        noSinglePartition = true, keySlicedWindows = true)
+        noSinglePartition = true, keySlicedWindows = true),
+      Audited("decontamination probe (eval gram set broadcast — map-side semijoin)",
+        Dedup.contamination(docs.where(col("doc_id") % 20 =!= 0),
+          col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 20 === 0), col("text"), n = 5),
+        noSinglePartition = true, equiJoinOnly = true, broadcastProbe = true)
     )
   }
 

@@ -1669,7 +1669,100 @@ object SparkEntry {
         |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
         |  COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value
         |FROM g GROUP BY user_id, sess
-        |ORDER BY user_id, session_start_us""".stripMargin))
+        |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    Q("text_repetition",
+      // Gopher-style repetition signals. The corpus is single-line, so
+      // the segment metrics run over a derived multi-segment text
+      // (every literal " the " becomes a segment break — both engines
+      // replace all occurrences left-to-right); the top-bigram stats
+      // run over the raw text. Fractions divide identical exact
+      // integers on both sides, so the doubles are bit-equal.
+      (s, dir) => {
+        val para = replace(col("text"), lit(" the "), lit("\n"))
+        T(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.duplicateSegmentFraction(para, "\n")
+            .as("dup_seg_frac"),
+          TextFunctions.duplicateSegmentCharFraction(para, "\n")
+            .as("dup_char_frac"),
+          TextFunctions.topNgramStats(col("text"), 2).getField("gram")
+            .as("top_gram"),
+          TextFunctions.topNgramStats(col("text"), 2).getField("cnt")
+            .as("top_cnt"),
+          TextFunctions.topNgramStats(col("text"), 2).getField("char_frac")
+            .as("top_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  string_split(replace(text, ' the ', chr(10)), chr(10)) AS ss
+        |  FROM documents),
+        |dup AS (SELECT doc_id,
+        |  (len(ss) - len(list_distinct(ss)))::DOUBLE / len(ss)::DOUBLE
+        |    AS dup_seg_frac,
+        |  list_sum(list_transform(list_distinct(ss),
+        |      seg -> (len(list_filter(ss, x -> x = seg)) - 1) * strlen(seg)))::DOUBLE
+        |    / list_sum(list_transform(ss, seg -> strlen(seg)))::DOUBLE
+        |    AS dup_char_frac
+        |  FROM d),
+        |w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+        |c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+        |r AS (SELECT doc_id, g, cnt,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+        |  FROM c),
+        |t AS (SELECT r.doc_id, g AS top_gram, cnt AS top_cnt,
+        |  (cnt * strlen(g))::DOUBLE / strlen(w.text)::DOUBLE AS top_frac
+        |  FROM r JOIN w ON r.doc_id = w.doc_id WHERE rn = 1)
+        |SELECT doc_id, dup_seg_frac, dup_char_frac, top_gram, top_cnt, top_frac
+        |FROM dup JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_segments",
+      // segment-level exact dedup with reassembly, over the same
+      // derived multi-segment corpus as text_repetition; ord = doc_id
+      // makes the corpus-wide first-occurrence claim deterministic
+      (s, dir) => {
+        val para = T(s, dir, "documents").select(col("doc_id"),
+          replace(col("text"), lit(" the "), lit("\n")).as("text"))
+        Dedup.dedupSegments(para, col("doc_id"), col("text"),
+            ord = col("doc_id"), sep = "\n")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  string_split(replace(text, ' the ', chr(10)), chr(10)) AS ss
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(ss) AS seg,
+        |  unnest(range(1, len(ss) + 1)) AS pos FROM d),
+        |k AS (SELECT doc_id, seg, pos,
+        |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+        |  FROM e)
+        |SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text,
+        |  COUNT(*) AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("decontaminate",
+      // eval side = every 20th doc; train side = the rest. 5-word
+      // grams on the 31-word-vocabulary corpus give a selective but
+      // non-empty overlap. The engine broadcasts the eval gram set —
+      // the plan must show a map-side BroadcastHashJoin (PlanAuditSpec
+      // asserts it); the oracle recomputes the overlap exactly.
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        Dedup.contamination(
+            docs.where(col("doc_id") % 20 =!= 0), col("doc_id"), col("text"),
+            docs.where(col("doc_id") % 20 === 0), col("text"), n = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, len(ws) - 3),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+        |         ws[i+3] || ' ' || ws[i+4])) AS s
+        |  FROM w),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
+        |SELECT doc_id, COUNT(*) AS n_shared FROM sh JOIN ev USING (s)
+        |WHERE doc_id % 20 <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

@@ -84,4 +84,95 @@ object TextFunctions {
       (acc, w) =>
         (acc * 31 + conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
           % 1000000007L)
+
+  // ------------------------------------------------- repetition filters
+  // The within-document repetition signals used by pretraining quality
+  // filters (the Gopher rules, Rae et al. 2021 §A1.1): heavily
+  // repetitious documents are boilerplate/spam far more often than
+  // prose. All are row-local array expressions — no explode, no
+  // shuffle; they run inside a projection at any corpus scale.
+
+  /** Word n-gram array (space-joined); documents shorter than n words
+    * yield an empty array. The shared gram builder for the repetition
+    * stats here and the shingle stage of [[graft.operators.Dedup]].
+    */
+  def ngramArray(text: Column, n: Int, sep: String = " "): Column = {
+    val w = split(text, java.util.regex.Pattern.quote(sep))
+    if (n == 1) w
+    else
+      // the descending sequence(0, size-n) on a short doc would
+      // evaluate slice(start=0) and throw — guard with an empty array
+      when(F.size(w) >= n,
+        F.transform(F.sequence(lit(0), F.size(w) - n),
+          i => array_join(F.slice(w, i + lit(1), lit(n)), sep)))
+        .otherwise(array())
+  }
+
+  private def segments(text: Column, sep: String): Column =
+    split(text, java.util.regex.Pattern.quote(sep))
+
+  /** Fraction of segments (lines, under the default "\n" separator)
+    * that repeat an earlier segment of the same document.
+    */
+  def duplicateSegmentFraction(text: Column, sep: String = "\n"): Column = {
+    val s = segments(text, sep)
+    Num.safeDiv((F.size(s) - F.size(array_distinct(s))).cast(DoubleType),
+      F.size(s).cast(DoubleType))
+  }
+
+  /** Fraction of characters contained in repeated segment occurrences
+    * (every occurrence beyond each distinct segment's first), over the
+    * document's total segment characters. Distinguishes one long
+    * duplicated paragraph from many short ones — the signal the plain
+    * segment-count fraction flattens.
+    */
+  def duplicateSegmentCharFraction(text: Column, sep: String = "\n"): Column = {
+    val s = segments(text, sep)
+    val dupChars = F.aggregate(array_distinct(s), lit(0L),
+      (acc, seg) => acc +
+        ((F.size(F.filter(s, x => x === seg)) - 1) * length(seg)).cast(LongType))
+    val totChars = F.aggregate(s, lit(0L),
+      (acc, seg) => acc + length(seg).cast(LongType))
+    Num.safeDiv(dupChars.cast(DoubleType), totChars.cast(DoubleType))
+  }
+
+  /** Most frequent word n-gram of a document as a struct
+    * `(gram, cnt, char_frac)`: the gram (ties broken toward the
+    * lexicographically greatest, so the result is engine-independent),
+    * its occurrence count (overlapping occurrences counted), and the
+    * fraction of document characters its occurrences cover
+    * (cnt · |gram| / |text|). Empty-gram documents (shorter than n
+    * words) yield ("", 0, 0.0).
+    */
+  def topNgramStats(text: Column, n: Int = 2): Column = {
+    val gs = ngramArray(text, n)
+    val top = array_max(F.transform(array_distinct(gs),
+      g => struct(F.size(F.filter(gs, x => x === g)).cast(LongType).as("cnt"),
+        g.as("gram"))))
+    struct(
+      coalesce(top.getField("gram"), lit("")).as("gram"),
+      coalesce(top.getField("cnt"), lit(0L)).as("cnt"),
+      coalesce(
+        (top.getField("cnt") * length(top.getField("gram"))).cast(DoubleType)
+          / length(text).cast(DoubleType), lit(0.0)).as("char_frac"))
+  }
+
+  /** Fraction of segments starting with a bullet marker. */
+  def bulletSegmentFraction(text: Column, sep: String = "\n",
+      markers: Seq[String] = Seq("- ", "* ")): Column = {
+    val s = segments(text, sep)
+    Num.safeDiv(
+      F.size(F.filter(s, x => markers.map(m => x.startsWith(m))
+        .reduce(_ || _))).cast(DoubleType),
+      F.size(s).cast(DoubleType))
+  }
+
+  /** Fraction of segments ending in an ellipsis. */
+  def ellipsisSegmentFraction(text: Column, sep: String = "\n",
+      suffix: String = "..."): Column = {
+    val s = segments(text, sep)
+    Num.safeDiv(
+      F.size(F.filter(s, x => x.endsWith(suffix))).cast(DoubleType),
+      F.size(s).cast(DoubleType))
+  }
 }

@@ -45,19 +45,13 @@ object Dedup {
   /** Row-local word n-gram shingle array of a text column (possibly
     * with duplicates — downstream consumers either `distinct()` after
     * exploding or are duplicate-insensitive like the MinHash min).
-    * Documents shorter than n words yield an empty array.
+    * Documents shorter than n words yield an empty array. Delegates to
+    * [[graft.functions.TextFunctions.ngramArray]] — the same gram
+    * builder the repetition quality filters use, so dedup and quality
+    * stages of a pipeline share one expression shape.
     */
-  def shingleArray(text: Column, n: Int, sep: String = " "): Column = {
-    val w = split(text, java.util.regex.Pattern.quote(sep))
-    if (n == 1) w
-    else
-      // the descending sequence(0, size-n) on a short doc would
-      // evaluate slice(start=0) and throw — guard with an empty array
-      when(F.size(w) >= n,
-        F.transform(F.sequence(lit(0), F.size(w) - n),
-          i => array_join(F.slice(w, i + lit(1), lit(n)), sep)))
-        .otherwise(array())
-  }
+  def shingleArray(text: Column, n: Int, sep: String = " "): Column =
+    graft.functions.TextFunctions.ngramArray(text, n, sep)
 
   /** Distinct (id, word n-gram shingle) pairs of a text column —
     * the shared first stage of the similarity-based dedups.
@@ -381,9 +375,17 @@ object Dedup {
     *
     * Returns (doc_id, lost_bands, kept), one row per document with at
     * least one shingle. All stages are bounded aggregations/joins on
-    * the (band, bucket) key — no pair materialization at all, so this
-    * is CHEAPER than [[minHashPairs]] + anti-join when only the
-    * verdict is needed.
+    * the (band, bucket) key — no pair materialization at all. Cost
+    * regime (measured head-to-head vs [[minHashPairs]] + anti-join,
+    * the Bench `dedup_minhash_keep*` rows): at gate-scale duplicate
+    * density the two forms are within ~35% of each other either way —
+    * the claim/verdict aggregations roughly buy back what skipping
+    * pair materialization saves. The keep form's structural advantage
+    * is that its volume NEVER exceeds docs × bands regardless of
+    * duplicate density, while the pairs form materializes O(dup pairs)
+    * rows — quadratic per duplicate cluster — so it is the safe
+    * default for dup-heavy corpora, and the only form with a
+    * streaming twin.
     */
   def minHashKeep(df: DataFrame, id: Column, text: Column, ord: Column,
       n: Int = 2, k: Int = 64, bands: Int = 16, seed: Long = 42L,
@@ -596,5 +598,71 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
+  }
+
+  /** Segment-level (paragraph/sentence) exact dedup with document
+    * reassembly — the granular form of corpus dedup (the C4 recipe
+    * applies it at sentence-span granularity): split each document on
+    * `sep`, keep each distinct segment's FIRST occurrence corpus-wide
+    * (first = minimal `(ord, position)` — pass a stable `ord` such as
+    * the document id so the claim is partition/retry independent),
+    * drop every other occurrence, and reassemble each document from
+    * its surviving segments in original order. Documents whose
+    * segments are all claimed elsewhere disappear from the output.
+    * Returns `(doc_id, text, n_kept)`.
+    *
+    * Distributed shape: posexplode → claim aggregation keyed on the
+    * segment's md5 (128-bit — the hash groupBy never shuffles full
+    * segment text twice; collision probability is negligible at any
+    * realistic corpus) → co-partitioned equijoin back on the same key
+    * → per-document reassembly. Two hash shuffles (segment hash, doc
+    * id), volume linear in total segment count, no driver state — the
+    * same skeleton as [[exact]] one granularity down.
+    */
+  def dedupSegments(df: DataFrame, id: Column, text: Column, ord: Column,
+      sep: String = "\n\n"): DataFrame = {
+    val segs = df.select(id.as("doc_id"), ord.as("__graft_ord"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "seg")))
+      .withColumn("__graft_h", md5(col("seg")))
+    val claims = segs.groupBy(col("__graft_h"))
+      .agg(F.min(struct(col("__graft_ord").as("o"), col("pos").as("p")))
+        .as("__graft_claim"))
+    segs.join(claims, "__graft_h")
+      .where(col("__graft_ord") === col("__graft_claim.o") &&
+        col("pos") === col("__graft_claim.p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(F.transform(
+          sort_array(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), sep).as("text"),
+        F.count(lit(1)).as("n_kept"))
+  }
+
+  /** Eval-set decontamination screen: flag every training document
+    * sharing at least one word `n`-gram with any document of an
+    * eval/holdout set, with the count of distinct shared n-grams (the
+    * standard pretraining contamination check — n around 8-13 word
+    * grams in common recipes; the default here is 8).
+    *
+    * The eval side collapses to its DISTINCT n-gram set, which is tiny
+    * relative to a training corpus, so by default it is broadcast and
+    * the probe is a map-side hash semijoin — the 100 TB training scan
+    * never shuffles. Set `broadcastEval = false` when the eval side is
+    * itself too large to broadcast; the probe becomes a shuffled
+    * equijoin on the n-gram key.
+    */
+  def contamination(train: DataFrame, trainId: Column, trainText: Column,
+      eval: DataFrame, evalText: Column, n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val trainSh = shingles(train, trainId, trainText, n)
+    val evalSh = eval.select(explode(shingleArray(evalText, n)).as("shingle"))
+      .distinct()
+    val probe = if (broadcastEval) F.broadcast(evalSh) else evalSh
+    // trainSh is doc-distinct and probe is distinct, so the join
+    // multiplicity is exactly one row per (doc, shared gram)
+    trainSh.join(probe, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(F.count(lit(1)).as("n_shared"))
   }
 }

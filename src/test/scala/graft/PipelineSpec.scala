@@ -345,6 +345,75 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.getLong(0) === r.getLong(3))
   }
 
+  test("repetition filters: dup-segment fractions, bullets, ellipsis") {
+    val d = Seq(
+      (1L, "a\nb\na\nb\na"), // 5 segments, 2 distinct
+      (2L, "xx\nyy"), // no repetition
+      (3L, "- item\n- item2\nplain\nmore...")
+    ).toDF("id", "text")
+    val out = d.select(col("id"),
+      TextFunctions.duplicateSegmentFraction(col("text")).as("f"),
+      TextFunctions.duplicateSegmentCharFraction(col("text")).as("cf"),
+      TextFunctions.bulletSegmentFraction(col("text")).as("bf"),
+      TextFunctions.ellipsisSegmentFraction(col("text")).as("ef"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // dup occurrences beyond first: a ×2, b ×1 → 3 of 5 segments,
+    // 3 of 5 chars
+    assert(out(1L) === ((3.0 / 5, 3.0 / 5, 0.0, 0.0)))
+    assert(out(2L) === ((0.0, 0.0, 0.0, 0.0)))
+    assert(out(3L)._3 === 2.0 / 4) // two bullet lines of four
+    assert(out(3L)._4 === 1.0 / 4) // one ellipsis line of four
+  }
+
+  test("topNgramStats: count argmax, lexicographic tie-break, short-doc guard") {
+    val d = Seq(
+      (1L, "x y x y z"), // "x y" twice beats the singletons
+      (2L, "a a b b"), // all bigrams once → tie → greatest gram wins
+      (3L, "solo") // shorter than n → ("", 0, 0.0)
+    ).toDF("id", "text")
+    val out = d.select(col("id"),
+      TextFunctions.topNgramStats(col("text"), 2).as("s"))
+      .select(col("id"), col("s.gram"), col("s.cnt"), col("s.char_frac"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === (("x y", 2L, 2.0 * 3 / 9)))
+    assert(out(2L) === (("b b", 1L, 3.0 / 7)))
+    assert(out(3L) === (("", 0L, 0.0)))
+  }
+
+  test("dedupSegments keeps corpus-wide first occurrences and reassembles") {
+    val d = Seq(
+      (1L, "p1\np2\np3"),
+      (2L, "p2\np4"), // p2 claimed by doc 1 → only p4 survives
+      (3L, "p1\np2"), // everything claimed → doc vanishes
+      (4L, "z1\nz1") // within-doc dup → first occurrence only
+    ).toDF("id", "text")
+    val out = Dedup.dedupSegments(d, col("id"), col("text"),
+        ord = col("id"), sep = "\n")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === (("p1\np2\np3", 3L)))
+    assert(out(2L) === (("p4", 1L)))
+    assert(!out.contains(3L))
+    assert(out(4L) === (("z1", 1L)))
+  }
+
+  test("contamination counts distinct shared n-grams; broadcast off matches") {
+    val train = Seq((1L, "a b c d e f"), (2L, "x y z w q r")).toDF("id", "text")
+    val ev = Seq((100L, "c d e f g h")).toDF("id", "text")
+    def run(bc: Boolean): Map[Long, Long] =
+      Dedup.contamination(train, col("id"), col("text"), ev, col("text"),
+          n = 4, broadcastEval = bc)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only "c d e f" is shared, only by doc 1
+    assert(run(bc = true) === Map(1L -> 1L))
+    assert(run(bc = false) === Map(1L -> 1L))
+  }
+
   test("multimodal decodeBatch: schema, determinism, batch shape") {
     val bin = Multimodal.attachBinary(docs.limit(10), col("doc_id"), col("text"))
     assert(bin.columns.toSeq === Seq("id", "bytes", "n_bytes", "mime"))

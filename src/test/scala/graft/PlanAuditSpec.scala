@@ -44,6 +44,15 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"${a.name}:\n$plan")
   }
 
+  test("broadcast-probe plans join via BroadcastHashJoin, never SortMergeJoin") {
+    val flagged = audited.filter(_._1.broadcastProbe)
+    assert(flagged.nonEmpty)
+    for ((a, plan) <- flagged) {
+      assert(plan.contains("BroadcastHashJoin"), s"${a.name}:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"${a.name}:\n$plan")
+    }
+  }
+
   test("bucketed candidate generators plan equijoins, not cartesian/nested-loop") {
     val flagged = audited.filter(_._1.equiJoinOnly)
     assert(flagged.nonEmpty)
