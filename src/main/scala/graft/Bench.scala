@@ -184,7 +184,16 @@ object Bench {
       "dedup_ngram" -> (() => Dedup.ngramJaccardPairs(docs, col("doc_id"),
         col("text"), maxDocFreq = Some(100))),
       "emb_dup_pairs" -> (() => Dedup.embeddingPairs(embs, col("vec_id"),
-        col("embedding"), threshold = 0.4)))
+        col("embedding"), threshold = 0.4)),
+      // word-granularity segment dedup: maximal segment volume per
+      // document, the worst case for the claim/join-back machinery
+      "dedup_segments" -> (() => Dedup.dedupSegments(docs, col("doc_id"),
+        col("text"), ord = col("doc_id"), sep = " ")),
+      // fixed eval set, scaling train corpus — the realistic
+      // decontamination shape (broadcast gram probe)
+      "decontaminate" -> (() => Dedup.contamination(docs, col("doc_id"),
+        col("text"), docs.filter(col("doc_id") % 20 === 0), col("text"),
+        n = 5)))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the
@@ -272,6 +281,11 @@ object Bench {
       }),
       s"dedup_ngram$xs" -> (() => Dedup.ngramJaccardPairs(docs10, col("doc_id"),
         col("text"), maxDocFreq = Some(100))),
+      s"dedup_segments$xs" -> (() => Dedup.dedupSegments(docs10,
+        col("doc_id"), col("text"), ord = col("doc_id"), sep = " ")),
+      s"decontaminate$xs" -> (() => Dedup.contamination(docs10,
+        col("doc_id"), col("text"), docs.filter(col("doc_id") % 20 === 0),
+        col("text"), n = 5)),
       s"emb_dup_pairs$xs" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
         col("embedding"), threshold = 0.4)),
       s"lsh_topk$xs" -> (() => Similarity.lshTopK(embs10,

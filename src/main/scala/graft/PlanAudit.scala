@@ -130,7 +130,11 @@ object PlanAudit {
         Dedup.contamination(docs.where(col("doc_id") % 20 =!= 0),
           col("doc_id"), col("text"),
           docs.where(col("doc_id") % 20 === 0), col("text"), n = 5),
-        noSinglePartition = true, equiJoinOnly = true, broadcastProbe = true)
+        noSinglePartition = true, equiJoinOnly = true, broadcastProbe = true),
+      Audited("segment dedup (claim agg on segment md5 + co-partitioned join-back)",
+        Dedup.dedupSegments(docs, col("doc_id"), col("text"),
+          ord = col("doc_id"), sep = " "),
+        noSinglePartition = true, equiJoinOnly = true)
     )
   }
 

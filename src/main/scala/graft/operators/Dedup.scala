@@ -655,12 +655,20 @@ object Dedup {
   def contamination(train: DataFrame, trainId: Column, trainText: Column,
       eval: DataFrame, evalText: Column, n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
-    val trainSh = shingles(train, trainId, trainText, n)
+    // per-doc gram uniqueness via the ROW-LOCAL array_distinct, not
+    // shingles()'s corpus-wide distinct: the training side must reach
+    // the probe straight off the scan with no shuffle (a corpus-wide
+    // distinct would shuffle the full gram explosion just to remove
+    // duplicates the row-local form already removes)
+    val trainSh = train.select(trainId.as("doc_id"),
+      explode(array_distinct(shingleArray(trainText, n))).as("shingle"))
     val evalSh = eval.select(explode(shingleArray(evalText, n)).as("shingle"))
       .distinct()
     val probe = if (broadcastEval) F.broadcast(evalSh) else evalSh
     // trainSh is doc-distinct and probe is distinct, so the join
-    // multiplicity is exactly one row per (doc, shared gram)
+    // multiplicity is exactly one row per (doc, shared gram); the only
+    // shuffle in the default path is this final aggregation, whose
+    // input is already just the shared-gram hits
     trainSh.join(probe, "shingle")
       .groupBy(col("doc_id"))
       .agg(F.count(lit(1)).as("n_shared"))

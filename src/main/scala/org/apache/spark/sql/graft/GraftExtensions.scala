@@ -100,6 +100,31 @@ object GraftFunctions {
             intLiteral("graft_shingles", "n", c(1))).node)
       },
       "graft_shingles(text, n) - word n-gram shingle array (n a foldable integer); the dedup family's first stage — explode it for a pure-SQL inverted-index near-dup pipeline"),
+    // ---- repetition quality filters (the Gopher rules): segment
+    // separators and gram widths shape the expression tree, so they
+    // are literal-pinned like graft_shingles
+    entry("graft_dup_segment_frac",
+      fixedArity("graft_dup_segment_frac", 2) { c =>
+        ColumnNodeToExpressionConverter(TextFunctions.duplicateSegmentFraction(
+          ExpressionUtils.column(c(0)),
+          stringLiteral("graft_dup_segment_frac", "sep", c(1))).node)
+      },
+      "graft_dup_segment_frac(text, sep) - fraction of sep-delimited segments repeating an earlier one; sep a string literal"),
+    entry("graft_dup_segment_char_frac",
+      fixedArity("graft_dup_segment_char_frac", 2) { c =>
+        ColumnNodeToExpressionConverter(
+          TextFunctions.duplicateSegmentCharFraction(
+            ExpressionUtils.column(c(0)),
+            stringLiteral("graft_dup_segment_char_frac", "sep", c(1))).node)
+      },
+      "graft_dup_segment_char_frac(text, sep) - fraction of characters inside repeated segment occurrences; sep a string literal"),
+    entry("graft_top_ngram",
+      fixedArity("graft_top_ngram", 2) { c =>
+        ColumnNodeToExpressionConverter(TextFunctions.topNgramStats(
+          ExpressionUtils.column(c(0)),
+          intLiteral("graft_top_ngram", "n", c(1))).node)
+      },
+      "graft_top_ngram(text, n) - struct(gram, cnt, char_frac) of the most frequent word n-gram (deterministic lexicographic tie-break); n a foldable integer"),
     // ---- deterministic sampling family: the two ops a SQL-only data
     // engineer most wants (reproducible sampling and holdout splits).
     // The structural parameters (seed, fraction, split weights) shape

@@ -662,6 +662,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized corpora: dedupSegments matches a sequential Scala oracle") {
+    // random small-alphabet corpora so cross-doc segment collisions are
+    // dense; the sequential oracle walks docs in ord order claiming
+    // first occurrences, then reassembles — the distributed claim
+    // aggregation must reproduce it exactly
+    val rnd = new scala.util.Random(23)
+    val alphabet = (0 until 8).map(i => s"s$i")
+    for (trial <- 0 until 3) {
+      val data = (0L until 40L).map { i =>
+        val len = 1 + rnd.nextInt(6)
+        i -> Seq.fill(len)(alphabet(rnd.nextInt(alphabet.size))).mkString("\n")
+      }
+      val claimed = scala.collection.mutable.Set[String]()
+      val oracle = (for {
+        (i, t) <- data
+        kept = t.split("\n", -1).filter(s => claimed.add(s))
+        if kept.nonEmpty
+      } yield i -> ((kept.mkString("\n"), kept.length.toLong))).toMap
+      val got = Dedup.dedupSegments(data.toDF("id", "t"), col("id"),
+          col("t"), ord = col("id"), sep = "\n")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(got === oracle, s"trial=$trial")
+    }
+  }
+
   test("shingles handles documents shorter than n (review regression)") {
     val d = Seq((1L, "one"), (2L, "a b"), (3L, "a b c")).toDF("id", "t")
     val out = Dedup.shingles(d, col("id"), col("t"), n = 2)

@@ -74,6 +74,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("registered repetition filters match the Column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_dup_segment_frac(text, ' ') AS dup_f,
+        |  graft_dup_segment_char_frac(text, ' ') AS dup_cf,
+        |  graft_top_ngram(text, 2) AS top
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select(col("doc_id"),
+      TextFunctions.duplicateSegmentFraction(col("text"), " ").as("dup_f"),
+      TextFunctions.duplicateSegmentCharFraction(col("text"), " ").as("dup_cf"),
+      TextFunctions.topNgramStats(col("text"), 2).as("top"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql === viaApi)
+    // structural parameters must be literals
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_top_ngram(text, doc_id) FROM sqlspec_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("graft_shingles matches the Scala shingle stage and demands a literal n") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("sqlspec_docs")
