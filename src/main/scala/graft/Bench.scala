@@ -193,7 +193,14 @@ object Bench {
       // decontamination shape (broadcast gram probe)
       "decontaminate" -> (() => Dedup.contamination(docs, col("doc_id"),
         col("text"), docs.filter(col("doc_id") % 20 === 0), col("text"),
-        n = 5)))
+        n = 5)),
+      // pairs -> transitive clusters -> representative: the iterative
+      // star rounds dominate (the driver loop's convergence checks are
+      // part of the op's honest cost)
+      "dedup_clusters" -> (() => Dedup.dedupByClusters(docs,
+        col("doc_id"), col("doc_id"),
+        Dedup.minHashPairs(docs, col("doc_id"), col("text")),
+        col("ida"), col("idb"))))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the
@@ -283,6 +290,10 @@ object Bench {
         col("text"), maxDocFreq = Some(100))),
       s"dedup_segments$xs" -> (() => Dedup.dedupSegments(docs10,
         col("doc_id"), col("text"), ord = col("doc_id"), sep = " ")),
+      s"dedup_clusters$xs" -> (() => Dedup.dedupByClusters(docs10,
+        col("doc_id"), col("doc_id"),
+        Dedup.minHashPairs(docs10, col("doc_id"), col("text")),
+        col("ida"), col("idb"))),
       s"decontaminate$xs" -> (() => Dedup.contamination(docs10,
         col("doc_id"), col("text"), docs.filter(col("doc_id") % 20 === 0),
         col("text"), n = 5)),

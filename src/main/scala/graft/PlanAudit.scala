@@ -134,6 +134,11 @@ object PlanAudit {
       Audited("segment dedup (claim agg on segment md5 + co-partitioned join-back)",
         Dedup.dedupSegments(docs, col("doc_id"), col("text"),
           ord = col("doc_id"), sep = " "),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("cluster dedup (star-round components + representative join-back)",
+        Dedup.dedupByClusters(docs, col("doc_id"), col("doc_id"),
+          Dedup.minHashPairs(docs, col("doc_id"), col("text")),
+          col("ida"), col("idb")),
         noSinglePartition = true, equiJoinOnly = true)
     )
   }

@@ -73,6 +73,43 @@ object SparkEntry {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  /** DuckDB replay of Dedup.dedupByClusters over the all-pairs n-gram
+    * Jaccard edge set: same shingle/intersection CTEs as
+    * [[ngramOracleSql]], then connected components via a RECURSIVE
+    * reachability CTE (every vertex accumulates all reachable labels;
+    * the min is the component id — set-semantics UNION terminates it),
+    * then one representative per cluster by minimal
+    * `(-length(text), doc_id)`. An independent formulation of
+    * transitive closure: the engine's alternating star rounds never
+    * enumerate reachability.
+    */
+  private def ccOracleSql(threshold: Double): String =
+    s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       | sh0 AS (SELECT DISTINCT doc_id,
+       |   unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+       |   FROM w),
+       | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh0 GROUP BY 1),
+       | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+       |   FROM sh0 a JOIN sh0 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       | prs AS (SELECT ida, idb FROM inter JOIN cnt ca ON ida = ca.doc_id
+       |   JOIN cnt cb ON idb = cb.doc_id
+       |   WHERE i * 1.0 / (ca.n + cb.n - i) >= $threshold),
+       | edges AS (SELECT ida AS u, idb AS v FROM prs UNION SELECT idb, ida FROM prs),
+       | verts AS (SELECT DISTINCT u AS v FROM edges),
+       | reach(v, lbl) AS (
+       |   SELECT v, v FROM verts
+       |   UNION
+       |   SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.v
+       | ),
+       | cc AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+       | lab AS (SELECT d.doc_id, -length(d.text) AS o,
+       |   COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+       |   FROM documents d LEFT JOIN cc USING (doc_id)),
+       | rep AS (SELECT cluster_id, (MIN(struct_pack(o := o, d := doc_id))).d AS r
+       |   FROM lab GROUP BY cluster_id)
+       |SELECT lab.doc_id, lab.cluster_id, lab.doc_id = rep.r AS kept
+       |FROM lab JOIN rep USING (cluster_id) ORDER BY lab.doc_id""".stripMargin
+
   /** DuckDB replay of Dedup.minHashPairs over PortableHash.polyHash:
     * word-bigram shingles → per-doc k-min signatures (the exact
     * (a_j·x + b_j) mod p permutations, coefficients shared via
@@ -1172,6 +1209,22 @@ object SparkEntry {
         maxDocFreq = scala.Some(30), prefixFilter = true)
         .orderBy(col("ida"), col("idb")),
       Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
+
+    Q("dedup_clusters",
+      // transitive closure of the near-dup pair graph (alternating
+      // large-star/small-star rounds) + longest-document
+      // representative per cluster; the oracle recomputes the closure
+      // by an entirely different method (recursive reachability), so
+      // agreement proves the star rounds converge to true components
+      (s, dir) => {
+        val docs = T(s, dir, "documents")
+        val prs = Dedup.ngramJaccardPairs(docs, col("doc_id"),
+          col("text"), n = 2, threshold = 0.2, maxDocFreq = scala.None)
+        Dedup.dedupByClusters(docs, col("doc_id"), -length(col("text")),
+          prs, col("ida"), col("idb"))
+          .orderBy(col("doc_id"))
+      },
+      Some(ccOracleSql(threshold = 0.2))),
 
     Q("sample_deterministic",
       // hash-ring sampling: a row's fate is a pure function of its id,

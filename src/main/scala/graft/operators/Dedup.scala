@@ -673,4 +673,102 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(F.count(lit(1)).as("n_shared"))
   }
+
+  /** Connected components of a near-duplicate pair graph: every vertex
+    * of `pairs` labeled with the MINIMUM vertex id reachable through
+    * the graph (the transitive closure of "is a near-dup of") —
+    * turning pairwise candidates from [[ngramJaccardPairs]] /
+    * [[minHashPairs]] / [[embeddingPairs]] into duplicate CLUSTERS.
+    * Returns `(member_id, cluster_id)`; only vertices with at least
+    * one non-self edge appear (compose with [[dedupByClusters]] to
+    * re-admit singletons).
+    *
+    * Distributed shape: alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — each round is two per-key window minima plus a
+    * distinct, all hash-partitioned on vertex id, converging in
+    * O(log² n) rounds regardless of component diameter (naive
+    * min-label flooding needs O(diameter) rounds — a chain of
+    * paraphrased docs would serialize it). The driver loop holds no
+    * data — per round it compares successive edge SETS (two counts +
+    * an except on checkpointed frames) and each round's result is
+    * `localCheckpoint`ed so plan lineage stays constant-size. Vertex
+    * ids may be any orderable type (both sides must agree).
+    */
+  def connectedComponents(pairs: DataFrame, a: Column, b: Column,
+      maxRounds: Int = 25): DataFrame = {
+    val w = Window.partitionBy("a")
+
+    // large-star: every vertex's LARGER neighbors re-point to the min
+    // of its closed neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      sym.withColumn("m", least(F.min(col("b")).over(w), col("a")))
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    // small-star: every vertex's SMALLER neighbors (and itself)
+    // re-point to the min of its smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b")).where(col("a") =!= col("b"))
+      val withMin = or.withColumn("m", F.min(col("b")).over(w))
+      withMin.select(col("b").as("v"), col("m"))
+        .union(withMin.select(col("a").as("v"), col("m")))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+    }
+
+    var cur = pairs.select(greatest(a, b).as("a"), least(a, b).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // both sides are oriented (a > b) and distinct, so set equality
+      // is equal counts + one empty difference
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur.unpersist()
+      cur = next
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "raise maxRounds (rounds needed grow ~log^2 of the largest component)")
+    // at the fixpoint the graph is a forest of stars centered at each
+    // component's minimum: non-roots appear only as `a`, roots only as `b`
+    cur.select(col("a").as("member_id"), col("b").as("cluster_id"))
+      .union(cur.select(col("b"), col("b")).distinct())
+  }
+
+  /** Transitive near-dup dedup verdicts: cluster the candidate pair
+    * graph with [[connectedComponents]], then keep exactly ONE
+    * representative per cluster — the member with minimal
+    * `(ord, id)`, so `ord = -length(text)` keeps the longest document
+    * and `ord = id` the first. Documents in no pair are their own
+    * (kept) singleton cluster. Returns `(doc_id, cluster_id, kept)` —
+    * the pairwise analog of [[minHashKeep]], but closed under
+    * transitivity: A~B and B~C collapse to one survivor even when A
+    * and C never paired.
+    */
+  def dedupByClusters(df: DataFrame, id: Column, ord: Column,
+      pairs: DataFrame, pa: Column, pb: Column,
+      maxRounds: Int = 25): DataFrame = {
+    val cc = connectedComponents(pairs, pa, pb, maxRounds)
+    val docs = df.select(id.as("doc_id"), ord.as("__graft_ord"))
+    val labeled = docs
+      .join(cc.withColumnRenamed("member_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val reps = labeled.groupBy("cluster_id")
+      .agg(F.min(struct(col("__graft_ord").as("o"), col("doc_id").as("d")))
+        .as("__graft_rep"))
+      .select(col("cluster_id"), col("__graft_rep").getField("d").as("__graft_keep"))
+    labeled.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("__graft_keep")).as("kept"))
+  }
 }

@@ -688,6 +688,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized graphs: connectedComponents matches a union-find oracle") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (x, y) => parent(find(x.toInt)) = find(y.toInt) }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.map { v =>
+        v -> (0 until n).filter(u => find(u) == find(v.toInt)).min.toLong
+      }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("x", "y"),
+          col("x"), col("y"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial=$trial")
+    }
+  }
+
+  test("connectedComponents collapses a long path (multi-round convergence)") {
+    // a 64-vertex path has diameter 63: naive min-label flooding would
+    // need 63 rounds, the star rounds must do it in O(log^2)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(edges.toDF("x", "y"),
+      col("x"), col("y")).collect()
+    assert(got.length === 64 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("dedupByClusters keeps one representative per cluster, singletons kept") {
+    // docs 1-2-3 chain near-dups (via explicit pairs), 4 isolated;
+    // ord favors doc 2 (longest)
+    val docs = Seq((1L, "aa"), (2L, "aaaa"), (3L, "aa"), (4L, "zz"))
+      .toDF("id", "t")
+    val prs = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    val got = Dedup.dedupByClusters(docs, col("id"), -length(col("t")),
+        prs, col("pa"), col("pb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got === Array((1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
   test("shingles handles documents shorter than n (review regression)") {
     val d = Seq((1L, "one"), (2L, "a b"), (3L, "a b c")).toDF("id", "t")
     val out = Dedup.shingles(d, col("id"), col("t"), n = 2)
