@@ -139,6 +139,11 @@ object PlanAudit {
         Dedup.dedupByClusters(docs, col("doc_id"), col("doc_id"),
           Dedup.minHashPairs(docs, col("doc_id"), col("text")),
           col("ida"), col("idb")),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("sequence packing (one hash exchange on shard, then a narrow walk)",
+        graft.operators.Sampling.packSequences(docs, col("doc_id"),
+          graft.functions.TextFunctions.tokenCountWs(col("text")),
+          maxTokens = 400L, ord = col("doc_id"), shards = 8),
         noSinglePartition = true, equiJoinOnly = true)
     )
   }

@@ -110,6 +110,55 @@ object SparkEntry {
        |SELECT lab.doc_id, lab.cluster_id, lab.doc_id = rep.r AS kept
        |FROM lab JOIN rep USING (cluster_id) ORDER BY lab.doc_id""".stripMargin
 
+  /** DuckDB replay of TextFunctions.redactPii/piiStats: the SAME
+    * injected-PII input expression, then the redaction table from
+    * [[graft.functions.TextFunctions.PiiPatterns]] (single source of
+    * truth — patterns are never re-stated here) applied in order with
+    * the 'g' flag (DuckDB replaces first-match by default; Spark
+    * replaces all), counting each category on the text as redacted so
+    * far, exactly as piiStats does.
+    */
+  private def piiOracleSql: String = {
+    val inj = "text || ' reach user' || CAST(doc_id AS VARCHAR) || " +
+      "'@test.org from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.7 id 123-45-6789 tel +4915123456789 alt 212-555-0187'"
+    val (cleanExpr, cntCols) =
+      graft.functions.TextFunctions.PiiPatterns.foldLeft((inj, Seq.empty[String])) {
+        case ((e, acc), (cat, pat, tok)) =>
+          (s"regexp_replace($e, '$pat', '$tok', 'g')",
+            acc :+ s"CAST(len(regexp_extract_all($e, '$pat')) AS BIGINT) AS n_$cat")
+      }
+    s"""SELECT doc_id, $cleanExpr AS clean, ${cntCols.mkString(", ")}
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of Sampling.packSequences: ring-position shards
+    * (the shared [[graft.operators.Sampling.ringPositionSql]]
+    * rendering), per-shard doc order by (doc_id), then the greedy
+    * first-fit recurrence as a linear RECURSIVE CTE stepping rn → rn+1
+    * within each shard — the sequential semantics the distributed
+    * per-shard walk must reproduce row-for-row.
+    */
+  private def packOracleSql(maxTokens: Long, shards: Int, seed: Long): String = {
+    val ring = graft.operators.Sampling.ringPositionSql("doc_id", seed)
+    s"""WITH RECURSIVE s0 AS (
+       |  SELECT doc_id, CAST($ring % $shards AS INT) AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       | s AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM s0),
+       | pack(shard, rn, doc_id, n_tokens, fill, pack_id) AS (
+       |   SELECT shard, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT) FROM s WHERE rn = 1
+       |   UNION ALL
+       |   SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+       |     CASE WHEN p.fill + s.n_tokens > $maxTokens THEN s.n_tokens
+       |          ELSE p.fill + s.n_tokens END,
+       |     CASE WHEN p.fill + s.n_tokens > $maxTokens THEN p.pack_id + 1
+       |          ELSE p.pack_id END
+       |   FROM s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1
+       | )
+       |SELECT doc_id, shard, pack_id, n_tokens FROM pack ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of Dedup.minHashPairs over PortableHash.polyHash:
     * word-bigram shingles → per-doc k-min signatures (the exact
     * (a_j·x + b_j) mod p permutations, coefficients shared via
@@ -1603,6 +1652,42 @@ object SparkEntry {
         |       w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("text_pii",
+      // the corpus text carries no PII, so each row gets a per-row
+      // synthetic tail (one email, one IP, one SSN, two phone shapes —
+      // doc_id-dependent so every row differs) built IDENTICALLY in
+      // both engines; the patterns live in the Java-regex ∩ RE2 common
+      // subset and are applied in the fixed PiiPatterns order, counts
+      // taken on the progressively-redacted text exactly as the
+      // operator substitutes
+      (s, dir) => {
+        val inj = concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@test.org from 10.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 id 123-45-6789 tel +4915123456789 alt 212-555-0187"))
+        val stats = TextFunctions.piiStats(inj)
+        T(s, dir, "documents").select(col("doc_id"),
+            TextFunctions.redactPii(inj).as("clean"),
+            stats.getField("n_email").as("n_email"),
+            stats.getField("n_ip").as("n_ip"),
+            stats.getField("n_ssn").as("n_ssn"),
+            stats.getField("n_phone").as("n_phone"))
+          .orderBy(col("doc_id"))
+      },
+      Some(piiOracleSql)),
+
+    Q("pack_sequences",
+      // greedy first-fit packing into <= 400-token packs over 8 hash-
+      // ring shards; the oracle replays the sequential recurrence with
+      // a linear RECURSIVE CTE per shard — row-for-row (doc, shard,
+      // pack) agreement proves the distributed walk IS the sequential
+      // greedy fill
+      (s, dir) => Sampling.packSequences(T(s, dir, "documents"),
+        col("doc_id"), TextFunctions.tokenCountWs(col("text")),
+        maxTokens = 400L, ord = col("doc_id"), shards = 8, seed = 0L)
+        .orderBy(col("doc_id")),
+      Some(packOracleSql(maxTokens = 400L, shards = 8, seed = 0L))),
 
     Q("mm_decode",
       (s, dir) => {

@@ -175,4 +175,44 @@ object TextFunctions {
       F.size(F.filter(s, x => x.endsWith(suffix))).cast(DoubleType),
       F.size(s).cast(DoubleType))
   }
+
+  // ------------------------------------------------------ PII scrubbing
+  // Standard pretraining-pipeline redaction (emails, IPs, SSN-shaped
+  // ids, phone numbers) as row-local regexp expressions — a projection
+  // over the corpus scan, no shuffle, nothing to tune at 100 TB. The
+  // patterns deliberately use only the Java-regex ∩ RE2 common subset
+  // (char classes, bounded quantifiers, \b, alternation — no
+  // lookaround, no backrefs) so any engine replays them identically;
+  // they are ordered (email → IP → SSN → phone) so no later, looser
+  // pattern can eat part of an earlier category's match.
+
+  /** The category → (pattern, replacement token) redaction table, in
+    * application order.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\+\\d{9,15}|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Text with every PII category replaced by its token, categories
+    * applied in [[PiiPatterns]] order.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, pat, tok)) =>
+      regexp_replace(t, pat, tok)
+    }
+
+  /** Per-category PII match counts as a struct — counted on the same
+    * progressively-redacted text [[redactPii]] replaces on, so the
+    * counts are exactly the substitutions it performs.
+    */
+  def piiStats(text: Column): Column = {
+    val (_, fields) = PiiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((t, acc), (cat, pat, tok)) =>
+        (regexp_replace(t, pat, tok),
+          acc :+ regexp_count(t, lit(pat)).cast(LongType).as(s"n_$cat"))
+    }
+    struct(fields: _*)
+  }
 }

@@ -252,4 +252,58 @@ object Sampling {
         totals.filter { case (k, _) => targets.contains(k) },
         targets, budget), seed)
   }
+
+  /** Deterministic sequence packing: assign each document to a
+    * training pack of at most `maxTokens` tokens (greedy first-fit in
+    * a fixed order — the standard pretraining batch-construction
+    * step). Greedy fill is an inherently sequential recurrence (the
+    * remaining capacity resets at every pack boundary — no prefix-sum
+    * closed form), so the corpus is first SHARDED on the id's hash
+    * ring (`shards` independent streams, each a deterministic
+    * pseudo-random interleave of the corpus) and the recurrence runs
+    * per shard: one hash shuffle, then a narrow per-partition pass —
+    * parallelism is `shards`, each shard's walk is O(its docs), and
+    * the result is a pure function of (ids, ord, seed) — partition /
+    * retry / cluster-size independent like every sampling op here.
+    * Documents longer than `maxTokens` get a pack of their own (the
+    * recurrence isolates them naturally); size the shard count so a
+    * shard's docs fit one task comfortably (default 256).
+    * Returns `(doc_id, shard, pack_id, n_tokens)` — a pack is the
+    * (shard, pack_id) group, ids dense per shard in fill order.
+    */
+  def packSequences(df: DataFrame, id: Column, tokens: Column,
+      maxTokens: Long, ord: Column, shards: Int = 256,
+      seed: Long = 0L): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = df.select(id.as("doc_id"),
+      (ringPosition(id, seed) % shards).cast("int").as("shard"),
+      tokens.cast(LongType).as("n_tokens"), ord.as("__graft_ord"))
+    // same-shard rows land in one partition; a partition may hold
+    // several whole shards, so the walk resets state on shard change
+    val arranged = base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__graft_ord"), col("doc_id"))
+    val outSchema = StructType(arranged.schema.fields :+
+      StructField("pack_id", LongType, nullable = false))
+    val shardIdx = arranged.schema.fieldIndex("shard")
+    val tokIdx = arranged.schema.fieldIndex("n_tokens")
+    arranged.mapPartitions { it =>
+      var curShard = Int.MinValue
+      var first = true
+      var fill = 0L
+      var pid = 0L
+      it.map { r =>
+        val sh = r.getInt(shardIdx)
+        val t = r.getLong(tokIdx)
+        if (first || sh != curShard) { curShard = sh; first = false
+          fill = t; pid = 0L }
+        else if (fill + t > maxTokens) { pid += 1; fill = t }
+        else fill += t
+        Row.fromSeq(r.toSeq :+ pid)
+      }
+    }(Encoders.row(outSchema))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
+  }
 }

@@ -93,6 +93,12 @@ object GraftFunctions {
     entry("graft_fingerprint",
       viaColumns("graft_fingerprint", 1)(c => TextFunctions.fingerprint(c(0))),
       "graft_fingerprint(text) - rolling polynomial document fingerprint"),
+    entry("graft_redact_pii",
+      viaColumns("graft_redact_pii", 1)(c => TextFunctions.redactPii(c(0))),
+      "graft_redact_pii(text) - text with emails/IPs/SSNs/phone numbers replaced by category tokens"),
+    entry("graft_pii_stats",
+      viaColumns("graft_pii_stats", 1)(c => TextFunctions.piiStats(c(0))),
+      "graft_pii_stats(text) - struct(n_email, n_ip, n_ssn, n_phone) of PII matches, counted as redacted"),
     entry("graft_shingles",
       fixedArity("graft_shingles", 2) { c =>
         ColumnNodeToExpressionConverter(

@@ -732,6 +732,27 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 4L, true)))
   }
 
+  test("redactPii scrubs all categories in order; piiStats counts the substitutions") {
+    val d = Seq(
+      (1L, "mail a.b-c_d@sub.example.co.uk and 192.168.0.1 then 123-45-6789"),
+      (2L, "call +4915123456789 or 212-555-0187, visit 8.8.8.8"),
+      (3L, "no pii here at all"),
+      // the SSN shape must win over the phone pattern (applied first)
+      (4L, "id 987-65-4321 only")).toDF("id", "t")
+    val out = d.select(col("id"),
+        TextFunctions.redactPii(col("t")).as("clean"),
+        TextFunctions.piiStats(col("t")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getStruct(2).toSeq.map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out(1L)._1 === "mail <EMAIL> and <IP> then <SSN>")
+    assert(out(1L)._2 === Seq(1L, 1L, 1L, 0L))
+    assert(out(2L)._1 === "call <PHONE> or <PHONE>, visit <IP>")
+    assert(out(2L)._2 === Seq(0L, 1L, 0L, 2L))
+    assert(out(3L) === (("no pii here at all", Seq(0L, 0L, 0L, 0L))))
+    assert(out(4L)._1 === "id <SSN> only")
+  }
+
   test("shingles handles documents shorter than n (review regression)") {
     val d = Seq((1L, "one"), (2L, "a b"), (3L, "a b c")).toDF("id", "t")
     val out = Dedup.shingles(d, col("id"), col("t"), n = 2)

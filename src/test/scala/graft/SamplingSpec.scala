@@ -224,4 +224,41 @@ class SamplingSpec extends AnyFunSuite {
     val binding = targets.keys.minBy(k => full(k) / targets(k))
     assert(out(binding) === full(binding))
   }
+
+  test("packSequences: greedy fill per shard matches a sequential oracle, partition-independent") {
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 300L).map(i => (i, 1L + rnd.nextInt(120).toLong))
+    val df = spark.createDataFrame(rows).toDF("id", "t")
+    val maxT = 100L
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(d, col("id"), col("t"), maxT, ord = col("id"),
+        shards = 4, seed = 3L)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val got = run(df)
+    // sequential oracle: group by the same ring shard, walk in id order
+    def shardOf(id: Long): Int = {
+      val p = 2147483647L; val a = 1103515245L; val b = 12345L
+      val h1 = (((id % p + p) % p) * a + b) % p
+      (((h1 + 3L) * a + b) % p % 4L).toInt
+    }
+    val expected = rows.groupBy { case (id, _) => shardOf(id) }.flatMap {
+      case (sh, docs) =>
+        var fill = 0L; var pid = 0L; var first = true
+        docs.sortBy(_._1).map { case (id, t) =>
+          if (first) { first = false; fill = t }
+          else if (fill + t > maxT) { pid += 1; fill = t }
+          else fill += t
+          id -> ((sh, pid))
+        }
+    }
+    assert(got === expected)
+    // pure function of (ids, ord, seed): partitioning must not matter
+    assert(run(df.repartition(13)) === got)
+    // oversize docs isolate in their own pack
+    val big = Seq((1L, 50L), (2L, 999L), (3L, 60L)).toDF("id", "t")
+    val packs = Sampling.packSequences(big, col("id"), col("t"), 100L,
+        ord = col("id"), shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((packs(2L) !== packs(1L)) && (packs(2L) !== packs(3L)))
+  }
 }

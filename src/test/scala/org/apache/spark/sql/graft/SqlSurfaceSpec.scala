@@ -74,6 +74,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("registered PII functions match the Column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    val d = spark.createDataFrame(Seq(
+      (1L, "mail me@ex.org from 10.0.0.1 tel 212-555-0187"))).toDF("id", "t")
+    d.createOrReplaceTempView("sqlspec_pii")
+    val viaSql = spark.sql(
+      """SELECT id, graft_redact_pii(t) AS clean, graft_pii_stats(t) AS st
+        |FROM sqlspec_pii""".stripMargin).collect()
+    val viaApi = d.select(col("id"),
+      graft.functions.TextFunctions.redactPii(col("t")).as("clean"),
+      graft.functions.TextFunctions.piiStats(col("t")).as("st")).collect()
+    assert(viaSql === viaApi)
+    assert(viaSql.head.getString(1) === "mail <EMAIL> from <IP> tel <PHONE>")
+  }
+
   test("registered repetition filters match the Column API bit-for-bit") {
     GraftFunctions.register(spark)
     docs.createOrReplaceTempView("sqlspec_docs")
