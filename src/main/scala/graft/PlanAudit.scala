@@ -140,6 +140,12 @@ object PlanAudit {
           Dedup.minHashPairs(docs, col("doc_id"), col("text")),
           col("ida"), col("idb")),
         noSinglePartition = true, equiJoinOnly = true),
+      Audited("bloom contamination flags (codegen'd probe — pure projection, zero shuffle)",
+        Dedup.contaminationFlags(docs.where(col("doc_id") % 20 =!= 0),
+          col("doc_id"), col("text"),
+          Dedup.evalGramBloom(docs.where(col("doc_id") % 20 === 0),
+            col("text"), n = 5, expectedItems = Some(5000L)), n = 5),
+        noSinglePartition = true, noShuffle = true),
       Audited("sequence packing (one hash exchange on shard, then a narrow walk)",
         graft.operators.Sampling.packSequences(docs, col("doc_id"),
           graft.functions.TextFunctions.tokenCountWs(col("text")),

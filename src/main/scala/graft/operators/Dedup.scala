@@ -674,6 +674,49 @@ object Dedup {
       .agg(F.count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom filter over an eval/holdout set's word n-grams — the probe
+    * side of [[contaminationFlags]] when the eval set is too large for
+    * the exact broadcast join of [[contamination]]: the sketch is KB–MB
+    * at any fpp while the exact distinct-gram set grows with the eval
+    * corpus. Built distributed (`stat.bloomFilter` tree-aggregates
+    * per-partition sketches); the one driver action is the build
+    * itself, plus a documented count probe when `expectedItems` is not
+    * supplied (pass it to stay action-free, the `dim`-parameter
+    * pattern).
+    *
+    * Size `fpp` for the DOCUMENT-level false-positive target, not the
+    * gram level: a clean doc with g grams is flagged with probability
+    * ≈ 1 − (1 − fpp)^g, so aim fpp ≈ target_doc_fp / typical grams per
+    * doc (e.g. 1e-4 for ~1% doc-level noise on 100-gram docs).
+    */
+  def evalGramBloom(eval: DataFrame, evalText: Column, n: Int = 8,
+      fpp: Double = 1e-4,
+      expectedItems: Option[Long] = scala.None): org.apache.spark.util.sketch.BloomFilter = {
+    val grams = eval.select(explode(shingleArray(evalText, n)).as("shingle"))
+    val items = expectedItems.getOrElse(grams.distinct().count())
+    grams.stat.bloomFilter("shingle", math.max(items, 1L), fpp)
+  }
+
+  /** Row-local decontamination screen: flag each training document
+    * whose n-grams MIGHT intersect the eval set, by probing every gram
+    * against the bloom in one short-circuiting codegen'd loop
+    * ([[org.apache.spark.sql.graft.BloomAnyContain]]). A pure
+    * projection over the training scan — no join, no shuffle, no
+    * state — so unlike [[contamination]] it runs IDENTICALLY on an
+    * unbounded stream, and the probe side it ships is constant-size.
+    * One-sided error: never false-negative (every truly contaminated
+    * doc is flagged); false-positives at the document-level rate
+    * described on [[evalGramBloom]]. Typical deployment: this flag as
+    * the cheap first pass, [[contamination]] on the flagged survivors
+    * for exact shared-gram counts.
+    */
+  def contaminationFlags(train: DataFrame, trainId: Column,
+      trainText: Column, bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 8): DataFrame =
+    train.select(trainId.as("doc_id"),
+      org.apache.spark.sql.graft.BloomExpressions.bloomAnyContain(
+        shingleArray(trainText, n), bloom).as("maybe_contaminated"))
+
   /** Connected components of a near-duplicate pair graph: every vertex
     * of `pairs` labeled with the MINIMUM vertex id reachable through
     * the graph (the transitive closure of "is a near-dup of") —

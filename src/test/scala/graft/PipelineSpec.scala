@@ -414,6 +414,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(bc = false) === Map(1L -> 1L))
   }
 
+  test("bloom contamination flags: never false-negative, near-exact at tight fpp, stream twin") {
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val ev = docs.filter(col("doc_id") % 20 === 0)
+    val bloom = Dedup.evalGramBloom(ev, col("text"), n = 5, fpp = 1e-6)
+    val exact = Dedup.contamination(train, col("doc_id"), col("text"),
+        ev, col("text"), n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.contaminationFlags(train, col("doc_id"),
+        col("text"), bloom, n = 5)
+      .filter(col("maybe_contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // one-sided error: every truly contaminated doc must be flagged
+    assert(exact.subsetOf(flagged))
+    // at fpp 1e-6 on ~100-gram docs, doc-level FP is ~1e-4 — on 475
+    // docs, essentially none
+    val nTrain = train.count()
+    assert(flagged.size <= exact.size + math.max(2L, nTrain / 50).toInt,
+      s"${flagged.size} flagged vs ${exact.size} exact")
+    // expectedItems supplied: no count probe, same sketch behavior
+    val bloom2 = Dedup.evalGramBloom(ev, col("text"), n = 5, fpp = 1e-6,
+      expectedItems = Some(5000L))
+    val flagged2 = Dedup.contaminationFlags(train, col("doc_id"),
+        col("text"), bloom2, n = 5)
+      .filter(col("maybe_contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged2))
+    // the flag is a pure projection, so it runs identically on a stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Dedup.contaminationFlags(ms.toDS().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), bloom, n = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_bloomflags").start()
+    val sample = train.limit(40).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    ms.addData(sample.toSeq)
+    q.processAllAvailable()
+    val viaStream = spark.table("graft_bloomflags")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    val ids = sample.map(_._1).toSet
+    assert(viaStream === flagged.filter(ids).map(_ -> true).toMap ++
+      ids.diff(flagged).map(_ -> false).toMap)
+  }
+
   test("multimodal decodeBatch: schema, determinism, batch shape") {
     val bin = Multimodal.attachBinary(docs.limit(10), col("doc_id"), col("text"))
     assert(bin.columns.toSeq === Seq("id", "bytes", "n_bytes", "mime"))
