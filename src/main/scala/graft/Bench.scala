@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, GroupBy, Joins, Margins, Reshape, RollingOps, Similarity}
+import graft.operators.{Dedup, GroupBy, Joins, Margins, Reshape, RollingOps, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -200,7 +200,17 @@ object Bench {
       "dedup_clusters" -> (() => Dedup.dedupByClusters(docs,
         col("doc_id"), col("doc_id"),
         Dedup.minHashPairs(docs, col("doc_id"), col("text")),
-        col("ida"), col("idb"))))
+        col("ida"), col("idb"))),
+      // the bloom variant of the same screen — timed INCLUDING the
+      // sketch build job, the honest end-to-end cost to compare
+      // against the exact broadcast-join row above
+      "decontaminate_bloom" -> (() => Dedup.contaminationFlags(docs,
+        col("doc_id"), col("text"),
+        Dedup.evalGramBloom(docs.filter(col("doc_id") % 20 === 0),
+          col("text"), n = 5, fpp = 1e-4), n = 5)),
+      "pack_sequences" -> (() => Sampling.packSequences(docs,
+        col("doc_id"), TextFunctions.tokenCountWs(col("text")),
+        maxTokens = 2048L, ord = col("doc_id"))))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the
@@ -297,6 +307,13 @@ object Bench {
       s"decontaminate$xs" -> (() => Dedup.contamination(docs10,
         col("doc_id"), col("text"), docs.filter(col("doc_id") % 20 === 0),
         col("text"), n = 5)),
+      s"decontaminate_bloom$xs" -> (() => Dedup.contaminationFlags(docs10,
+        col("doc_id"), col("text"),
+        Dedup.evalGramBloom(docs.filter(col("doc_id") % 20 === 0),
+          col("text"), n = 5, fpp = 1e-4), n = 5)),
+      s"pack_sequences$xs" -> (() => Sampling.packSequences(docs10,
+        col("doc_id"), TextFunctions.tokenCountWs(col("text")),
+        maxTokens = 2048L, ord = col("doc_id"))),
       s"emb_dup_pairs$xs" -> (() => Dedup.embeddingPairs(embs10, col("vec_id"),
         col("embedding"), threshold = 0.4)),
       s"lsh_topk$xs" -> (() => Similarity.lshTopK(embs10,

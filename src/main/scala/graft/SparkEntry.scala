@@ -1215,6 +1215,34 @@ object SparkEntry {
       Some("""SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
+    Q("dedup_exact_normalized",
+      // normalization pre-pass composed with exact dedup: every 7th
+      // doc is replaced by a case/punctuation variant of its
+      // predecessor (lag fixture, built identically in both engines),
+      // which only the normalized groupBy collapses — ~14% dup groups
+      // at gate scale where raw exact dedup finds none
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        val prev = lag(col("text"), 1).over(w)
+        val messy = T(s, dir, "documents").withColumn("text",
+          when(col("doc_id") % 7 === 3 && prev.isNotNull,
+            concat(upper(prev), lit("!!"))).otherwise(col("text")))
+        Dedup.exact(messy, col("doc_id"),
+          Seq(TextFunctions.normalizeForDedup(col("text")).as("text")))
+          .orderBy(col("keep_id"))
+      },
+      Some("""WITH messy AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 AND lag(text) OVER (ORDER BY doc_id) IS NOT NULL
+        |         THEN upper(lag(text) OVER (ORDER BY doc_id)) || '!!'
+        |         ELSE text END AS text
+        |  FROM documents),
+        | norm AS (SELECT doc_id,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |   FROM messy)
+        |SELECT nt AS text, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM norm GROUP BY nt ORDER BY keep_id""".stripMargin)),
+
     Q("dedup_ngram",
       // maxDocFreq = None is the explicit all-pairs VERIFICATION mode
       // (gate-scale only); production default is the capped path below

@@ -176,6 +176,19 @@ object TextFunctions {
       F.size(s).cast(DoubleType))
   }
 
+  /** Canonical text normalization for dedup pre-passes (the C4/
+    * RefinedWeb recipe shape): lowercase, strip everything but
+    * alphanumerics and whitespace, collapse whitespace runs, trim.
+    * Exact dedup after normalization catches the near-universal
+    * trivial variants (case, punctuation, spacing) that plain hashing
+    * misses, at zero extra distributed cost — a row-local projection
+    * feeding the same hash groupBy. Patterns stay in the Java ∩ RE2
+    * subset so other engines replay them verbatim.
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   // ------------------------------------------------------ PII scrubbing
   // Standard pretraining-pipeline redaction (emails, IPs, SSN-shaped
   // ids, phone numbers) as row-local regexp expressions — a projection

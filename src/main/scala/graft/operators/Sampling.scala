@@ -278,9 +278,14 @@ object Sampling {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // a null token count has no packing semantics — fail loudly at the
+    // offending row instead of an opaque NPE in the walk
+    val nTokens = when(tokens.isNull,
+      raise_error(concat(lit("packSequences: null token count for doc_id="),
+        id.cast("string")))).otherwise(tokens).cast(LongType)
     val base = df.select(id.as("doc_id"),
       (ringPosition(id, seed) % shards).cast("int").as("shard"),
-      tokens.cast(LongType).as("n_tokens"), ord.as("__graft_ord"))
+      nTokens.as("n_tokens"), ord.as("__graft_ord"))
     // same-shard rows land in one partition; a partition may hold
     // several whole shards, so the walk resets state on shard change
     val arranged = base.repartition(col("shard"))

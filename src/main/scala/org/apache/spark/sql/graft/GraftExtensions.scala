@@ -93,6 +93,9 @@ object GraftFunctions {
     entry("graft_fingerprint",
       viaColumns("graft_fingerprint", 1)(c => TextFunctions.fingerprint(c(0))),
       "graft_fingerprint(text) - rolling polynomial document fingerprint"),
+    entry("graft_normalize",
+      viaColumns("graft_normalize", 1)(c => TextFunctions.normalizeForDedup(c(0))),
+      "graft_normalize(text) - dedup normalization: lowercase, strip non-alphanumerics, collapse whitespace"),
     entry("graft_redact_pii",
       viaColumns("graft_redact_pii", 1)(c => TextFunctions.redactPii(c(0))),
       "graft_redact_pii(text) - text with emails/IPs/SSNs/phone numbers replaced by category tokens"),

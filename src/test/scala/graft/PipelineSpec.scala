@@ -778,6 +778,21 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 4L, true)))
   }
 
+  test("normalizeForDedup collapses case/punctuation/whitespace variants") {
+    val d = Seq((1L, "  Hello,  WORLD!! 42 "), (2L, "hello world 42"),
+      (3L, "different")).toDF("id", "t")
+    val out = d.select(col("id"),
+        TextFunctions.normalizeForDedup(col("t")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "hello world 42")
+    assert(out(1L) === out(2L))
+    // composed with exact dedup, the variants collapse to one group
+    val groups = Dedup.exact(d, col("id"),
+        Seq(TextFunctions.normalizeForDedup(col("t")).as("nt")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(groups("hello world 42") === 2L)
+  }
+
   test("redactPii scrubs all categories in order; piiStats counts the substitutions") {
     val d = Seq(
       (1L, "mail a.b-c_d@sub.example.co.uk and 192.168.0.1 then 123-45-6789"),

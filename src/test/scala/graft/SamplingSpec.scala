@@ -260,5 +260,14 @@ class SamplingSpec extends AnyFunSuite {
         ord = col("id"), shards = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert((packs(2L) !== packs(1L)) && (packs(2L) !== packs(3L)))
+    // a null token count fails loudly, naming the row
+    val withNull = Seq((1L, Some(10L)), (2L, None)).toDF("id", "t")
+    val err = intercept[Exception] {
+      Sampling.packSequences(withNull, col("id"), col("t"), 100L,
+        ord = col("id"), shards = 1).collect()
+    }
+    assert(err.getMessage.contains("null token count") ||
+      err.getCause != null &&
+        err.getCause.getMessage.contains("null token count"))
   }
 }

@@ -80,11 +80,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
       (1L, "mail me@ex.org from 10.0.0.1 tel 212-555-0187"))).toDF("id", "t")
     d.createOrReplaceTempView("sqlspec_pii")
     val viaSql = spark.sql(
-      """SELECT id, graft_redact_pii(t) AS clean, graft_pii_stats(t) AS st
+      """SELECT id, graft_redact_pii(t) AS clean, graft_pii_stats(t) AS st,
+        |  graft_normalize(t) AS nt
         |FROM sqlspec_pii""".stripMargin).collect()
     val viaApi = d.select(col("id"),
       graft.functions.TextFunctions.redactPii(col("t")).as("clean"),
-      graft.functions.TextFunctions.piiStats(col("t")).as("st")).collect()
+      graft.functions.TextFunctions.piiStats(col("t")).as("st"),
+      graft.functions.TextFunctions.normalizeForDedup(col("t")).as("nt"))
+      .collect()
     assert(viaSql === viaApi)
     assert(viaSql.head.getString(1) === "mail <EMAIL> from <IP> tel <PHONE>")
   }
