@@ -1315,6 +1315,23 @@ object SparkEntry {
         |WHERE ${Sampling.ringPositionSql("doc_id", seed = 7)} < ${Sampling.threshold(0.35)}
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("sample_weighted",
+      // quality-proportional sampling: per-row keep probability from a
+      // DATA-DEPENDENT weight (token count / 100 here), decided on the
+      // shared hash ring — the oracle replays the kept set row-for-row
+      // including the in-expression floor(w·P) threshold (identical
+      // IEEE double math both engines; a float→long CAST would
+      // truncate in Spark but round in DuckDB)
+      (s, dir) => Sampling.weightedSample(T(s, dir, "documents"),
+        col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("double") / lit(100.0),
+        seed = 11L)
+        .select(col("doc_id")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ${Sampling.weightedSampleSql("doc_id",
+          "len(string_split(text, ' ')) / 100.0", seed = 11L)}
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("sample_mixture",
       // mixture rebalance end to end: the oracle recomputes the
       // per-stratum counts, the largest feasible total T, the

@@ -253,6 +253,34 @@ object Sampling {
         targets, budget), seed)
   }
 
+  /** Deterministic weighted (quality-proportional) sampling: keep each
+    * row with probability `weight` (a per-row column in [0, 1] — e.g.
+    * a quality score), decided by the same hash ring as
+    * [[deterministicSample]]: keep iff ring(id) < ⌊weight·P⌋. Pure
+    * map-side filter — zero shuffle, stream-identical, reproducible
+    * across partitionings/retries/engines — and CONSISTENT across
+    * weightings: a row kept at weight w stays kept at any w′ ≥ w
+    * (thresholds nest per row), so tightening a quality bar only ever
+    * removes rows. Weights outside [0, 1] clamp. The threshold is
+    * `floor(weight·P)` computed IN the expression on both engines —
+    * identical IEEE double math, unlike a float→long cast, which
+    * truncates in Spark but rounds in DuckDB.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      seed: Long = 0L): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(ringPosition(id, seed) <
+      floor(w * lit(PortableHash.P.toDouble)).cast("long"))
+  }
+
+  /** DuckDB rendering of [[weightedSample]]'s predicate — keep in
+    * lockstep.
+    */
+  def weightedSampleSql(idE: String, weightE: String, seed: Long): String =
+    s"(${ringPositionSql(idE, seed)} < " +
+      s"CAST(floor(least(greatest(CAST($weightE AS DOUBLE), 0.0), 1.0) * " +
+      s"${PortableHash.P}.0) AS BIGINT))"
+
   /** Deterministic sequence packing: assign each document to a
     * training pack of at most `maxTokens` tokens (greedy first-fit in
     * a fixed order — the standard pretraining batch-construction

@@ -225,6 +225,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(binding) === full(binding))
   }
 
+  test("weightedSample: partition-independent, nests across weightings, clamps") {
+    val w = col("doc_id").cast("double") / 500.0
+    def run(d: org.apache.spark.sql.DataFrame, wc: org.apache.spark.sql.Column) =
+      Sampling.weightedSample(d, col("doc_id"), wc, seed = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = run(docs, w)
+    assert(kept.nonEmpty && kept.size < docs.count())
+    // a pure function of (id, weight, seed): partitioning is irrelevant
+    assert(run(docs.repartition(13), w) === kept)
+    // per-row thresholds nest: lowering every weight only removes rows
+    assert(run(docs, w * 0.5).subsetOf(kept))
+    // weights clamp to [0, 1]
+    assert(run(docs, lit(2.0)).size === docs.count())
+    assert(run(docs, lit(-1.0)).isEmpty)
+  }
+
   test("packSequences: greedy fill per shard matches a sequential oracle, partition-independent") {
     val rnd = new scala.util.Random(41)
     val rows = (0L until 300L).map(i => (i, 1L + rnd.nextInt(120).toLong))
