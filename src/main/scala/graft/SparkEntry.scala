@@ -1722,6 +1722,47 @@ object SparkEntry {
       },
       Some(piiOracleSql)),
 
+    Q("text_urls",
+      // URL extraction + domain normalization + blocklist flag on
+      // per-row injected URLs (mixed case exercises the lowercasing;
+      // the corpus has none). Domains output SORTED and comma-joined:
+      // Spark's array_distinct preserves first-occurrence order but
+      // DuckDB's list_distinct does not guarantee one, and scalar
+      // output keeps the driver's value compare on safe ground. The
+      // literal-array blocklist is the small-blocklist form; large
+      // blocklists go through a broadcast semijoin or
+      // BloomAnyContain(textDomains(text), bloom) exactly like the
+      // decontamination screens.
+      (s, dir) => {
+        val inj = concat(col("text"), lit(" see https://Site"),
+          (col("doc_id") % 50).cast("string"),
+          lit(".Example.COM/p?q=1 and plain http://d"),
+          (col("doc_id") % 7).cast("string"), lit(".org tail"))
+        T(s, dir, "documents").select(col("doc_id"),
+            size(TextFunctions.extractUrls(inj)).as("n_urls"),
+            array_join(sort_array(TextFunctions.textDomains(inj)), ",")
+              .as("domains"),
+            arrays_overlap(TextFunctions.textDomains(inj),
+              array(lit("d3.org"), lit("d5.org"))).as("blocked"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text || ' see https://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.Example.COM/p?q=1 and plain http://d' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.org tail' AS text
+        |  FROM documents),
+        | ext AS (SELECT doc_id,
+        |   regexp_extract_all(text, '${TextFunctions.UrlPattern}') AS urls
+        |   FROM inj),
+        | dom AS (SELECT doc_id, urls,
+        |   list_distinct(list_transform(urls,
+        |     u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1)))) AS domains
+        |   FROM ext)
+        |SELECT doc_id, CAST(len(urls) AS INT) AS n_urls,
+        |  array_to_string(list_sort(domains), ',') AS domains,
+        |  list_has_any(domains, ['d3.org', 'd5.org']) AS blocked
+        |FROM dom ORDER BY doc_id""".stripMargin)),
+
     Q("pack_sequences",
       // greedy first-fit packing into <= 400-token packs over 8 hash-
       // ring shards; the oracle replays the sequential recurrence with

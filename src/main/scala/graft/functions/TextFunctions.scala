@@ -189,6 +189,34 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  // ---------------------------------------------------- URL handling
+  // Domain-level filtering (blocklists, per-domain mixing/stats) is a
+  // standard pretraining pipeline stage. Row-local regex expressions
+  // in the Java ∩ RE2 subset, like the PII table above.
+
+  /** The http(s) URL shape shared by [[extractUrls]] and the oracle. */
+  val UrlPattern: String = "https?://[^\\s]+"
+
+  /** All http(s) URLs of a text column, in order of appearance. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** Lowercased host of a URL (empty string when the input does not
+    * parse as an http(s) URL — the regexp_extract no-match contract).
+    */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "^https?://([^/:?#\\s]+)", 1))
+
+  /** Distinct lowercased domains referenced by a text column — the
+    * unit a blocklist or per-domain mixture operates on. Compose with
+    * [[graft.operators.Dedup.evalGramBloom]]-style sketches or a
+    * broadcast semijoin for the blocklist probe;
+    * `BloomAnyContain(textDomains(text), bloom)` flags blocked docs
+    * with zero shuffle.
+    */
+  def textDomains(text: Column): Column =
+    array_distinct(F.transform(extractUrls(text), u => urlDomain(u)))
+
   // ------------------------------------------------------ PII scrubbing
   // Standard pretraining-pipeline redaction (emails, IPs, SSN-shaped
   // ids, phone numbers) as row-local regexp expressions — a projection

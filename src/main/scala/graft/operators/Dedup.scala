@@ -796,7 +796,10 @@ object Dedup {
     * (kept) singleton cluster. Returns `(doc_id, cluster_id, kept)` —
     * the pairwise analog of [[minHashKeep]], but closed under
     * transitivity: A~B and B~C collapse to one survivor even when A
-    * and C never paired.
+    * and C never paired. Pair vertices absent from `df` still
+    * propagate labels (they connect components) but are not output
+    * and never chosen as representatives — only present documents
+    * compete for `kept`.
     */
   def dedupByClusters(df: DataFrame, id: Column, ord: Column,
       pairs: DataFrame, pa: Column, pb: Column,

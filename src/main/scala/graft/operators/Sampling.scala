@@ -306,10 +306,12 @@ object Sampling {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    // a null token count has no packing semantics — fail loudly at the
-    // offending row instead of an opaque NPE in the walk
-    val nTokens = when(tokens.isNull,
-      raise_error(concat(lit("packSequences: null token count for doc_id="),
+    // a null or negative token count has no packing semantics — fail
+    // loudly at the offending row instead of an opaque NPE (null) or
+    // silently corrupted fill arithmetic (negative) in the walk
+    val nTokens = when(tokens.isNull || tokens < 0,
+      raise_error(concat(
+        lit("packSequences: null or negative token count for doc_id="),
         id.cast("string")))).otherwise(tokens).cast(LongType)
     val base = df.select(id.as("doc_id"),
       (ringPosition(id, seed) % shards).cast("int").as("shard"),

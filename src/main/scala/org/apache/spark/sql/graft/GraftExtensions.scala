@@ -93,6 +93,12 @@ object GraftFunctions {
     entry("graft_fingerprint",
       viaColumns("graft_fingerprint", 1)(c => TextFunctions.fingerprint(c(0))),
       "graft_fingerprint(text) - rolling polynomial document fingerprint"),
+    entry("graft_urls",
+      viaColumns("graft_urls", 1)(c => TextFunctions.extractUrls(c(0))),
+      "graft_urls(text) - array of http(s) URLs in order of appearance"),
+    entry("graft_domains",
+      viaColumns("graft_domains", 1)(c => TextFunctions.textDomains(c(0))),
+      "graft_domains(text) - distinct lowercased URL hosts referenced by the text"),
     entry("graft_normalize",
       viaColumns("graft_normalize", 1)(c => TextFunctions.normalizeForDedup(c(0))),
       "graft_normalize(text) - dedup normalization: lowercase, strip non-alphanumerics, collapse whitespace"),

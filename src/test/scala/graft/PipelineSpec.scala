@@ -778,6 +778,33 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 4L, true)))
   }
 
+  test("URL extraction, domain normalization, and bloom blocklist flags") {
+    val d = Seq(
+      (1L, "x https://News.Example.com/a?b=1 y http://cdn.example.com/i.png"),
+      (2L, "no urls at all"),
+      (3L, "dup https://news.example.com/b and https://news.example.com/c"))
+      .toDF("id", "t")
+    val out = d.select(col("id"),
+        TextFunctions.extractUrls(col("t")).as("u"),
+        TextFunctions.textDomains(col("t")).as("dom"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    assert(out(1L)._1 === Seq("https://News.Example.com/a?b=1",
+      "http://cdn.example.com/i.png"))
+    assert(out(1L)._2 === Seq("news.example.com", "cdn.example.com"))
+    assert(out(2L) === ((Seq(), Seq())))
+    assert(out(3L)._2 === Seq("news.example.com"))
+    // blocklist via the same bloom probe as decontamination — zero
+    // shuffle, and never false-negative
+    val blocked = Seq("news.example.com").toDF("domain")
+    val bloom = blocked.stat.bloomFilter("domain", 100L, 1e-6)
+    val flags = d.select(col("id"),
+        org.apache.spark.sql.graft.BloomExpressions.bloomAnyContain(
+          TextFunctions.textDomains(col("t")), bloom).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("normalizeForDedup collapses case/punctuation/whitespace variants") {
     val d = Seq((1L, "  Hello,  WORLD!! 42 "), (2L, "hello world 42"),
       (3L, "different")).toDF("id", "t")

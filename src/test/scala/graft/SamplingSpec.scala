@@ -282,8 +282,8 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.packSequences(withNull, col("id"), col("t"), 100L,
         ord = col("id"), shards = 1).collect()
     }
-    assert(err.getMessage.contains("null token count") ||
+    assert(err.getMessage.contains("negative token count") ||
       err.getCause != null &&
-        err.getCause.getMessage.contains("null token count"))
+        err.getCause.getMessage.contains("negative token count"))
   }
 }

@@ -77,19 +77,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
   test("registered PII functions match the Column API bit-for-bit") {
     GraftFunctions.register(spark)
     val d = spark.createDataFrame(Seq(
-      (1L, "mail me@ex.org from 10.0.0.1 tel 212-555-0187"))).toDF("id", "t")
+      (1L, "mail me@ex.org from 10.0.0.1 tel 212-555-0187 at https://A.ex.org/p")))
+      .toDF("id", "t")
     d.createOrReplaceTempView("sqlspec_pii")
     val viaSql = spark.sql(
       """SELECT id, graft_redact_pii(t) AS clean, graft_pii_stats(t) AS st,
-        |  graft_normalize(t) AS nt
+        |  graft_normalize(t) AS nt, graft_urls(t) AS u, graft_domains(t) AS dom
         |FROM sqlspec_pii""".stripMargin).collect()
     val viaApi = d.select(col("id"),
       graft.functions.TextFunctions.redactPii(col("t")).as("clean"),
       graft.functions.TextFunctions.piiStats(col("t")).as("st"),
-      graft.functions.TextFunctions.normalizeForDedup(col("t")).as("nt"))
+      graft.functions.TextFunctions.normalizeForDedup(col("t")).as("nt"),
+      graft.functions.TextFunctions.extractUrls(col("t")).as("u"),
+      graft.functions.TextFunctions.textDomains(col("t")).as("dom"))
       .collect()
+    assert(viaSql.head.getSeq[String](5) === Seq("a.ex.org"))
     assert(viaSql === viaApi)
-    assert(viaSql.head.getString(1) === "mail <EMAIL> from <IP> tel <PHONE>")
+    assert(viaSql.head.getString(1) ===
+      "mail <EMAIL> from <IP> tel <PHONE> at https://A.ex.org/p")
   }
 
   test("registered repetition filters match the Column API bit-for-bit") {
