@@ -28,6 +28,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-less parquet timestamps (timestamp[us]) read as TIMESTAMP
+      // (LTZ, UTC session) not TIMESTAMP_NTZ: matches the DuckDB
+      // oracle's naive-as-UTC reading and keeps unix_micros legal
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

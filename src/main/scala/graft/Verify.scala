@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS): read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-less parquet timestamps (timestamp[us]) read as TIMESTAMP
+      // (LTZ, UTC session) not TIMESTAMP_NTZ: matches the DuckDB
+      // oracle's naive-as-UTC reading and keeps unix_micros legal
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

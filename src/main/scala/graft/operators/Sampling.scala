@@ -227,6 +227,12 @@ object Sampling {
     val missing = w.keySet -- tokenTotals.keySet
     require(missing.isEmpty,
       s"targeted strata absent from the data: ${missing.toSeq.sorted}")
+    // a zero-token targeted stratum would make tMax 0 and the
+    // fraction 0/0 = NaN, surfacing later as an opaque
+    // "fraction must be in [0, 1], got NaN" — name the stratum here
+    val empty = w.keySet.filter(k => tokenTotals(k) <= 0)
+    require(empty.isEmpty,
+      s"targeted strata have no tokens: ${empty.toSeq.sorted}")
     val tMax = w.map { case (k, wk) => tokenTotals(k) / wk }.min
     val t = math.min(tMax, budget.toDouble)
     w.map { case (k, wk) => k -> math.min(1.0, (wk * t) / tokenTotals(k)) }
@@ -261,14 +267,17 @@ object Sampling {
     * across partitionings/retries/engines — and CONSISTENT across
     * weightings: a row kept at weight w stays kept at any w′ ≥ w
     * (thresholds nest per row), so tightening a quality bar only ever
-    * removes rows. Weights outside [0, 1] clamp. The threshold is
+    * removes rows. Weights outside [0, 1] clamp; a NULL weight is
+    * explicitly coalesced to 0.0 (the row is dropped — same on both
+    * engines, rather than leaking a null predicate). The threshold is
     * `floor(weight·P)` computed IN the expression on both engines —
     * identical IEEE double math, unlike a float→long cast, which
     * truncates in Spark but rounds in DuckDB.
     */
   def weightedSample(df: DataFrame, id: Column, weight: Column,
       seed: Long = 0L): DataFrame = {
-    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    val w = least(greatest(coalesce(weight.cast("double"), lit(0.0)),
+      lit(0.0)), lit(1.0))
     df.filter(ringPosition(id, seed) <
       floor(w * lit(PortableHash.P.toDouble)).cast("long"))
   }
@@ -278,8 +287,8 @@ object Sampling {
     */
   def weightedSampleSql(idE: String, weightE: String, seed: Long): String =
     s"(${ringPositionSql(idE, seed)} < " +
-      s"CAST(floor(least(greatest(CAST($weightE AS DOUBLE), 0.0), 1.0) * " +
-      s"${PortableHash.P}.0) AS BIGINT))"
+      s"CAST(floor(least(greatest(coalesce(CAST($weightE AS DOUBLE), 0.0), " +
+      s"0.0), 1.0) * ${PortableHash.P}.0) AS BIGINT))"
 
   /** Deterministic sequence packing: assign each document to a
     * training pack of at most `maxTokens` tokens (greedy first-fit in
@@ -306,14 +315,17 @@ object Sampling {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    // a null or negative token count has no packing semantics — fail
-    // loudly at the offending row instead of an opaque NPE (null) or
-    // silently corrupted fill arithmetic (negative) in the walk
+    // a null id or null/negative token count has no packing
+    // semantics — fail loudly at the offending row instead of an
+    // opaque executor NPE (null shard read) or silently corrupted
+    // fill arithmetic (negative)
+    val checkedId = when(id.isNull,
+      raise_error(lit("packSequences: null doc id"))).otherwise(id)
     val nTokens = when(tokens.isNull || tokens < 0,
       raise_error(concat(
         lit("packSequences: null or negative token count for doc_id="),
         id.cast("string")))).otherwise(tokens).cast(LongType)
-    val base = df.select(id.as("doc_id"),
+    val base = df.select(checkedId.as("doc_id"),
       (ringPosition(id, seed) % shards).cast("int").as("shard"),
       nTokens.as("n_tokens"), ord.as("__graft_ord"))
     // same-shard rows land in one partition; a partition may hold

@@ -50,15 +50,19 @@ case class BloomAnyContain(child: Expression, bloom: BloomFilter)
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // freshName: two probes in one codegen'd projection over
+      // non-nullable children emit into a shared unbraced scope — a
+      // fixed local name would collide and fail Janino compilation
+      val found = ctx.freshName("found")
       s"""
          |final int $n = $arr.numElements();
-         |boolean found = false;
-         |for (int $i = 0; $i < $n && !found; $i++) {
+         |boolean $found = false;
+         |for (int $i = 0; $i < $n && !$found; $i++) {
          |  if (!$arr.isNullAt($i)) {
-         |    found = $ref.mightContainBinary($arr.getUTF8String($i).getBytes());
+         |    $found = $ref.mightContainBinary($arr.getUTF8String($i).getBytes());
          |  }
          |}
-         |${ev.value} = found;
+         |${ev.value} = $found;
        """.stripMargin
     })
   }

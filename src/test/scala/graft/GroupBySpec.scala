@@ -14,6 +14,10 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-less parquet timestamps (timestamp[us]) read as TIMESTAMP
+      // (LTZ, UTC session) not TIMESTAMP_NTZ: matches the DuckDB
+      // oracle's naive-as-UTC reading and keeps unix_micros legal
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

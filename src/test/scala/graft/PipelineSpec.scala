@@ -460,6 +460,35 @@ class PipelineSpec extends AnyFunSuite {
       ids.diff(flagged).map(_ -> false).toMap)
   }
 
+  test("two bloom probes over non-nullable arrays compile under CODEGEN_ONLY") {
+    import org.apache.spark.sql.graft.BloomExpressions.bloomAnyContain
+    // regression: the probe's loop flag must be ctx.freshName'd — with
+    // non-nullable children nullSafeCodeGen emits the block unbraced
+    // into the shared consume scope, so two probes in ONE projection
+    // would declare a duplicate local and fail Janino compilation,
+    // silently falling back to interpreted eval. CODEGEN_ONLY +
+    // fallback=false turns that silent cliff into a test failure.
+    val bloomA = Seq("a").toDF("v").stat.bloomFilter("v", 10L, 1e-9)
+    val bloomB = Seq("q").toDF("v").stat.bloomFilter("v", 10L, 1e-9)
+    val prevFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = spark.range(3).select(
+          bloomAnyContain(array(lit("a"), col("id").cast("string")), bloomA)
+            .as("fa"),
+          bloomAnyContain(array(col("id").cast("string")), bloomB).as("fb"))
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+      assert(got.forall { case (fa, fb) => fa && !fb })
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.codegen.factoryMode", prevFm)
+      restore("spark.sql.codegen.fallback", prevFb)
+    }
+  }
+
   test("multimodal decodeBatch: schema, determinism, batch shape") {
     val bin = Multimodal.attachBinary(docs.limit(10), col("doc_id"), col("text"))
     assert(bin.columns.toSeq === Seq("id", "bytes", "n_bytes", "mime"))

@@ -285,5 +285,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(err.getMessage.contains("negative token count") ||
       err.getCause != null &&
         err.getCause.getMessage.contains("negative token count"))
+    // a null doc id fails loudly too (it has no shard), not an NPE
+    val nullId = Seq((Some(1L), 10L), (None, 20L)).toDF("id", "t")
+    val errId = intercept[Exception] {
+      Sampling.packSequences(nullId, col("id"), col("t"), 100L,
+        ord = col("t"), shards = 1).collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(errId).exists(m => m != null && m.contains("null doc id")))
+  }
+
+  test("guards: zero-token stratum named; null weight drops the row on both engines") {
+    // tokenMixtureFractions with a zero-total targeted stratum must
+    // name the stratum instead of surfacing NaN downstream
+    val err = intercept[IllegalArgumentException] {
+      Sampling.tokenMixtureFractions(Map("a" -> 100L, "b" -> 0L),
+        Map("a" -> 0.5, "b" -> 0.5), budget = 50L)
+    }
+    assert(err.getMessage.contains("b"))
+    // null weight == weight 0.0: dropped, and identical to explicit 0.0
+    val d = Seq((1L, Some(0.9)), (2L, None), (3L, Some(0.0)))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(d, col("id"), col("w"), seed = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(2L) && !kept.contains(3L))
+    val asZero = Sampling.weightedSample(
+        d.withColumn("w", coalesce(col("w"), lit(0.0))),
+        col("id"), col("w"), seed = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === asZero)
   }
 }
