@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, GroupBy, Joins, Margins, Reshape, RollingOps, Sampling, Similarity}
+import graft.operators.{Dedup, GroupBy, Joins, Margins, Reshape, RollingOps, Sampling, SelectionOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,6 +51,48 @@ object Bench {
 
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+
+    // ---- self-diagnosing measurement (VERDICT r6 item 1) ----
+    // Round 6's official recording was polluted by external process
+    // interference spanning its first two secondary groups, and
+    // min/median-only output could not show it — three other artifacts
+    // had to be cross-referenced. Every row now carries its RAW
+    // samples, each group carries a 1-minute loadavg sentinel taken
+    // immediately before measurement (interference shows up as a
+    // sentinel far above this JVM's own core budget), and any row
+    // whose samples span >1.5x is re-measured (two extra samples,
+    // median of all) and flagged if the spread persists — so a
+    // polluted recording diagnoses itself instead of masquerading as
+    // the round's numbers.
+    final case class Meas(name: String, value: Double, samples: Seq[Double],
+      flagged: Boolean)
+    // suspect = relative spread >1.5x AND absolute spread >0.2s: light
+    // rows (~0.1s) jitter past 1.5x on JIT/GC residue alone, and their
+    // min already rejects that one-sided noise — the absolute floor
+    // keeps re-measurement focused on rows where a burst could
+    // actually move the recorded number
+    def suspect(ts: Seq[Double]): Boolean =
+      ts.max / math.max(ts.min, 1e-9) > 1.5 && ts.max - ts.min > 0.2
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    def remeasure(name: String, samples0: Seq[Double], pick: Seq[Double] => Double,
+        timed: () => Double): Meas = {
+      if (!suspect(samples0)) Meas(name, pick(samples0), samples0, flagged = false)
+      else {
+        // suspect row: two fresh samples, then the SAME statistic over
+        // the extended set (a heavy row's median-of-5 rejects a
+        // two-sample burst that median-of-3 cannot; a light row's min
+        // stays a min, so values remain comparable round-over-round).
+        // Still-disagreeing samples flag the row: its value must not
+        // be quoted without the samples
+        val all = samples0 ++ Seq(timed(), timed())
+        Meas(name, pick(all), all, flagged = suspect(all))
+      }
+    }
 
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "gb_sum" -> (() => liGb.sum(Seq(col("l_quantity"), col("l_extendedprice")))),
@@ -138,13 +180,17 @@ object Bench {
     // every op before timing ANY op: by the first measurement the whole
     // plan/codegen universe is compiled and quiesced.
     ops.foreach { case (_, build) => force(build()); force(build()) }
+    sentinels("main") = loadavg()
     val results = ops.map { case (name, build) =>
-      val t = (1 to 3).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         force(build())
         (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> t
+      }
+      val samples = Seq(timed(), timed(), timed())
+      // light rows keep min (JIT/GC noise is one-sided upward); the
+      // spread check still re-measures and flags an unstable row
+      remeasure(name, samples, _.min, () => timed())
     }
 
     // hot-key skew fixture: one user holds 80% of 10M left rows — the
@@ -253,11 +299,20 @@ object Bench {
       new RollingOps(new GroupBy(hotLeft, Seq(col("user_id"))))
         .rollingSum(col("event_id").cast("double"), col("ts"), 50,
           minPeriods = Some(1), sliceWidth = width)
+    // positional selection on the same hot key: unsplit head(5) sorts
+    // the ~8.8M-row hot partition in one task; the split path counts
+    // per slice (hash agg), prunes every slice whose prefix offset
+    // already reaches 5, and sorts only the first ~160k-row slice
+    def hotHead(width: Option[Long]) =
+      new SelectionOps(new GroupBy(hotLeft, Seq(col("user_id"))))
+        .head(5, Seq(col("ts")), sliceWidth = width)
     val skewOps: Seq[(String, () => DataFrame)] = Seq(
       "asof_hotkey" -> (() => hotAsof(None)),
       "asof_hotkey_split" -> (() => hotAsof(Some(160000000L))),
       "rolling_hotkey" -> (() => hotRolling(None)),
-      "rolling_hotkey_split" -> (() => hotRolling(Some(160000000L))))
+      "rolling_hotkey_split" -> (() => hotRolling(Some(160000000L))),
+      "sel_hotkey" -> (() => hotHead(None)),
+      "sel_hotkey_split" -> (() => hotHead(Some(160000000L))))
 
     // second scale point: 10× documents/embeddings/events synthesized
     // from the sf tables (copy i of a doc rewrites every token, so
@@ -339,8 +394,10 @@ object Bench {
     // MEDIAN: min-of-2 cannot reject a GC/compaction burst spanning
     // both runs, and these are exactly the rows the 100 TB evidence
     // (scaling exponents, skew-lever wins) rests on.
-    def measureGroup(group: Seq[(String, () => DataFrame)]): Seq[(String, Double)] = {
+    def measureGroup(groupName: String,
+        group: Seq[(String, () => DataFrame)]): Seq[Meas] = {
       group.foreach { case (_, build) => force(build()) }
+      sentinels(groupName) = loadavg()
       group.map { case (name, build) =>
         def timed(): Double = {
           val t0 = System.nanoTime()
@@ -348,46 +405,59 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val t1 = timed(); val t2 = timed()
-        val t = if (math.min(t1, t2) > 2.0) Seq(t1, t2, timed()).sorted.apply(1)
-                else math.min(t1, t2)
-        name -> t
+        val samples = if (math.min(t1, t2) > 2.0) Seq(t1, t2, timed())
+                      else Seq(t1, t2)
+        // heavy rows report the median (min-of-2 cannot reject a burst
+        // spanning both runs); light rows keep the min — same statistic
+        // after a re-measure extends the sample set
+        def pick(ts: Seq[Double]): Double =
+          if (ts.min > 2.0) ts.sorted.apply(ts.size / 2) else ts.min
+        remeasure(name, samples, pick, () => timed())
       }
     }
     // each group's fixtures materialize immediately before its
     // measurement and are freed (blocking) right after — no group
     // measures under another's cache residue
-    val persistResults = measureGroup(persistOps)
-    val prodDedupResults = measureGroup(prodDedupOps)
+    val persistResults = measureGroup("persist", persistOps)
+    val prodDedupResults = measureGroup("prodDedup", prodDedupOps)
     zipf10k.count(); zipf30k.count()
-    val zipfResults = measureGroup(zipfOps)
+    val zipfResults = measureGroup("zipf", zipfOps)
     zipf10k.unpersist(true); zipf30k.unpersist(true)
     hotLeft.count(); hotRight.count()
-    val skewResults = measureGroup(skewOps)
+    val skewResults = measureGroup("skew", skewOps)
     hotLeft.unpersist(true); hotRight.unpersist(true)
     docs10.count(); embs10.count(); ev10.count()
-    val x10Results = measureGroup(x10Ops)
+    val x10Results = measureGroup("x10", x10Ops)
     docs10.unpersist(true); embs10.unpersist(true); ev10.unpersist(true)
 
     val all = results ++ persistResults ++ prodDedupResults ++ zipfResults ++
       skewResults ++ x10Results
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = all.map(m => "\"" + m.name + "\":" + m.value)
       .mkString("{", ",", "}")
     // same op set as prior rounds' "total" (main loop + dedup_minhash +
     // pipeline_e2e — NOT the new keep-vs-pairs rows), so the headline
     // stays comparable round-over-round
-    val total = (results ++ persistResults.filter { case (n, _) =>
-      n == "dedup_minhash" || n == "pipeline_e2e" }).map(_._2).sum
+    val total = (results ++ persistResults.filter(m =>
+      m.name == "dedup_minhash" || m.name == "pipeline_e2e")).map(_.value).sum
     // scaling exponent per xMult op: log(t_xMult / t_x1) / log(xMult)
     // — 1.0 = linear, <1 sublinear (fixed overheads amortizing), >1
     // superlinear (a plan that would not survive 100 TB)
-    val byName = all.toMap
+    val byName = all.map(m => m.name -> m.value).toMap
     val scaling = x10Results.collect {
-      case (n, t10) if byName.contains(n.stripSuffix(xs)) && t10 > 0 =>
-        val t1 = byName(n.stripSuffix(xs))
-        "\"" + n.stripSuffix(xs) + "\":" +
-          (math.log10(t10 / t1) / math.log10(xMult.toDouble) * 10000).round / 10000.0
+      case m if byName.contains(m.name.stripSuffix(xs)) && m.value > 0 =>
+        val t1 = byName(m.name.stripSuffix(xs))
+        "\"" + m.name.stripSuffix(xs) + "\":" +
+          (math.log10(m.value / t1) / math.log10(xMult.toDouble) * 10000).round / 10000.0
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$scaling,"sf":"$sfDir"}""")
+    def fmt(d: Double): String = ((d * 10000).round / 10000.0).toString
+    val samplesJson = all.map(m =>
+      "\"" + m.name + "\":[" + m.samples.map(fmt).mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val sentinelJson = sentinels.map { case (g, l) => "\"" + g + "\":" + l }
+      .mkString("{", ",", "}")
+    val flaggedJson = all.filter(_.flagged).map("\"" + _.name + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$scaling,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

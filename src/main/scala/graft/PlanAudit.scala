@@ -50,9 +50,16 @@ object PlanAudit {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+    // the sliced ops need an integral ord: events.ts is long nanos
+    // when the parquet stores TIMESTAMP(NANOS) (nanosAsLong), micros
+    // via unix_micros otherwise — same branch as the SparkEntry gates,
+    // with the six-hour slice width in the matching unit
+    val (ev, sixHoursNs) = ev0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (ev0, 21600000000000L)
+      case _ => (ev0.withColumn("ts", unix_micros(col("ts"))), 21600000000L)
+    }
     val liKeys = Seq(col("l_returnflag"), col("l_linestatus"))
-    val sixHoursNs = 21600000000000L
 
     Seq(
       Audited("masked grouped agg (q1 shape)",
@@ -146,6 +153,15 @@ object PlanAudit {
           Dedup.evalGramBloom(docs.where(col("doc_id") % 20 === 0),
             col("text"), n = 5, expectedItems = Some(5000L)), n = 5),
         noSinglePartition = true, noShuffle = true),
+      Audited("head sliceWidth (per-slice counts + pruned within-slice row_number)",
+        new graft.operators.SelectionOps(new GroupBy(orders, Seq(col("o_custkey"))))
+          .head(2, Seq(col("o_orderkey")), sliceWidth = Some(50000L)),
+        noSinglePartition = true, keySlicedWindows = true, equiJoinOnly = true),
+      Audited("findLastN sliceWidth (descending offsets, index-returning)",
+        new graft.operators.SelectionOps(new GroupBy(orders, Seq(col("o_custkey"))))
+          .findLastN(3, col("o_orderkey"), Seq(col("o_orderkey")),
+            sliceWidth = Some(50000L)),
+        noSinglePartition = true, keySlicedWindows = true, equiJoinOnly = true),
       Audited("sequence packing (one hash exchange on shard, then a narrow walk)",
         graft.operators.Sampling.packSequences(docs, col("doc_id"),
           graft.functions.TextFunctions.tokenCountWs(col("text")),

@@ -132,6 +132,58 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of TextFunctions.scriptFractions/langIdScript: the
+    * SAME scripted-text injection, the script character classes taken
+    * from [[graft.functions.TextFunctions.ScriptClasses]] (single
+    * source of truth — the \x{...} ranges are never re-stated here),
+    * fractions over non-whitespace characters, and the threshold
+    * cascade with the Latin marker langId as the fall-through.
+    */
+  private def scriptsOracleSql: String = {
+    import graft.functions.TextFunctions.{GarbageClass, ScriptClasses}
+    val cnts = (ScriptClasses :+ ("garbage" -> GarbageClass)).map {
+      case (name, cls) =>
+        s"len(regexp_extract_all(t, '$cls')) AS c_$name"
+    }.mkString(",\n        |  ")
+    val fracs = (ScriptClasses.map(_._1) :+ "garbage").map { name =>
+      s"CASE WHEN nw = 0 THEN NULL ELSE CAST(c_$name AS DOUBLE) / CAST(nw AS DOUBLE) END AS f_$name"
+    }.mkString(",\n        |  ")
+    s"""WITH s AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 7 AS INT)
+        |    WHEN 1 THEN 'Привет это тест кириллицы в документе'
+        |    WHEN 2 THEN 'مرحبا بالعالم هذا نص عربي للاختبار'
+        |    WHEN 3 THEN '你好世界这是一个中文测试文档'
+        |    WHEN 4 THEN 'こんにちは世界これはテストです'
+        |    WHEN 5 THEN '안녕하세요 세계 이것은 한국어 테스트'
+        |    WHEN 6 THEN 'noisy' || chr(7) || chr(7) || chr(7) || 'data'
+        |    ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  len(regexp_replace(t, '\\s', '', 'g')) AS nw,
+        |  $cnts,
+        |  len(list_filter(string_split(t,' '), w -> w IN ('the','of','and','is','to'))) AS c_en,
+        |  len(list_filter(string_split(t,' '), w -> w IN ('der','die','das','und','ist'))) AS c_de,
+        |  len(list_filter(string_split(t,' '), w -> w IN ('le','la','et','est','les'))) AS c_fr,
+        |  len(list_filter(string_split(t,' '), w -> w IN ('el','los','es','y','las'))) AS c_es
+        |  FROM s),
+        |f AS (SELECT doc_id, nw, c_en, c_de, c_fr, c_es,
+        |  GREATEST(c_en, c_de, c_fr, c_es) AS best,
+        |  $fracs
+        |  FROM c)
+        |SELECT doc_id, f_latin, f_cyrillic, f_arabic, f_han, f_kana, f_hangul, f_garbage,
+        |  CASE WHEN f_hangul > 0.3 THEN 'ko'
+        |       WHEN f_kana > 0.05 THEN 'ja'
+        |       WHEN f_han > 0.3 THEN 'zh'
+        |       WHEN f_cyrillic > 0.3 THEN 'ru'
+        |       WHEN f_arabic > 0.3 THEN 'ar'
+        |       WHEN c_en = best AND best > 0 THEN 'en'
+        |       WHEN c_de = best AND best > 0 THEN 'de'
+        |       WHEN c_fr = best AND best > 0 THEN 'fr'
+        |       WHEN c_es = best AND best > 0 THEN 'es'
+        |       ELSE 'und' END AS lang
+        |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of Sampling.packSequences: ring-position shards
     * (the shared [[graft.operators.Sampling.ringPositionSql]]
     * rendering), per-shard doc order by (doc_id), then the greedy
@@ -605,11 +657,23 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("gb_minmax",
-      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregate(Seq(
-        AggSpec("min", col("l_extendedprice"), "min_price"),
-        AggSpec("max", col("l_extendedprice"), "max_price"),
-        AggSpec("min", col("l_shipdate"), "min_ship"),
-        AggSpec("max", col("l_shipdate"), "max_ship"))),
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val out = new GroupBy(li, liKeys).aggregate(Seq(
+          AggSpec("min", col("l_extendedprice"), "min_price"),
+          AggSpec("max", col("l_extendedprice"), "max_price"),
+          AggSpec("min", col("l_shipdate"), "min_ship"),
+          AggSpec("max", col("l_shipdate"), "max_ship")))
+        // when shipdate reads as TIMESTAMP (LTZ, UTC session), emit
+        // NTZ so the parquet dump is tz-naive micros like the oracle's
+        // (same wall-clock values; the compare is dtype-strict)
+        li.schema("l_shipdate").dataType match {
+          case org.apache.spark.sql.types.TimestampType =>
+            out.withColumn("min_ship", col("min_ship").cast("timestamp_ntz"))
+              .withColumn("max_ship", col("max_ship").cast("timestamp_ntz"))
+          case _ => out
+        }
+      },
       Some("""SELECT l_returnflag, l_linestatus,
         | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         | MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
@@ -1059,6 +1123,33 @@ object SparkEntry {
       Some("""SELECT o_custkey, o_orderkey, rn AS pos FROM (
         |  SELECT o_custkey, o_orderkey,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, pos""".stripMargin)),
+
+    Q("sel_head_split",
+      // the §2.2 arm of the hot-key sliceWidth lever (VERDICT r6 #2):
+      // same head(2) semantics, computed via per-slice counts + prefix
+      // offsets + pruned within-slice row_number instead of one
+      // whole-key sort. Single-ord contract (o_orderkey is unique), so
+      // the oracle orders by o_orderkey alone; width 50k gives ~12
+      // occupied slices per key at sf0.01
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .head(2, Seq(col("o_orderkey")), sliceWidth = Some(50000L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("sel_find_last_n_split",
+      // descending arm of the sliced selection (offsets accumulate
+      // from the LAST slice backwards) on the index-returning variant
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))
+        .findLastN(3, col("o_orderkey"), Seq(col("o_orderkey")),
+          sliceWidth = Some(50000L))
+        .orderBy(col("o_custkey"), col("pos")),
+      Some("""SELECT o_custkey, o_orderkey, rn AS pos FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, pos""".stripMargin)),
 
     Q("ct_crosstab",
@@ -1599,6 +1690,46 @@ object SparkEntry {
           |FROM r ORDER BY doc_id""".stripMargin
       }),
 
+    Q("sql_weighted_sample",
+      // quality-proportional sampling from pure SQL (VERDICT r6 #6):
+      // graft_weighted_sample builds the IDENTICAL keep-verdict
+      // expression tree as Sampling.weightedKeep (per-row weight
+      // column, literal-pinned seed), replayed against
+      // sample_weighted's existing row-for-row oracle. The weight is
+      // cast to double BEFORE the division so SQL decimal promotion
+      // cannot change the IEEE math
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        T(s, dir, "documents").createOrReplaceTempView("graft_sql_docs3")
+        s.sql("""SELECT doc_id FROM graft_sql_docs3
+          |WHERE graft_weighted_sample(doc_id,
+          |  CAST(graft_token_count(text) AS DOUBLE) / 100.0, 11)
+          |ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""SELECT doc_id FROM documents
+        |WHERE ${Sampling.weightedSampleSql("doc_id",
+          "len(string_split(text, ' ')) / 100.0", seed = 11L)}
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("sql_stratified_sample",
+      // per-stratum sampling from pure SQL: the variadic
+      // graft_stratified_sample builder folds the literal
+      // (label, fraction) pairs through the same threshold() the
+      // Column API uses; unlisted strata drop (fraction 0)
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        T(s, dir, "documents").createOrReplaceTempView("graft_sql_docs4")
+        s.sql("""SELECT doc_id, lang FROM graft_sql_docs4
+          |WHERE graft_stratified_sample(doc_id, lang, 7, 'en', 0.5, 'de', 0.25)
+          |ORDER BY doc_id""".stripMargin)
+      },
+      Some(s"""SELECT doc_id, lang FROM documents
+        |WHERE ${Sampling.ringPositionSql("doc_id", seed = 7)} <
+        |  CASE lang WHEN 'en' THEN ${Sampling.threshold(0.5)}
+        |            WHEN 'de' THEN ${Sampling.threshold(0.25)}
+        |            ELSE 0 END
+        |ORDER BY doc_id""".stripMargin)),
+
     Q("emb_lsh_topk",
       // exact=true: bucket-sign dots and cosine scores accumulate in
       // decimal, so the seeded hyperplanes (embedded as literals in the
@@ -1763,6 +1894,75 @@ object SparkEntry {
         |  list_has_any(domains, ['d3.org', 'd5.org']) AS blocked
         |FROM dom ORDER BY doc_id""".stripMargin)),
 
+    Q("text_domain_stats",
+      // per-domain corpus report (VERDICT r6 #7) on the same injected
+      // URLs as text_urls: docs/tokens per domain plus whole-corpus
+      // shares (every doc has >= 1 domain here; the spec covers
+      // domain-less rows). Output ordered by domain — deterministic
+      // without a top-N tie concern; the topN form is spec-tested.
+      (s, dir) => {
+        val inj = concat(col("text"), lit(" see https://Site"),
+          (col("doc_id") % 50).cast("string"),
+          lit(".Example.COM/p?q=1 and plain http://d"),
+          (col("doc_id") % 7).cast("string"), lit(".org tail"))
+        TextFunctions.domainStats(
+            T(s, dir, "documents").withColumn("__inj", inj),
+            col("__inj"), TextFunctions.tokenCountWs(col("__inj")))
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH inj AS (
+        |  SELECT doc_id, text || ' see https://Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.Example.COM/p?q=1 and plain http://d' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '.org tail' AS text
+        |  FROM documents),
+        | tok AS (SELECT doc_id, text,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM inj),
+        | tot AS (SELECT COUNT(*) AS nd, SUM(n_tok) AS nt FROM tok),
+        | doms AS (SELECT doc_id, n_tok, unnest(list_distinct(list_transform(
+        |     regexp_extract_all(text, '${TextFunctions.UrlPattern}'),
+        |     u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1))))) AS domain
+        |   FROM tok),
+        | agg AS (SELECT domain, COUNT(*) AS n_docs,
+        |   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |   FROM doms GROUP BY domain)
+        |SELECT domain, n_docs, n_tokens,
+        |  CAST(n_docs AS DOUBLE) / CAST(nd AS DOUBLE) AS doc_share,
+        |  CAST(n_tokens AS DOUBLE) / CAST(nt AS DOUBLE) AS token_share
+        |FROM agg, tot ORDER BY domain""".stripMargin)),
+
+    Q("text_scripts",
+      // script-range charset signals (VERDICT r6 #5): rows doc_id%7 in
+      // 1..6 REPLACE the (Latin) corpus text with a pure-script
+      // snippet — Cyrillic / Arabic / Han / kana-mixed / Hangul /
+      // control-char garbage — so the per-script fractions and every
+      // langIdScript threshold branch are exercised; %7==0 rows keep
+      // the corpus text and fall through to the Latin marker langId.
+      // Character classes are explicit \x{...} code-point ranges (the
+      // Java-regex ∩ RE2 escape), replayed verbatim by the oracle.
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(7))
+        val scripted = when(m === 1, lit("Привет это тест кириллицы в документе"))
+          .when(m === 2, lit("مرحبا بالعالم هذا نص عربي للاختبار"))
+          .when(m === 3, lit("你好世界这是一个中文测试文档"))
+          .when(m === 4, lit("こんにちは世界これはテストです"))
+          .when(m === 5, lit("안녕하세요 세계 이것은 한국어 테스트"))
+          .when(m === 6, concat(lit("noisy"), expr("chr(7)"), expr("chr(7)"),
+            expr("chr(7)"), lit("data")))
+          .otherwise(col("text"))
+        val sf = TextFunctions.scriptFractions(scripted)
+        T(s, dir, "documents").select(col("doc_id"),
+            sf.getField("f_latin").as("f_latin"),
+            sf.getField("f_cyrillic").as("f_cyrillic"),
+            sf.getField("f_arabic").as("f_arabic"),
+            sf.getField("f_han").as("f_han"),
+            sf.getField("f_kana").as("f_kana"),
+            sf.getField("f_hangul").as("f_hangul"),
+            sf.getField("f_garbage").as("f_garbage"),
+            TextFunctions.langIdScript(scripted).as("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some(scriptsOracleSql)),
+
     Q("pack_sequences",
       // greedy first-fit packing into <= 400-token packs over 8 hash-
       // ring shards; the oracle replays the sequential recurrence with
@@ -1794,6 +1994,48 @@ object SparkEntry {
         |   / CAST(65535 AS FLOAT))::DOUBLE AS f0,
         | (CAST(CAST('0x' || substr(md5(text), 13, 4) AS BIGINT) AS FLOAT)
         |   / CAST(65535 AS FLOAT))::DOUBLE AS f1
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_decode_headers",
+      // REAL header parse (VERDICT r6 #3): Spark synthesizes genuine
+      // PNG/JPEG/GIF binary headers (dimensions injected from doc_id),
+      // HeaderCodec parses them BACK from the bytes — big-endian IHDR,
+      // JPEG marker scan, little-endian GIF screen descriptor — and
+      // the oracle replays the injection arithmetic. A parser bug
+      // (wrong offset, wrong endianness, wrong channel mapping) breaks
+      // the round-trip and the hash.
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val w = (lit(100) + pmod(col("doc_id"), lit(900))).cast("int")
+        val h = (lit(50) + pmod(col("doc_id"), lit(500))).cast("int")
+        def hx(c: Column, n: Int) = lpad(hex(c), n, "0")
+        def hxLe(c: Column) = concat(hx(pmod(c, lit(256)), 2),
+          hx(((c - pmod(c, lit(256))) / lit(256)).cast("int"), 2))
+        val hexStr = when(pmod(col("doc_id"), lit(3)) === 0,
+            // PNG: signature + IHDR length/type + w/h (32-bit BE) +
+            // bit depth 8 + color type 6 (RGBA -> 4 channels)
+            concat(lit("89504E470D0A1A0A0000000D49484452"),
+              hx(w, 8), hx(h, 8), lit("0806")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            // JPEG: SOI + SOF0 (len 11, precision 8, h/w 16-bit BE,
+            // 3 components)
+            concat(lit("FFD8FFC0000B08"), hx(h, 4), hx(w, 4), lit("03")))
+          // GIF89a: w/h 16-bit LITTLE-endian screen descriptor
+          .otherwise(concat(lit("474946383961"), hxLe(w), hxLe(h)))
+        val bin = d.select(col("doc_id"), unhex(hexStr).as("bytes"))
+        Multimodal.decodeHeaders(bin, col("doc_id"), col("bytes")).toDF()
+          .select(col("id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("channels").cast("long").as("channels"), col("valid"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id,
+        | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        | CAST(100 + doc_id % 900 AS BIGINT) AS width,
+        | CAST(50 + doc_id % 500 AS BIGINT) AS height,
+        | CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3 ELSE 3 END AS BIGINT) AS channels,
+        | TRUE AS valid
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Q("emb_dup_pairs",

@@ -18,6 +18,10 @@ object Verify {
       // (LTZ, UTC session) not TIMESTAMP_NTZ: matches the DuckDB
       // oracle's naive-as-UTC reading and keeps unix_micros legal
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // write timestamp results as TIMESTAMP_MICROS (not the INT96
+      // default): the DuckDB oracle's timestamps are microsecond, and
+      // the driver's pandas compare is dtype-strict (us vs ns)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

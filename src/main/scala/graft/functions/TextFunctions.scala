@@ -75,6 +75,72 @@ object TextFunctions {
     }
   }
 
+  // ------------------------------------------- script / charset signals
+  // The Latin-marker langId above cannot see CJK/Cyrillic/Arabic — the
+  // majority of real web corpora. Script-range character fractions are
+  // the cheap, replayable signal: explicit code-point-range character
+  // classes (the \x{...} escape works in BOTH Java regex and RE2;
+  // \p{Script=...} does not), evaluated row-locally in a projection.
+
+  /** Script → character class, in the Java ∩ RE2 subset. BMP ranges
+    * only (the scripts of interest are BMP), so Java UTF-16 and
+    * code-point-counting engines agree on counts.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]",
+    "han" -> "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]",
+    "kana" -> "[\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]")
+
+  /** Control/replacement characters — the mojibake/garbage signal
+    * (tab/newline excluded: they are legitimate document structure).
+    */
+  val GarbageClass: String =
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{FFFD}]"
+
+  private def nonWsChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
+
+  /** Per-script character fractions (over non-whitespace characters)
+    * plus the garbage fraction, as a struct
+    * `(f_latin, f_cyrillic, f_arabic, f_han, f_kana, f_hangul,
+    * f_garbage)`. Empty/whitespace-only documents yield null fractions
+    * (0/0), matching [[Num.safeDiv]] everywhere else.
+    */
+  def scriptFractions(text: Column): Column = {
+    val denom = nonWsChars(text).cast(DoubleType)
+    val fields = ScriptClasses.map { case (name, cls) =>
+      Num.safeDiv(regexp_count(text, lit(cls)).cast(DoubleType), denom)
+        .as(s"f_$name")
+    } :+ Num.safeDiv(regexp_count(text, lit(GarbageClass)).cast(DoubleType),
+      denom).as("f_garbage")
+    struct(fields: _*)
+  }
+
+  /** Script-aware language-ID: script fractions decide first (hangul →
+    * ko; kana presence → ja, since Japanese text is han+kana mixed;
+    * han without kana → zh; cyrillic → ru; arabic → ar — the standard
+    * script→language collapse, each threshold on the dominant script
+    * of that language's writing system), and Latin-script text falls
+    * through to the [[langId]] marker heuristic. Deterministic,
+    * row-local, oracle-replayable.
+    */
+  def langIdScript(text: Column,
+      markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val denom = nonWsChars(text).cast(DoubleType)
+    val cls = ScriptClasses.toMap
+    def frac(name: String): Column =
+      Num.safeDiv(regexp_count(text, lit(cls(name))).cast(DoubleType), denom)
+    when(frac("hangul") > 0.3, lit("ko"))
+      .when(frac("kana") > 0.05, lit("ja"))
+      .when(frac("han") > 0.3, lit("zh"))
+      .when(frac("cyrillic") > 0.3, lit("ru"))
+      .when(frac("arabic") > 0.3, lit("ar"))
+      .otherwise(langId(text, markers))
+  }
+
   /** 64-bit-ish document fingerprint: rolling polynomial hash over
     * per-word hashes (md5-prefix ints), mod 1e9+7 — deterministic and
     * reproducible in any engine with a fold primitive.
@@ -216,6 +282,38 @@ object TextFunctions {
     */
   def textDomains(text: Column): Column =
     array_distinct(F.transform(extractUrls(text), u => urlDomain(u)))
+
+  /** Per-domain corpus report — the standard blocklist-curation view
+    * ("which domains dominate my corpus, by docs and by tokens"):
+    * one row per distinct referenced domain with document count, token
+    * count, and shares of the WHOLE corpus (domain-less documents
+    * included in the denominators).
+    *
+    * Shape: explode(textDomains) → one hash groupBy on domain (the
+    * only data-sized shuffle; a doc counts once per domain via the
+    * array_distinct inside [[textDomains]]), then a broadcast join of
+    * the one-row corpus totals for the shares. `topN` appends an
+    * order-by-docs limit (ties broken by domain name, deterministic).
+    */
+  def domainStats(df: org.apache.spark.sql.DataFrame, text: Column,
+      tokens: Column, topN: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val doms = df.select(tokens.cast(LongType).as("__graft_tok"),
+      explode(textDomains(text)).as("domain"))
+    val totals = df.agg(count(lit(1)).as("__graft_nd"),
+      F.sum(tokens.cast(LongType)).as("__graft_nt"))
+    val agg = doms.groupBy(col("domain")).agg(
+      count(lit(1)).as("n_docs"), F.sum(col("__graft_tok")).as("n_tokens"))
+    val out = agg.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast(DoubleType) / col("__graft_nd").cast(DoubleType))
+          .as("doc_share"),
+        (col("n_tokens").cast(DoubleType) / col("__graft_nt").cast(DoubleType))
+          .as("token_share"))
+    topN match {
+      case Some(n) => out.orderBy(col("n_docs").desc, col("domain")).limit(n)
+      case None    => out
+    }
+  }
 
   // ------------------------------------------------------ PII scrubbing
   // Standard pretraining-pipeline redaction (emails, IPs, SSN-shaped

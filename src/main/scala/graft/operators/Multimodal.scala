@@ -71,6 +71,112 @@ object Multimodal {
       }
   }
 
+  /** One parsed media header: real values read from the payload bytes
+    * (`valid=false` rows carry zeros and format "unknown").
+    */
+  case class DecodedHeader(id: Long, format: String, width: Int,
+      height: Int, channels: Int, valid: Boolean)
+
+  /** REAL header-parse decode of public image container formats —
+    * pure JVM, no codec libraries (none exist in this container):
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk — width/height as
+    *    32-bit big-endian at offsets 16/20, channels from the color
+    *    type byte at 25 (spec: PNG (Portable Network Graphics), W3C).
+    *  - JPEG: FF D8 SOI, then a marker scan skipping each segment by
+    *    its 16-bit big-endian length until a SOF0–SOF15 frame header
+    *    (excluding DHT C4 / JPG C8 / DAC CC): height/width 16-bit BE
+    *    at payload offsets 3/5, component count at 7 (ITU-T T.81).
+    *  - GIF: "GIF87a"/"GIF89a", then the logical screen descriptor —
+    *    width/height 16-bit LITTLE-endian at offsets 6/8.
+    *
+    * PIXEL decode stays out of scope; dimensions, format, and channel
+    * count are real parsed values, so the multimodal column is a
+    * usable filter/group/report input (e.g. "drop images under
+    * 64x64") rather than a shape demo.
+    */
+  object HeaderCodec {
+    private def u16be(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def u16le(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+    private val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def sniff(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (bytes == null) None
+      else if (bytes.length >= 26 && bytes.take(8).sameElements(PngSig) &&
+          new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
+        val w = u32be(bytes, 16); val h = u32be(bytes, 20)
+        val channels = bytes(25) & 0xff match {
+          case 0 => 1 // grayscale
+          case 2 => 3 // truecolor
+          case 3 => 1 // palette index
+          case 4 => 2 // gray + alpha
+          case 6 => 4 // truecolor + alpha
+          case _ => 0
+        }
+        if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue &&
+            channels > 0)
+          Some(("png", w.toInt, h.toInt, channels))
+        else None
+      } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8) {
+        // marker scan: segments are FF <marker> <len16be payload>;
+        // standalone markers (RSTn, TEM) carry no length
+        var i = 2
+        var out: Option[(String, Int, Int, Int)] = None
+        while (out.isEmpty && i + 3 < bytes.length) {
+          if ((bytes(i) & 0xff) != 0xff) { i = bytes.length } // corrupt
+          else {
+            val marker = bytes(i + 1) & 0xff
+            if (marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              // SOF payload: len(2) precision(1) height(2) width(2) nComp(1)
+              if (i + 9 < bytes.length) {
+                val h = u16be(bytes, i + 5); val w = u16be(bytes, i + 7)
+                val comps = bytes(i + 9) & 0xff
+                if (w > 0 && h > 0 && comps > 0)
+                  out = Some(("jpeg", w, h, comps))
+              }
+              if (out.isEmpty) i = bytes.length
+            } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+              i += 2
+            } else i += 2 + u16be(bytes, i + 2)
+          }
+        }
+        out
+      } else if (bytes.length >= 10 && (
+          new String(bytes.slice(0, 6), "US-ASCII") == "GIF87a" ||
+          new String(bytes.slice(0, 6), "US-ASCII") == "GIF89a")) {
+        val w = u16le(bytes, 6); val h = u16le(bytes, 8)
+        if (w > 0 && h > 0) Some(("gif", w, h, 3)) else None
+      } else None
+    }
+  }
+
+  /** Batched real-header decode — same per-partition iterator shape as
+    * [[decodeBatch]] (the production plumbing), with the parse from
+    * [[HeaderCodec]]: a projection over binary payloads, zero shuffle.
+    */
+  def decodeHeaders(df: DataFrame, id: Column, bytes: Column): Dataset[DecodedHeader] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast(LongType), bytes).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, payload) =>
+          HeaderCodec.sniff(payload) match {
+            case Some((fmt, w, h, c)) => DecodedHeader(rowId, fmt, w, h, c, valid = true)
+            case None => DecodedHeader(rowId, "unknown", 0, 0, 0, valid = false)
+          }
+        }
+      }
+  }
+
   /** Expression-level twin of the stub decode (pure Catalyst, used by
     * the SQL oracle): same md5-derived dimensions.
     */

@@ -19,49 +19,147 @@ final class SelectionOps(val gb: GroupBy) extends AnyVal {
     row_number().over(Window.partitionBy(gb.keyCols: _*).orderBy(cols: _*))
   }
 
-  /** First n rows per group (reference `head`, `core.py:1428`). */
-  def head(n: Int, ord: Seq[Column], posName: String = "__pos"): DataFrame =
-    gb.base.withColumn(posName, rn(ord, descending = false))
-      .filter(col(posName) <= n).drop(posName)
+  /** Rows with global 1-based within-group position <= `maxPos` (in
+    * `ord` order, `descending` flips it) WITHOUT a whole-key sort —
+    * the §2.2 arm of the hot-key `sliceWidth` lever, the cumulative
+    * prefix-carry pattern (Rolling.scala cumSliced) one op over:
+    *
+    *   1. slice = ord div sliceWidth; per-(key, slice) row COUNTS via
+    *      hash aggregation — no sort, fully parallel;
+    *   2. prefix offsets over each key's slice summaries — a window
+    *      over summary rows, ~rows/sliceWidth of them per key;
+    *   3. slices whose offset already reaches `maxPos` are PRUNED
+    *      before any within-slice sort exists: head(2) over an
+    *      8.8M-row hot key sorts ONE slice, not the key;
+    *   4. surviving rows get position = slice offset + within-slice
+    *      row_number via a null-safe co-partitioned join on
+    *      (key, slice) — the window that computes the row_number
+    *      reuses the join's (key, slice) partitioning.
+    *
+    * Same ord contract as the rolling/cumulative lever: integral,
+    * per-key-unique (position must be well-defined across slices),
+    * non-null (fails loudly in-expression instead of silently
+    * diverging from the unsplit path, which sorts nulls first).
+    */
+  private def slicedPos(maxPos: Int, ordCol: Column, descending: Boolean,
+      wdt: Long, posName: String): DataFrame = {
+    require(wdt > 0, s"sliceWidth must be positive, got $wdt")
+    require(maxPos >= 1, s"positional selection needs n >= 1, got $maxPos")
+    val o = "__graft_o"; val sl = "__graft_slice"
+    val cnt = "__graft_cnt"; val off = "__graft_off"
+    val checked = when(ordCol.isNull, raise_error(lit(
+      "graft: sliceWidth positional selection requires a non-null ord " +
+        "on every grouped row"))).otherwise(ordCol)
+    // floor division valid for negative ords too (pmod is non-negative)
+    val slice = ((checked.cast("decimal(38,0)") - pmod(checked, lit(wdt))) /
+      lit(wdt)).cast("long")
+    val base = gb.base.withColumn(o, checked).withColumn(sl, slice)
+    val counts = base.groupBy(gb.keyCols :+ col(sl): _*)
+      .agg(F.count(lit(1)).as(cnt))
+    val slOrd = if (descending) col(sl).desc else col(sl).asc
+    val offW = Window.partitionBy(gb.keyCols: _*).orderBy(slOrd)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn(off, coalesce(F.sum(col(cnt)).over(offW), lit(0L)))
+      .filter(col(off) < maxPos)
+    // null-safe equi-join so dropNullKeys=false groups survive the
+    // split exactly as they survive the unsplit window partitioning
+    val offR = offsets.select(gb.keyNames.map(n => col(n).as(s"__graft_r_$n")) :+
+      col(sl).as(s"__graft_r_$sl") :+ col(off): _*)
+    val cond = (gb.keyNames :+ sl)
+      .map(n => col(n) <=> col(s"__graft_r_$n")).reduce(_ && _)
+    val withinW = Window.partitionBy(gb.keyCols :+ col(sl): _*)
+      .orderBy(if (descending) col(o).desc else col(o).asc)
+    base.join(offR, cond, "inner")
+      .withColumn(posName, col(off) + row_number().over(withinW))
+      .filter(col(posName) <= maxPos)
+      .select(gb.base.columns.map(col) :+ col(posName): _*)
+  }
+
+  private def slicedOrd(ord: Seq[Column]): Column = {
+    require(ord.size == 1,
+      "sliceWidth positional selection needs a single integral ord column " +
+        s"(slices are ranges of its value); got ${ord.size} ord columns")
+    ord.head
+  }
+
+  /** First n rows per group (reference `head`, `core.py:1428`).
+    * `sliceWidth`: hot-key lever, see [[slicedPos]] — requires a
+    * single integral per-key-unique non-null ord.
+    */
+  def head(n: Int, ord: Seq[Column], posName: String = "__pos",
+      sliceWidth: Option[Long] = None): DataFrame = sliceWidth match {
+    case Some(w) =>
+      slicedPos(n, slicedOrd(ord), descending = false, w, posName)
+        .drop(posName)
+    case None =>
+      gb.base.withColumn(posName, rn(ord, descending = false))
+        .filter(col(posName) <= n).drop(posName)
+  }
 
   /** Last n rows per group (reference `tail`, `core.py:1461`);
     * original row order is preserved by callers via their own sort.
+    * `sliceWidth`: hot-key lever, see [[slicedPos]].
     */
-  def tail(n: Int, ord: Seq[Column], posName: String = "__pos"): DataFrame =
-    gb.base.withColumn(posName, rn(ord, descending = true))
-      .filter(col(posName) <= n).drop(posName)
+  def tail(n: Int, ord: Seq[Column], posName: String = "__pos",
+      sliceWidth: Option[Long] = None): DataFrame = sliceWidth match {
+    case Some(w) =>
+      slicedPos(n, slicedOrd(ord), descending = true, w, posName)
+        .drop(posName)
+    case None =>
+      gb.base.withColumn(posName, rn(ord, descending = true))
+        .filter(col(posName) <= n).drop(posName)
+  }
 
   /** nth row per group, 0-based; negative n counts from the end
     * (reference `nth`, `core.py:1493`).
+    * `sliceWidth`: hot-key lever, see [[slicedPos]].
     */
-  def nth(n: Int, ord: Seq[Column], posName: String = "__pos"): DataFrame = {
-    val (r, target) = if (n >= 0) (rn(ord, descending = false), n + 1)
-                      else (rn(ord, descending = true), -n)
-    gb.base.withColumn(posName, r).filter(col(posName) === target).drop(posName)
+  def nth(n: Int, ord: Seq[Column], posName: String = "__pos",
+      sliceWidth: Option[Long] = None): DataFrame = {
+    val descending = n < 0
+    val target = if (n >= 0) n + 1 else -n
+    sliceWidth match {
+      case Some(w) =>
+        slicedPos(target, slicedOrd(ord), descending, w, posName)
+          .filter(col(posName) === target).drop(posName)
+      case None =>
+        gb.base.withColumn(posName, rn(ord, descending))
+          .filter(col(posName) === target).drop(posName)
+    }
   }
 
   /** Row ids of the first n rows per group in `ord` order — the
     * index-returning variant of [[head]] (reference `find_first_n`,
     * `numba.py:229-255`). Output: key columns, `rowId`, and the
     * 1-based within-group position.
+    * `sliceWidth`: hot-key lever, see [[slicedPos]].
     */
   def findFirstN(n: Int, rowId: Column, ord: Seq[Column],
-      posName: String = "pos"): DataFrame =
-    findN(n, rowId, ord, posName, descending = false)
+      posName: String = "pos", sliceWidth: Option[Long] = None): DataFrame =
+    findN(n, rowId, ord, posName, descending = false, sliceWidth)
 
   /** Row ids of the last n rows per group (reference `find_last_n`,
     * `numba.py:258-282`); position 1 = last row.
+    * `sliceWidth`: hot-key lever, see [[slicedPos]].
     */
   def findLastN(n: Int, rowId: Column, ord: Seq[Column],
-      posName: String = "pos"): DataFrame =
-    findN(n, rowId, ord, posName, descending = true)
+      posName: String = "pos", sliceWidth: Option[Long] = None): DataFrame =
+    findN(n, rowId, ord, posName, descending = true, sliceWidth)
 
   private def findN(n: Int, rowId: Column, ord: Seq[Column],
-      posName: String, descending: Boolean): DataFrame =
-    gb.base.withColumn(posName, rn(ord, descending))
-      .filter(col(posName) <= n)
-      // Spark row_number is int32; long for cross-engine schema parity
-      .select(gb.keyCols :+ rowId :+ col(posName).cast("long").as(posName): _*)
+      posName: String, descending: Boolean,
+      sliceWidth: Option[Long]): DataFrame = sliceWidth match {
+    case Some(w) =>
+      slicedPos(n, slicedOrd(ord), descending, w, posName)
+        // position is already computed as a long (offset + row_number)
+        .select(gb.keyCols :+ rowId :+ col(posName).cast("long").as(posName): _*)
+    case None =>
+      gb.base.withColumn(posName, rn(ord, descending))
+        .filter(col(posName) <= n)
+        // Spark row_number is int32; long for cross-engine schema parity
+        .select(gb.keyCols :+ rowId :+ col(posName).cast("long").as(posName): _*)
+  }
 }
 
 object SelectionOps {

@@ -63,12 +63,19 @@ object Sampling {
     * the domains it names.
     */
   def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
-      fractions: Map[String, Double], seed: Long = 0L): DataFrame = {
+      fractions: Map[String, Double], seed: Long = 0L): DataFrame =
+    df.filter(stratifiedKeep(id, stratum, fractions, seed))
+
+  /** [[stratifiedSample]]'s keep verdict as a standalone Column — the
+    * unit the SQL registration (`graft_stratified_sample`) exposes.
+    */
+  def stratifiedKeep(id: Column, stratum: Column,
+      fractions: Map[String, Double], seed: Long = 0L): Column = {
     val thr = fractions.foldLeft(lit(0L): Column) {
       case (acc, (k, f)) => when(stratum === lit(k), lit(threshold(f)))
         .otherwise(acc)
     }
-    df.filter(ringPosition(id, seed) < thr)
+    ringPosition(id, seed) < thr
   }
 
   /** Largest-total mixture plan: given per-stratum available counts
@@ -275,11 +282,17 @@ object Sampling {
     * truncates in Spark but rounds in DuckDB.
     */
   def weightedSample(df: DataFrame, id: Column, weight: Column,
-      seed: Long = 0L): DataFrame = {
+      seed: Long = 0L): DataFrame =
+    df.filter(weightedKeep(id, weight, seed))
+
+  /** [[weightedSample]]'s keep verdict as a standalone Column — the
+    * unit the SQL registration (`graft_weighted_sample`) exposes, so
+    * SQL callers build the IDENTICAL expression tree.
+    */
+  def weightedKeep(id: Column, weight: Column, seed: Long = 0L): Column = {
     val w = least(greatest(coalesce(weight.cast("double"), lit(0.0)),
       lit(0.0)), lit(1.0))
-    df.filter(ringPosition(id, seed) <
-      floor(w * lit(PortableHash.P.toDouble)).cast("long"))
+    ringPosition(id, seed) < floor(w * lit(PortableHash.P.toDouble)).cast("long")
   }
 
   /** DuckDB rendering of [[weightedSample]]'s predicate — keep in

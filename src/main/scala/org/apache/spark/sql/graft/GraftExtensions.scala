@@ -161,6 +161,33 @@ object GraftFunctions {
             < lit(Sampling.threshold(fraction))).node)
       },
       "graft_sample(id, fraction, seed) - deterministic keep verdict: true iff id's ring position falls under floor(fraction * 2^31-1). Partition/retry/engine independent; fractions nest"),
+    entry("graft_weighted_sample",
+      fixedArity("graft_weighted_sample", 3) { c =>
+        val seed = longLiteral("graft_weighted_sample", "seed", c(2))
+        ColumnNodeToExpressionConverter(Sampling.weightedKeep(
+          ExpressionUtils.column(c(0)), ExpressionUtils.column(c(1)),
+          seed).node)
+      },
+      "graft_weighted_sample(id, weight, seed) - deterministic quality-proportional keep verdict: true iff id's ring position falls under floor(clamp(weight)·(2^31-1)). weight is a per-row column (null drops the row); seed a foldable integer; verdicts nest across weightings"),
+    entry("graft_stratified_sample",
+      (children: Seq[Expression]) => {
+        if (children.length < 5 || children.length % 2 != 1)
+          throw new IllegalArgumentException(
+            "graft_stratified_sample expects (id, stratum, seed, " +
+              s"label1, fraction1, ...), got ${children.length} argument(s)")
+        val seed = longLiteral("graft_stratified_sample", "seed", children(2))
+        val fractions = children.drop(3).grouped(2).map { pair =>
+          stringLiteral("graft_stratified_sample", "label", pair(0)) ->
+            doubleLiteral("graft_stratified_sample", "fraction", pair(1))
+        }.toSeq
+        ColumnNodeToExpressionConverter(Sampling.stratifiedKeep(
+          ExpressionUtils.column(children(0)),
+          ExpressionUtils.column(children(1)),
+          // small-Map insertion order is preserved, so the when-chain
+          // matches a Column-API call with the same literal pairs
+          scala.collection.immutable.ListMap(fractions: _*), seed).node)
+      },
+      "graft_stratified_sample(id, stratum, seed, label1, fraction1, ...) - per-stratum deterministic keep verdict; strata not listed are dropped (fraction 0); labels/fractions foldable literals"),
     entry("graft_split_label",
       (children: Seq[Expression]) => {
         if (children.length < 4 || children.length % 2 != 0)

@@ -507,6 +507,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(d => exprW(d.id) === d.meta.width.toLong))
   }
 
+  test("domainStats: per-domain counts/shares over the whole corpus; topN ties break by name") {
+    import graft.functions.TextFunctions
+    val d = Seq(
+      (1L, "a b see https://x.org/p and https://y.org/q"),  // 6 ws tokens
+      (2L, "c https://x.org/r again"),                      // 3
+      (3L, "no urls here at all"),                          // 5
+      (4L, "one https://z.org end")                         // 3
+    ).toDF("id", "text")
+    val out = TextFunctions.domainStats(d, col("text"),
+      TextFunctions.tokenCountWs(col("text")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // denominators include the domain-less doc 3 (4 docs, 17 tokens)
+    assert(out("x.org") === ((2L, 9L, 2.0 / 4.0, 9.0 / 17.0)))
+    assert(out("y.org") === ((1L, 6L, 1.0 / 4.0, 6.0 / 17.0)))
+    assert(out("z.org") === ((1L, 3L, 1.0 / 4.0, 3.0 / 17.0)))
+    assert(!out.contains("")) // no row for the domain-less doc
+    // topN: x.org leads by docs; the y/z tie breaks lexicographically
+    val top = TextFunctions.domainStats(d, col("text"),
+      TextFunctions.tokenCountWs(col("text")), topN = Some(2))
+      .collect().map(_.getString(0)).toSeq
+    assert(top === Seq("x.org", "y.org"))
+  }
+
+  test("HeaderCodec parses real PNG/JPEG/GIF headers byte-for-byte") {
+    import Multimodal.HeaderCodec.sniff
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG, 640x480, color type 2 (truecolor -> 3 channels)
+    val png = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 2)
+    assert(sniff(png) === Some(("png", 640, 480, 3)))
+    // JPEG with an APP0 (JFIF) segment BEFORE the SOF0 — the marker
+    // scan must skip it by its 16-bit BE length; 320x240, 3 components
+    val jpeg = b(0xff, 0xd8,
+      0xff, 0xe0, 0, 16, 0x4a, 0x46, 0x49, 0x46, 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xc0, 0, 11, 8, 0x00, 0xf0, 0x01, 0x40, 3)
+    assert(sniff(jpeg) === Some(("jpeg", 320, 240, 3)))
+    // progressive JPEG uses SOF2 — still a frame header
+    val jpegProg = b(0xff, 0xd8, 0xff, 0xc2, 0, 11, 8, 0, 10, 0, 20, 1)
+    assert(sniff(jpegProg) === Some(("jpeg", 20, 10, 1)))
+    // GIF89a 3x5: little-endian screen descriptor
+    val gif = "GIF89a".getBytes("US-ASCII") ++ b(3, 0, 5, 0)
+    assert(sniff(gif) === Some(("gif", 3, 5, 3)))
+    // garbage, truncation, and null are invalid, never a throw
+    assert(sniff("not an image".getBytes) === None)
+    assert(sniff(png.take(20)) === None)
+    assert(sniff(jpeg.take(21)) === None) // cut mid-SOF
+    assert(sniff(null) === None)
+    assert(sniff(Array.empty[Byte]) === None)
+    // batched path: valid flag separates parsed rows from garbage
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif),
+      (4L, "junk".getBytes)).toDF("id", "bytes")
+    val out = Multimodal.decodeHeaders(df, col("id"), col("bytes"))
+      .collect().map(d => d.id -> d).toMap
+    assert(out(1L).format === "png" && out(1L).width === 640 && out(1L).valid)
+    assert(out(2L).height === 240 && out(2L).channels === 3)
+    assert(out(3L).format === "gif" && out(3L).width === 3)
+    assert(!out(4L).valid && out(4L).format === "unknown")
+  }
+
   test("frame sampling offsets are evenly spaced") {
     val d = Seq(100).toDF("n")
     val out = d.select(Multimodal.frameSampleOffsets(col("n"), 4)).head.getSeq[Int](0)

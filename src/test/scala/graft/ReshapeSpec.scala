@@ -40,6 +40,64 @@ class ReshapeSpec extends AnyFunSuite {
     assert(last === Array((1, 2, 1L), (2, 4, 1L)))
   }
 
+  test("sliceWidth positional selection matches the unsplit path") {
+    // 3 keys with very different sizes (one hot), integral unique ord
+    // with gaps so slice occupancy is irregular; width 7 puts slice
+    // boundaries mid-group and leaves some slices empty
+    val rows = for {
+      k <- Seq("hot", "mid", "one")
+      i <- 0 until (if (k == "hot") 200 else if (k == "mid") 23 else 1)
+    } yield (k, i.toLong * 3 + (if (k == "mid") 1 else 0), s"$k-$i")
+    val d = rows.toDF("key", "ord", "payload")
+    val s = sel2(d)
+    def sortedRows(df: DataFrame): Seq[String] =
+      df.select("payload").collect().map(_.getString(0)).sorted.toSeq
+    for (w <- Seq(7L, 50L, 10000L); n <- Seq(1, 2, 5, 300)) {
+      assert(sortedRows(s.head(n, Seq(col("ord")))) ===
+        sortedRows(s.head(n, Seq(col("ord")), sliceWidth = Some(w))),
+        s"head($n) w=$w")
+      assert(sortedRows(s.tail(n, Seq(col("ord")))) ===
+        sortedRows(s.tail(n, Seq(col("ord")), sliceWidth = Some(w))),
+        s"tail($n) w=$w")
+    }
+    for (w <- Seq(7L, 50L); n <- Seq(0, 3, -1, -4, 250, -250)) {
+      assert(sortedRows(s.nth(n, Seq(col("ord")))) ===
+        sortedRows(s.nth(n, Seq(col("ord")), sliceWidth = Some(w))),
+        s"nth($n) w=$w")
+    }
+    def sortedIds(df: DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    for (w <- Seq(7L, 50L); n <- Seq(1, 4)) {
+      assert(sortedIds(s.findFirstN(n, col("ord"), Seq(col("ord")))) ===
+        sortedIds(s.findFirstN(n, col("ord"), Seq(col("ord")),
+          sliceWidth = Some(w))), s"findFirstN($n) w=$w")
+      assert(sortedIds(s.findLastN(n, col("ord"), Seq(col("ord")))) ===
+        sortedIds(s.findLastN(n, col("ord"), Seq(col("ord")),
+          sliceWidth = Some(w))), s"findLastN($n) w=$w")
+    }
+    // negative ords: floor division must slice them correctly
+    val neg = Seq(("a", -13L, "a0"), ("a", -7L, "a1"), ("a", -1L, "a2"),
+      ("a", 4L, "a3"), ("b", -2L, "b0")).toDF("key", "ord", "payload")
+    val sn = sel2(neg)
+    assert(sortedRows(sn.head(2, Seq(col("ord")))) ===
+      sortedRows(sn.head(2, Seq(col("ord")), sliceWidth = Some(5L))))
+    assert(sortedRows(sn.tail(2, Seq(col("ord")))) ===
+      sortedRows(sn.tail(2, Seq(col("ord")), sliceWidth = Some(5L))))
+    // a null ord fails loudly instead of silently diverging
+    val withNull = Seq(("a", Some(1L), "x"), ("a", None, "y"))
+      .toDF("key", "ord", "payload")
+    val err = intercept[Exception] {
+      sel2(withNull).head(1, Seq(col("ord")), sliceWidth = Some(5L)).collect()
+    }
+    def msgs(e: Throwable): Seq[String] =
+      Option(e).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("non-null ord")))
+  }
+
+  private def sel2(d: DataFrame) =
+    new SelectionOps(new GroupBy(d, Seq(col("key"))))
+
   test("crosstab pivots counts with margins and zero fill") {
     val d = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
       .toDF("k", "c")

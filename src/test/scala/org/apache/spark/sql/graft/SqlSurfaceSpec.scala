@@ -173,6 +173,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("graft_split_label expects"))
   }
 
+  test("weighted + stratified sampling from SQL match the Column API bit-for-bit") {
+    import graft.operators.Sampling
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_weighted_sample(doc_id,
+        |    CAST(graft_token_count(text) AS DOUBLE) / 100.0, 11) AS wkeep,
+        |  graft_stratified_sample(doc_id, lang, 7, 'en', 0.5, 'de', 0.25)
+        |    AS skeep
+        |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select(col("doc_id"),
+      Sampling.weightedKeep(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("double") / lit(100.0),
+        11L).as("wkeep"),
+      Sampling.stratifiedKeep(col("doc_id"), col("lang"),
+        scala.collection.immutable.ListMap("en" -> 0.5, "de" -> 0.25), 7L)
+        .as("skeep"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql === viaApi)
+    // both verdicts select at least one and not every row at sf0.001
+    val kept = viaSql.count(_.getBoolean(1))
+    assert(kept > 0 && kept < viaSql.length)
+    // seed must be a literal; the variadic shape is validated
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_weighted_sample(doc_id, 0.5, n_chars) FROM sqlspec_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("must be an integer literal"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_stratified_sample(doc_id, lang, 7, 'en') FROM sqlspec_docs")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_stratified_sample expects"))
+  }
+
   test("wrong arity fails loudly at builder time") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
