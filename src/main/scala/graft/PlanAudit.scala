@@ -43,7 +43,8 @@ object PlanAudit {
       keySlicedWindows: Boolean = false,
       equiJoinOnly: Boolean = false,
       noShuffle: Boolean = false,
-      broadcastProbe: Boolean = false)
+      broadcastProbe: Boolean = false,
+      windowGroupLimit: Boolean = false)
 
   def plans(spark: SparkSession, dir: String): Seq[Audited] = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -153,6 +154,14 @@ object PlanAudit {
           Dedup.evalGramBloom(docs.where(col("doc_id") % 20 === 0),
             col("text"), n = 5, expectedItems = Some(5000L)), n = 5),
         noSinglePartition = true, noShuffle = true),
+      Audited("head unsplit (rank-limit pushdown: partial map-side top-n per key)",
+        // the r8 bench adjudication (DESIGN.md): row_number <= n plans
+        // a WindowGroupLimit (Partial) BEFORE the key shuffle, so the
+        // unsplit positional selection is ALREADY skew-safe — each map
+        // task keeps n rows per key and the hot key never sorts whole
+        new graft.operators.SelectionOps(new GroupBy(orders, Seq(col("o_custkey"))))
+          .head(2, Seq(col("o_orderkey"))),
+        noSinglePartition = true, windowGroupLimit = true),
       Audited("head sliceWidth (per-slice counts + pruned within-slice row_number)",
         new graft.operators.SelectionOps(new GroupBy(orders, Seq(col("o_custkey"))))
           .head(2, Seq(col("o_orderkey")), sliceWidth = Some(50000L)),

@@ -93,6 +93,12 @@ object GraftFunctions {
     entry("graft_fingerprint",
       viaColumns("graft_fingerprint", 1)(c => TextFunctions.fingerprint(c(0))),
       "graft_fingerprint(text) - rolling polynomial document fingerprint"),
+    entry("graft_script_fractions",
+      viaColumns("graft_script_fractions", 1)(c => TextFunctions.scriptFractions(c(0))),
+      "graft_script_fractions(text) - struct of per-script character fractions (latin/cyrillic/arabic/han/kana/hangul) plus the control-char garbage fraction, over non-whitespace characters"),
+    entry("graft_lang_id_script",
+      viaColumns("graft_lang_id_script", 1)(c => TextFunctions.langIdScript(c(0))),
+      "graft_lang_id_script(text) - script-aware language-ID: hangul/kana/han/cyrillic/arabic fractions decide first, Latin text falls through to the marker heuristic"),
     entry("graft_urls",
       viaColumns("graft_urls", 1)(c => TextFunctions.extractUrls(c(0))),
       "graft_urls(text) - array of http(s) URLs in order of appearance"),

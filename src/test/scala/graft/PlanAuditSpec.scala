@@ -37,6 +37,13 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-limit plans push a partial WindowGroupLimit below the key shuffle") {
+    val flagged = audited.filter(_._1.windowGroupLimit)
+    assert(flagged.nonEmpty)
+    for ((a, plan) <- flagged)
+      assert(plan.contains("WindowGroupLimit"), s"${a.name}:\n$plan")
+  }
+
   test("plans flagged noShuffle contain no Exchange at all") {
     val flagged = audited.filter(_._1.noShuffle)
     assert(flagged.nonEmpty)

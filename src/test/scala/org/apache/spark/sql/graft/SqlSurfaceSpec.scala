@@ -38,7 +38,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |  graft_mean_word_length(text) AS mean_wlen,
         |  graft_quality_score(text, n_chars) AS quality,
         |  graft_lang_id(text) AS lang,
-        |  graft_fingerprint(text) AS fp
+        |  graft_fingerprint(text) AS fp,
+        |  graft_script_fractions(text) AS sf,
+        |  graft_lang_id_script(text) AS lang2
         |FROM sqlspec_docs ORDER BY doc_id""".stripMargin).collect()
     val viaApi = docs.select(col("doc_id"),
       TextFunctions.tokenCountWs(col("text")).as("n_tok"),
@@ -47,7 +49,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       TextFunctions.meanWordLength(col("text")).as("mean_wlen"),
       TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
       TextFunctions.langId(col("text")).as("lang"),
-      TextFunctions.fingerprint(col("text")).as("fp"))
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.scriptFractions(col("text")).as("sf"),
+      TextFunctions.langIdScript(col("text")).as("lang2"))
       .orderBy(col("doc_id")).collect()
     assert(viaSql === viaApi)
   }
