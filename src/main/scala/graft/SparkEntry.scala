@@ -1930,6 +1930,65 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) / CAST(nt AS DOUBLE) AS token_share
         |FROM agg, tot ORDER BY domain""".stripMargin)),
 
+    Q("chunk_tokens",
+      // training-context chunking: sliding 40-token windows, 10-token
+      // overlap (step 30); the oracle regenerates every window with
+      // generate-series + list_slice — chunk ids, boundaries, the
+      // truncated tail, and the per-chunk token recount all replay
+      (s, dir) => TextFunctions.chunkByTokens(T(s, dir, "documents"),
+          col("doc_id"), col("text"), size = 40, overlap = 10)
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+        .withColumn("n_chunk_tokens", col("n_chunk_tokens").cast("long"))
+        .orderBy(col("id"), col("chunk_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        | n AS (SELECT doc_id, toks, len(toks) AS n FROM w),
+        | c AS (SELECT doc_id, toks,
+        |   1 + (greatest(n - 40, 0) + 29) // 30 AS n_chunks FROM n),
+        | g AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+        | s AS (SELECT doc_id, chunk_id,
+        |   array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40), ' ') AS chunk_text
+        |   FROM g)
+        |SELECT doc_id AS id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_text,
+        |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS n_chunk_tokens
+        |FROM s ORDER BY id, chunk_id""".stripMargin)),
+
+    Q("text_funnel",
+      // one-pass filter-funnel observability: survivors of each
+      // cumulative-AND stage prefix (tokens >= 50, then quality > 0.3,
+      // then langId = en) counted inside ONE aggregation; the oracle
+      // recomputes every predicate and the cumulative counts
+      (s, dir) => TextFunctions.funnelReport(T(s, dir, "documents"), Seq(
+          "min_tokens" -> (TextFunctions.tokenCountWs(col("text")) >= 50),
+          "quality" -> (TextFunctions.qualityScore(col("text"), col("n_chars")) > 0.3),
+          "english" -> (TextFunctions.langId(col("text")) === "en")))
+        .withColumn("stage_id", col("stage_id").cast("long"))
+        .orderBy(col("stage_id")),
+      Some("""WITH c AS (SELECT text, n_chars,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('the','of','and','is','to'))) AS c_en,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS c_de,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','est','les'))) AS c_fr,
+        |  len(list_filter(string_split(text,' '), x -> x IN ('el','los','es','y','las'))) AS c_es
+        |  FROM documents),
+        | p AS (SELECT
+        |  len(string_split(text, ' ')) >= 50 AS p0,
+        |  (least(1.0, n_chars / 400.0) * 0.5 +
+        |   least(1.0, (len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |     / len(string_split(text, ' '))::DOUBLE) * 5.0) * 0.5) > 0.3 AS p1,
+        |  (CASE WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) AND c_en > 0
+        |        THEN TRUE ELSE FALSE END) AS p2
+        |  FROM c),
+        | a AS (SELECT COUNT(*) AS n,
+        |  COUNT(CASE WHEN p0 THEN 1 END) AS s0,
+        |  COUNT(CASE WHEN p0 AND p1 THEN 1 END) AS s1,
+        |  COUNT(CASE WHEN p0 AND p1 AND p2 THEN 1 END) AS s2 FROM p)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_id, 'min_tokens' AS stage,
+        |    s0 AS n_pass, s0::DOUBLE / n::DOUBLE AS frac FROM a
+        |  UNION ALL SELECT 1, 'quality', s1, s1::DOUBLE / n::DOUBLE FROM a
+        |  UNION ALL SELECT 2, 'english', s2, s2::DOUBLE / n::DOUBLE FROM a)
+        |ORDER BY stage_id""".stripMargin)),
+
     Q("text_scripts",
       // script-range charset signals (VERDICT r6 #5): rows doc_id%7 in
       // 1..6 REPLACE the (Latin) corpus text with a pure-script

@@ -283,6 +283,71 @@ object TextFunctions {
   def textDomains(text: Column): Column =
     array_distinct(F.transform(extractUrls(text), u => urlDomain(u)))
 
+  // ------------------------------------------------- chunking / funnel
+
+  /** Split each document into sliding token windows of `size` tokens
+    * overlapping by `overlap` — the training-context chunking step
+    * (documents → model-window pieces). Chunk i covers tokens
+    * [i·step, i·step + size) with step = size − overlap; a document of
+    * n ≤ size tokens yields one chunk; otherwise 1 + ⌈(n − size)/step⌉
+    * chunks, the last truncated at the document end (every chunk adds
+    * ≥ 1 new token, so no empty tail chunk exists).
+    *
+    * Scale shape: a row-local array transform + posexplode — a narrow
+    * projection, zero shuffle, output volume ≈ input · (1 + overlap
+    * fraction). Output: id, chunk_id (0-based), chunk_text,
+    * n_chunk_tokens.
+    */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, size: Int, overlap: Int,
+      sep: String = " "): org.apache.spark.sql.DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val step = size - overlap
+    val w = split(text, java.util.regex.Pattern.quote(sep))
+    val n = F.size(w)
+    // ceil((n - size) / step) in exact integer math (n > size branch)
+    val a = greatest(n - lit(size), lit(0)) + lit(step - 1)
+    val nChunks = lit(1) + (a - pmod(a, lit(step))) / lit(step)
+    val chunks = F.transform(F.sequence(lit(0), nChunks.cast("int") - 1),
+      i => array_join(F.slice(w, i * step + 1, lit(size)), sep))
+    df.select(id.as("id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens", tokenCountWs(col("chunk_text")))
+  }
+
+  /** One-pass filter-funnel report: for pipeline stages given as
+    * (name, predicate), the row count surviving each CUMULATIVE-AND
+    * prefix (rows passing stages 1..k) plus the fraction of the input
+    * — the observability view a multi-stage curation pipeline is tuned
+    * with ("quality cut keeps 61%, dedup then 54%, decontamination
+    * then 53%"). ONE aggregation pass over the input: k conditional
+    * counts inside a single agg (no per-stage scans, no shuffle
+    * beyond the one-row final), melted to (stage, n_pass, frac) rows
+    * with stage_id preserving pipeline order.
+    */
+  def funnelReport(df: org.apache.spark.sql.DataFrame,
+      stages: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
+    require(stages.nonEmpty, "funnelReport needs at least one stage")
+    val cumulative = stages.scanLeft(lit(true): Column) {
+      case (acc, (_, p)) => acc && coalesce(p, lit(false))
+    }.tail
+    val aggs = count(lit(1)).as("__graft_n") +:
+      stages.zip(cumulative).zipWithIndex.map { case (((_, _), c), i) =>
+        count(when(c, lit(1))).as(s"__graft_s$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = stages.zipWithIndex.map { case ((name, _), i) =>
+      s"$i, '${name.replace("'", "''")}', __graft_s$i"
+    }.mkString(", ")
+    one.select(expr(
+        s"stack(${stages.size}, $stackArgs) AS (stage_id, stage, n_pass)"),
+        col("__graft_n"))
+      .select(col("stage_id"), col("stage"), col("n_pass"),
+        (col("n_pass").cast(DoubleType) / col("__graft_n").cast(DoubleType))
+          .as("frac"))
+  }
+
   /** Per-domain corpus report — the standard blocklist-curation view
     * ("which domains dominate my corpus, by docs and by tokens"):
     * one row per distinct referenced domain with document count, token

@@ -507,6 +507,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(d => exprW(d.id) === d.meta.width.toLong))
   }
 
+  test("chunkByTokens: window boundaries, overlap, truncated tail, short docs") {
+    import graft.functions.TextFunctions
+    def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, toks(10)),  // n <= size: one chunk
+      (2L, toks(12)),  // one full + truncated tail (step 7: 1+ceil(2/7)=2)
+      (3L, toks(17)),  // exact cover: 10 then 7+overlap tail
+      (4L, "solo"),    // single token
+      (5L, toks(25))   // 1 + ceil(15/7) = 4 chunks
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.chunkByTokens(d, col("doc_id"), col("text"),
+        size = 10, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(1L).map(_._4).toSeq === Seq(10))
+    // doc 2: chunk 0 = tokens 1-10, chunk 1 = tokens 8-12 (5 tokens)
+    assert(out(2L).map(_._4).toSeq === Seq(10, 5))
+    assert(out(2L)(1)._3 === "t8 t9 t10 t11 t12")
+    // doc 3: tail chunk starts at token 8, covers 8-17 fully
+    assert(out(3L).map(_._4).toSeq === Seq(10, 10))
+    assert(out(4L).map(_._3).toSeq === Seq("solo"))
+    // doc 5: starts 0,7,14,21 — last truncated to 4 tokens
+    assert(out(5L).map(_._4).toSeq === Seq(10, 10, 10, 4))
+    // every consecutive pair overlaps by exactly `overlap` tokens
+    val c5 = out(5L).map(_._3.split(" ").toSeq)
+    for (i <- 0 until 2)
+      assert(c5(i).takeRight(3) === c5(i + 1).take(3))
+    // invalid parameters fail loudly
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkByTokens(d, col("doc_id"), col("text"), 10, 10)
+    }
+  }
+
+  test("funnelReport: cumulative-AND survivors in one pass; null predicate = fail") {
+    import graft.functions.TextFunctions
+    val d = Seq(
+      (1L, Some(true), true),  // passes both
+      (2L, Some(true), false), // fails stage 2
+      (3L, Some(false), true), // fails stage 1 (stage 2 never counts it)
+      (4L, None, true)         // null stage-1 predicate = fail, not a leak
+    ).toDF("id", "a", "b")
+    val out = TextFunctions.funnelReport(d, Seq(
+        "a" -> col("a"), "b" -> col("b")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq === Seq((0, "a", 2L, 0.5), (1, "b", 1L, 0.25)))
+    // one job, one aggregation: the plan has no join/union of scans
+    val plan = TextFunctions.funnelReport(d, Seq("a" -> col("a"),
+      "b" -> col("b"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Union") && !plan.contains("Join"))
+  }
+
   test("domainStats: per-domain counts/shares over the whole corpus; topN ties break by name") {
     import graft.functions.TextFunctions
     val d = Seq(
