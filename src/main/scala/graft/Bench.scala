@@ -260,7 +260,22 @@ object Bench {
           col("text"), n = 5, fpp = 1e-4), n = 5)),
       "pack_sequences" -> (() => Sampling.packSequences(docs,
         col("doc_id"), TextFunctions.tokenCountWs(col("text")),
-        maxTokens = 2048L, ord = col("doc_id"))))
+        maxTokens = 2048L, ord = col("doc_id"))),
+      // the whole row-local text-prep family fused into ONE projection
+      // pass (quality, script fractions, script language-ID, PII
+      // stats, dedup normalization, fingerprint): measures that the
+      // signals stay inside a single WholeStageCodegen scan — the
+      // 100 TB text-prep cost is one read of the corpus, not six
+      "text_signals" -> (() => docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), length(col("text"))).as("q"),
+        TextFunctions.scriptFractions(col("text")).as("sf"),
+        TextFunctions.langIdScript(col("text")).as("lang"),
+        TextFunctions.piiStats(col("text")).as("pii"),
+        TextFunctions.normalizeForDedup(col("text")).as("norm"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+      // training-context chunking at production window size
+      "chunk_tokens" -> (() => TextFunctions.chunkByTokens(docs,
+        col("doc_id"), col("text"), size = 512, overlap = 64)))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the

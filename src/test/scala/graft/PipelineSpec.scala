@@ -560,6 +560,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Union") && !plan.contains("Join"))
   }
 
+  test("chunking and script signals are projections: stream twin matches batch") {
+    import graft.functions.TextFunctions
+    // both ops are row-local (transform/posexplode, regexp counts) —
+    // no aggregation, no watermark needed; a streaming run must emit
+    // byte-identical rows to the batch run on the same input
+    val sample = docs.limit(30).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val streamIn = ms.toDS().toDF("doc_id", "text")
+    val q = TextFunctions.chunkByTokens(streamIn, col("doc_id"), col("text"),
+        size = 25, overlap = 5)
+      .withColumn("lang", TextFunctions.langIdScript(col("chunk_text")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_chunks").start()
+    ms.addData(sample.toSeq)
+    q.processAllAvailable()
+    val viaStream = spark.table("graft_chunks")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    q.stop()
+    val batchIn = sample.toSeq.toDF("doc_id", "text")
+    val viaBatch = TextFunctions.chunkByTokens(batchIn, col("doc_id"),
+        col("text"), size = 25, overlap = 5)
+      .withColumn("lang", TextFunctions.langIdScript(col("chunk_text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getString(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(viaStream === viaBatch)
+    assert(viaStream.nonEmpty)
+  }
+
   test("domainStats: per-domain counts/shares over the whole corpus; topN ties break by name") {
     import graft.functions.TextFunctions
     val d = Seq(
