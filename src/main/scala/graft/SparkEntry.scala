@@ -184,6 +184,38 @@ object SparkEntry {
         |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of Similarity.bm25TopK: same one-pass corpus stats
+    * (N, avgdl, per-term df), the same RATIONAL idf, and the scoring
+    * expression with identical literal values (k1/b chosen exactly
+    * representable in the gate) and left-to-right association, so the
+    * doubles match bit-for-bit.
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int, k1: Double,
+      b: Double): String = {
+    val dfCols = terms.indices.map { i =>
+      s"SUM(CASE WHEN list_contains(toks, '${terms(i)}') THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    val tfCols = terms.indices.map { i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val scoreSql = terms.indices.map { i =>
+      s"((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / " +
+        s"(CAST(df$i AS DOUBLE) + 0.5)) * (tf$i * ${k1 + 1.0}) / " +
+        s"(tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       | st AS (SELECT COUNT(*) AS n,
+       |   CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |   $dfCols FROM w),
+       | sc AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfCols FROM w),
+       | scored AS (SELECT doc_id, $scoreSql AS score FROM sc, st),
+       | ranked AS (SELECT doc_id, score,
+       |   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |   FROM scored WHERE score > 0)
+       |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** DuckDB replay of Sampling.packSequences: ring-position shards
     * (the shared [[graft.operators.Sampling.ringPositionSql]]
     * rendering), per-shard doc order by (doc_id), then the greedy
@@ -1689,6 +1721,18 @@ object SparkEntry {
           |SELECT doc_id, CASE $cases ELSE '${cuts.last._1}' END AS split
           |FROM r ORDER BY doc_id""".stripMargin
       }),
+
+    Q("bm25_topk",
+      // lexical retrieval: BM25 term saturation with the rational idf
+      // (no transcendentals — bit-exact cross-engine), one bounded
+      // stats pass + a row-local scoring projection + orderBy/limit
+      // top-k. k1/b exactly representable so every literal replays.
+      (s, dir) => Similarity.bm25TopK(T(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("spark", "window", "merge"),
+          k = 25, k1 = 1.25, b = 0.75)
+        .orderBy(col("rank")),
+      Some(bm25OracleSql(Seq("spark", "window", "merge"), k = 25,
+        k1 = 1.25, b = 0.75))),
 
     Q("sql_weighted_sample",
       // quality-proportional sampling from pure SQL (VERDICT r6 #6):

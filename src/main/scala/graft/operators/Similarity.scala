@@ -73,6 +73,72 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Corpus statistics for [[bm25TopK]]: document count, mean document
+    * length (whitespace tokens), and per-query-term document
+    * frequencies — k+2 numbers for a k-term query, computed in ONE
+    * bounded aggregation pass. Precompute and reuse across queries on
+    * a static corpus (the bounded-probe pattern shared with the IVF
+    * centroids — nothing here scales with corpus size on the driver).
+    */
+  final case class Bm25Stats(nDocs: Long, avgdl: Double, df: Map[String, Long])
+
+  def bm25Stats(docs: DataFrame, text: Column, terms: Seq[String],
+      sep: String = " "): Bm25Stats = {
+    val w = split(text, java.util.regex.Pattern.quote(sep))
+    val aggs = Seq(F.count(lit(1)).as("__n"),
+      F.sum(size(w).cast("long")).as("__sdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        F.sum(when(array_contains(w, t), 1L).otherwise(0L)).as(s"__df$i")
+      }
+    val r = docs.agg(aggs.head, aggs.tail: _*).head()
+    require(r.getLong(0) > 0, "bm25Stats: empty corpus")
+    Bm25Stats(r.getLong(0), r.getLong(1).toDouble / r.getLong(0).toDouble,
+      terms.zipWithIndex.map { case (t, i) => t -> r.getLong(i + 2) }.toMap)
+  }
+
+  /** BM25-scored keyword retrieval — the lexical twin of the embedding
+    * top-k family (curation uses: topic mining, lexical contamination
+    * checks, quality-by-query probes). Standard Robertson/Sparck Jones
+    * term saturation with one deliberate deviation: the idf is the
+    * RATIONAL form (N − df + 0.5)/(df + 0.5) — the argument of the
+    * classic log-idf, monotone in it, chosen because transcendental
+    * libm results differ across engines in the last ulp and this
+    * library's correctness bar is bit-exact cross-engine replay.
+    * Rankings are preserved per term; absolute scores weight
+    * high-idf terms more steeply than log-BM25.
+    *
+    * Plan shape for 100 TB: the bounded stats pass above (skippable
+    * via `stats`), then scoring is a ROW-LOCAL projection — per-term
+    * tf via an array filter on the split tokens, no explode, no
+    * shuffle — and the top-k is orderBy+limit (TakeOrderedAndProject:
+    * each task keeps k rows, the driver merges task heads). Docs
+    * containing no query term are filtered before the sort.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      sep: String = " ", stats: Option[Bm25Stats] = None): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = stats.getOrElse(bm25Stats(docs, text, terms, sep))
+    val w = split(text, java.util.regex.Pattern.quote(sep))
+    val dl = size(w).cast(org.apache.spark.sql.types.DoubleType)
+    val score = terms.map { t =>
+      val dfT = st.df(t).toDouble
+      val idf = (st.nDocs.toDouble - dfT + 0.5) / (dfT + 0.5)
+      val tf = F.size(F.filter(w, x => x === t))
+        .cast(org.apache.spark.sql.types.DoubleType)
+      lit(idf) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / lit(st.avgdl)))
+    }.reduce(_ + _)
+    val top = docs.select(id.as("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank assigned over the <= k surviving rows (driver-merged head)
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
   /** Deterministic random hyperplanes: `planes` × `dim` doubles from a
     * seeded generator (java.util.Random is a fixed LCG — stable across
     * JVMs).

@@ -507,6 +507,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(d => exprW(d.id) === d.meta.width.toLong))
   }
 
+  test("bm25TopK matches a sequential scala oracle; stats reuse; rank ties break by id") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, "spark join spark window"),
+      (2L, "merge sort batch"),
+      (3L, "spark spark spark spark spark"),
+      (4L, "window window merge spark"),
+      (5L, "the quick brown fox"),
+      (6L, "spark join spark window") // exact dup of 1: tie on score
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "window")
+    val (k1, b) = (1.25, 0.75)
+    // sequential oracle: same rational idf and saturation formula
+    val docsLocal = corpus.collect().map(r => (r.getLong(0),
+      r.getString(1).split(" ").toSeq))
+    val n = docsLocal.length.toDouble
+    val avgdl = docsLocal.map(_._2.size).sum.toDouble / n
+    def score(toks: Seq[String]): Double = terms.map { t =>
+      val df = docsLocal.count(_._2.contains(t)).toDouble
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val tf = toks.count(_ == t).toDouble
+      val dl = toks.size.toDouble
+      idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    }.sum
+    val expected = docsLocal.map { case (id, toks) => (id, score(toks)) }
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(4)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, (i + 1).toLong) }.toSeq
+    val got = Similarity.bm25TopK(corpus, col("doc_id"), col("text"),
+        terms, k = 4, k1 = k1, b = b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // docs 1 and 6 tie exactly: id breaks the tie deterministically
+    assert(got.map(_._1).indexOf(1L) < got.map(_._1).indexOf(6L) ||
+      !got.map(_._1).contains(6L))
+    // precomputed stats skip the aggregation and give identical output
+    val st = Similarity.bm25Stats(corpus, col("text"), terms)
+    val got2 = Similarity.bm25TopK(corpus, col("doc_id"), col("text"),
+        terms, k = 4, k1 = k1, b = b, stats = Some(st))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got2 === got)
+    // doc 5 contains no query term and never appears at any k
+    assert(!Similarity.bm25TopK(corpus, col("doc_id"), col("text"), terms,
+        k = 10, k1 = k1, b = b)
+      .collect().map(_.getLong(0)).contains(5L))
+  }
+
   test("chunkByTokens: window boundaries, overlap, truncated tail, short docs") {
     import graft.functions.TextFunctions
     def toks(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
