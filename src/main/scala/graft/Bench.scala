@@ -275,7 +275,11 @@ object Bench {
         TextFunctions.fingerprint(col("text")).as("fp"))),
       // training-context chunking at production window size
       "chunk_tokens" -> (() => TextFunctions.chunkByTokens(docs,
-        col("doc_id"), col("text"), size = 512, overlap = 64)))
+        col("doc_id"), col("text"), size = 512, overlap = 64)),
+      // lexical retrieval end to end INCLUDING the one-pass stats job
+      "bm25_topk" -> (() => graft.operators.Similarity.bm25TopK(docs,
+        col("doc_id"), col("text"), Seq("spark", "window", "merge"),
+        k = 100)))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the

@@ -44,7 +44,8 @@ object PlanAudit {
       equiJoinOnly: Boolean = false,
       noShuffle: Boolean = false,
       broadcastProbe: Boolean = false,
-      windowGroupLimit: Boolean = false)
+      windowGroupLimit: Boolean = false,
+      takeOrdered: Boolean = false)
 
   def plans(spark: SparkSession, dir: String): Seq[Audited] = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -171,6 +172,15 @@ object PlanAudit {
           .findLastN(3, col("o_orderkey"), Seq(col("o_orderkey")),
             sliceWidth = Some(50000L)),
         noSinglePartition = true, keySlicedWindows = true, equiJoinOnly = true),
+      Audited("bm25 top-k (row-local tf scoring; TakeOrderedAndProject, no global sort)",
+        // stats precomputed so the audited plan is the pure scoring
+        // path: per-task top-k heads merged on the driver, never a
+        // whole-corpus sort exchange
+        graft.operators.Similarity.bm25TopK(docs, col("doc_id"), col("text"),
+          Seq("spark", "window"), k = 10,
+          stats = Some(graft.operators.Similarity.Bm25Stats(1000L, 60.0,
+            Map("spark" -> 400L, "window" -> 300L)))),
+        takeOrdered = true),
       Audited("sequence packing (one hash exchange on shard, then a narrow walk)",
         graft.operators.Sampling.packSequences(docs, col("doc_id"),
           graft.functions.TextFunctions.tokenCountWs(col("text")),

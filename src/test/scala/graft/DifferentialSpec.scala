@@ -270,6 +270,31 @@ class DifferentialSpec extends AnyFunSuite {
       rows.foreach(r => assert(out(r.ord) === exp(r.ord), s"ord ${r.ord}"))
     }
 
+    test(s"seed=$seed: chunkByTokens vs scala sliding-window oracle") {
+      import graft.functions.TextFunctions
+      val rnd = new scala.util.Random(seed * 31 + 5)
+      val docsR = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(120)
+        (i.toLong, (0 until n).map(j => s"w${rnd.nextInt(9)}_$j").mkString(" "))
+      }
+      val (size, overlap) = (5 + rnd.nextInt(20), rnd.nextInt(5))
+      val step = size - overlap
+      val out = TextFunctions.chunkByTokens(docsR.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), size, overlap)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getString(2), r.getInt(3))).toMap
+      val expected = docsR.flatMap { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val n = toks.size
+        val nChunks = 1 + math.max(0, (n - size + step - 1) / step)
+        (0 until nChunks).map { i =>
+          val piece = toks.slice(i * step, i * step + size)
+          (id, i) -> (piece.mkString(" "), piece.size)
+        }
+      }.toMap
+      assert(out === expected, s"size=$size overlap=$overlap")
+    }
+
     test(s"seed=$seed: shift/diff vs scala oracle") {
       val ops = new RollingOps(gb)
       val sh = ops.shift(col("v"), col("ord"), 1).collect()

@@ -44,6 +44,13 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(plan.contains("WindowGroupLimit"), s"${a.name}:\n$plan")
   }
 
+  test("top-k plans use TakeOrderedAndProject, never a whole-input sort") {
+    val flagged = audited.filter(_._1.takeOrdered)
+    assert(flagged.nonEmpty)
+    for ((a, plan) <- flagged)
+      assert(plan.contains("TakeOrderedAndProject"), s"${a.name}:\n$plan")
+  }
+
   test("plans flagged noShuffle contain no Exchange at all") {
     val flagged = audited.filter(_._1.noShuffle)
     assert(flagged.nonEmpty)
