@@ -1722,6 +1722,33 @@ object SparkEntry {
           |FROM r ORDER BY doc_id""".stripMargin
       }),
 
+    Q("profile_docs",
+      // one-pass column profiling (counts, null fraction, exact
+      // distinct for the oracle, min/max as strings) melted to
+      // per-column rows; the oracle recomputes every statistic
+      (s, dir) => graft.operators.Profile.profile(T(s, dir, "documents"),
+          Seq("doc_id", "lang", "n_chars"), exactDistinct = true)
+        .withColumn("col_id", col("col_id").cast("long"))
+        .orderBy(col("col_id")),
+      Some("""WITH t AS (SELECT COUNT(*) AS n,
+        |  COUNT(doc_id) AS nn0, COUNT(DISTINCT doc_id) AS nd0,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS mn0, CAST(MAX(doc_id) AS VARCHAR) AS mx0,
+        |  COUNT(lang) AS nn1, COUNT(DISTINCT lang) AS nd1,
+        |  CAST(MIN(lang) AS VARCHAR) AS mn1, CAST(MAX(lang) AS VARCHAR) AS mx1,
+        |  COUNT(n_chars) AS nn2, COUNT(DISTINCT n_chars) AS nd2,
+        |  CAST(MIN(n_chars) AS VARCHAR) AS mn2, CAST(MAX(n_chars) AS VARCHAR) AS mx2
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS col_id, 'doc_id' AS col_name,
+        |    nn0 AS n_nonnull, n - nn0 AS n_null,
+        |    CAST(n - nn0 AS DOUBLE) / CAST(n AS DOUBLE) AS null_frac,
+        |    nd0 AS n_distinct, mn0 AS min, mx0 AS max FROM t
+        |  UNION ALL SELECT 1, 'lang', nn1, n - nn1,
+        |    CAST(n - nn1 AS DOUBLE) / CAST(n AS DOUBLE), nd1, mn1, mx1 FROM t
+        |  UNION ALL SELECT 2, 'n_chars', nn2, n - nn2,
+        |    CAST(n - nn2 AS DOUBLE) / CAST(n AS DOUBLE), nd2, mn2, mx2 FROM t)
+        |ORDER BY col_id""".stripMargin)),
+
     Q("bm25_topk",
       // lexical retrieval: BM25 term saturation with the rational idf
       // (no transcendentals — bit-exact cross-engine), one bounded

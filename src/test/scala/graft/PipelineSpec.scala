@@ -507,6 +507,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(d => exprW(d.id) === d.meta.width.toLong))
   }
 
+  test("profile: one-pass per-column stats; non-orderable columns; null handling") {
+    import graft.operators.Profile
+    val d = Seq(
+      (1L, Some("a"), Seq(1, 2)),
+      (2L, None, Seq(3)),
+      (3L, Some("b"), Seq.empty[Int]),
+      (4L, Some("a"), Seq(4))
+    ).toDF("id", "s", "arr")
+    val out = Profile.profile(d, exactDistinct = true)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out("id").getLong(2) === 4L)     // n_nonnull
+    assert(out("id").getLong(3) === 0L)     // n_null
+    assert(out("id").getString(6) === "1" && out("id").getString(7) === "4")
+    assert(out("s").getLong(2) === 3L && out("s").getLong(3) === 1L)
+    assert(out("s").getDouble(4) === 0.25)  // null_frac
+    assert(out("s").getLong(5) === 2L)      // distinct non-null
+    // arrays: counted but no min/max
+    assert(out("arr").getLong(2) === 4L)
+    assert(out("arr").isNullAt(6) && out("arr").isNullAt(7))
+    // one aggregation pass: no union of scans in the plan
+    val plan = Profile.profile(d, exactDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"))
+    // unknown column fails loudly
+    intercept[IllegalArgumentException] { Profile.profile(d, Seq("nope")) }
+  }
+
   test("bm25TopK matches a sequential scala oracle; stats reuse; rank ties break by id") {
     import graft.operators.Similarity
     val corpus = Seq(
