@@ -1410,6 +1410,51 @@ object SparkEntry {
         .orderBy(col("ida"), col("idb")),
       Some(ngramOracleSql(threshold = 0.2, cap = scala.Some(30)))),
 
+    Q("dedup_ngram_char",
+      // character-shingle dedup for unsegmented scripts (sep = "" →
+      // charNgramArray through the shared gram builder): a synthetic
+      // CJK corpus built identically in both engines — every
+      // doc_id%10==1 doc shares its 20-char prefix with doc_id-1 (and
+      // the generator cycles with period 20, so docs 20 apart are
+      // near/exact dups too); char-3-gram Jaccard at 0.5 must find
+      // exactly the constructed pairs, replayed by a substr-sliding
+      // oracle
+      (s, dir) => {
+        val A = "的一是不了人我在有他这中大来上国天要出年"
+        val base = when(pmod(col("doc_id"), lit(10)) === 1, col("doc_id") - 1)
+          .otherwise(col("doc_id"))
+        def pick(expr0: Column): Column =
+          lit(A).substr((pmod(expr0, lit(20)) + 1).cast("int"), lit(1))
+        val prefix = array_join(transform(sequence(lit(0), lit(19)),
+          j => pick(base * 7 + j * 3)), "")
+        val tail = array_join(transform(sequence(lit(0), lit(4)),
+          j => pick(col("doc_id") * 11 + j * 5)), "")
+        val cjk = T(s, dir, "documents")
+          .select(col("doc_id"), concat(prefix, tail).as("ctext"))
+        Dedup.ngramJaccardPairs(cjk, col("doc_id"), col("ctext"), n = 3,
+            threshold = 0.5, maxDocFreq = scala.None, sep = "")
+          .orderBy(col("ida"), col("idb"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |   doc_id - CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END AS base
+        |   FROM documents),
+        | t AS (SELECT doc_id,
+        |   array_to_string(list_transform(range(0, 20),
+        |     j -> substr('的一是不了人我在有他这中大来上国天要出年', CAST((base * 7 + j * 3) % 20 AS INT) + 1, 1)), '')
+        |   || array_to_string(list_transform(range(0, 5),
+        |     j -> substr('的一是不了人我在有他这中大来上国天要出年', CAST((doc_id * 11 + j * 5) % 20 AS INT) + 1, 1)), '')
+        |   AS ctext FROM d),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, len(ctext) - 1), i -> substr(ctext, CAST(i AS INT), 3))) AS s
+        |   FROM t),
+        | cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        | inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS i
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida, idb, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+        |FROM inter JOIN cnt ca ON ida = ca.doc_id JOIN cnt cb ON idb = cb.doc_id
+        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+        |ORDER BY ida, idb""".stripMargin)),
+
     Q("dedup_clusters",
       // transitive closure of the near-dup pair graph (alternating
       // large-star/small-star rounds) + longest-document

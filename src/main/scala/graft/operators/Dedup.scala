@@ -95,8 +95,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       n: Int = 2, threshold: Double = 0.2,
       maxDocFreq: Option[Int] = scala.Some(5000),
-      prefixFilter: Boolean = false): DataFrame = {
-    val sh0 = shingles(df, id, text, n)
+      prefixFilter: Boolean = false, sep: String = " "): DataFrame = {
+    val sh0 = shingles(df, id, text, n, sep)
     val sh = maxDocFreq match {
       case scala.Some(cap) =>
         // doc-frequency filter: one extra aggregation on the same
@@ -298,9 +298,9 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       seed: Long = 42L,
       baseHash: Column => Column = xxhash64(_),
-      cacheSignatures: Boolean = true): DataFrame =
+      cacheSignatures: Boolean = true, sep: String = " "): DataFrame =
     minHashPairsWithSignatures(df, id, text, n, k, bands, threshold, seed,
-      baseHash, cacheSignatures)._1
+      baseHash, cacheSignatures, sep)._1
 
   /** [[minHashPairs]] variant that also returns the (persisted, when
     * `cacheSignatures`) signature table the pairs were built on. The
@@ -315,11 +315,12 @@ object Dedup {
       n: Int = 2, k: Int = 64, bands: Int = 16, threshold: Double = 0.5,
       seed: Long = 42L,
       baseHash: Column => Column = xxhash64(_),
-      cacheSignatures: Boolean = true): (DataFrame, DataFrame) = {
+      cacheSignatures: Boolean = true,
+      sep: String = " "): (DataFrame, DataFrame) = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands (bands > k would make " +
         "every per-band slice empty — all docs collide in every bucket)")
-    val sigs = minHashSignatures(shingles(df, id, text, n), k, seed, baseHash)
+    val sigs = minHashSignatures(shingles(df, id, text, n, sep), k, seed, baseHash)
     val shared =
       if (cacheSignatures)
         sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -389,10 +390,11 @@ object Dedup {
     */
   def minHashKeep(df: DataFrame, id: Column, text: Column, ord: Column,
       n: Int = 2, k: Int = 64, bands: Int = 16, seed: Long = 42L,
-      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+      baseHash: Column => Column = xxhash64(_),
+      sep: String = " "): DataFrame = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands")
-    val sigs = minHashSignatures(shingles(df, id, text, n), k, seed, baseHash)
+    val sigs = minHashSignatures(shingles(df, id, text, n, sep), k, seed, baseHash)
     val ords = df.select(id.as("doc_id"), ord.as("__ord"))
     val withOrd = bandBuckets(sigs, bands).join(ords, "doc_id")
     val claims = withOrd.groupBy("band", "bucket")
@@ -654,15 +656,15 @@ object Dedup {
     */
   def contamination(train: DataFrame, trainId: Column, trainText: Column,
       eval: DataFrame, evalText: Column, n: Int = 8,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true, sep: String = " "): DataFrame = {
     // per-doc gram uniqueness via the ROW-LOCAL array_distinct, not
     // shingles()'s corpus-wide distinct: the training side must reach
     // the probe straight off the scan with no shuffle (a corpus-wide
     // distinct would shuffle the full gram explosion just to remove
     // duplicates the row-local form already removes)
     val trainSh = train.select(trainId.as("doc_id"),
-      explode(array_distinct(shingleArray(trainText, n))).as("shingle"))
-    val evalSh = eval.select(explode(shingleArray(evalText, n)).as("shingle"))
+      explode(array_distinct(shingleArray(trainText, n, sep))).as("shingle"))
+    val evalSh = eval.select(explode(shingleArray(evalText, n, sep)).as("shingle"))
       .distinct()
     val probe = if (broadcastEval) F.broadcast(evalSh) else evalSh
     // trainSh is doc-distinct and probe is distinct, so the join
@@ -690,9 +692,9 @@ object Dedup {
     * doc (e.g. 1e-4 for ~1% doc-level noise on 100-gram docs).
     */
   def evalGramBloom(eval: DataFrame, evalText: Column, n: Int = 8,
-      fpp: Double = 1e-4,
-      expectedItems: Option[Long] = scala.None): org.apache.spark.util.sketch.BloomFilter = {
-    val grams = eval.select(explode(shingleArray(evalText, n)).as("shingle"))
+      fpp: Double = 1e-4, expectedItems: Option[Long] = scala.None,
+      sep: String = " "): org.apache.spark.util.sketch.BloomFilter = {
+    val grams = eval.select(explode(shingleArray(evalText, n, sep)).as("shingle"))
     val items = expectedItems.getOrElse(grams.distinct().count())
     grams.stat.bloomFilter("shingle", math.max(items, 1L), fpp)
   }
@@ -712,10 +714,10 @@ object Dedup {
     */
   def contaminationFlags(train: DataFrame, trainId: Column,
       trainText: Column, bloom: org.apache.spark.util.sketch.BloomFilter,
-      n: Int = 8): DataFrame =
+      n: Int = 8, sep: String = " "): DataFrame =
     train.select(trainId.as("doc_id"),
       org.apache.spark.sql.graft.BloomExpressions.bloomAnyContain(
-        shingleArray(trainText, n), bloom).as("maybe_contaminated"))
+        shingleArray(trainText, n, sep), bloom).as("maybe_contaminated"))
 
   /** Connected components of a near-duplicate pair graph: every vertex
     * of `pairs` labeled with the MINIMUM vertex id reachable through

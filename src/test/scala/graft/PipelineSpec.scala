@@ -507,6 +507,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(d => exprW(d.id) === d.meta.width.toLong))
   }
 
+  test("charNgramArray: sliding char windows; sep=\"\" reaches the dedup family for CJK") {
+    import graft.functions.TextFunctions
+    val d = Seq((1L, "abcde"), (2L, "ab"), (3L, "你好世界你好"))
+      .toDF("doc_id", "text")
+    val grams = d.select(col("doc_id"),
+        TextFunctions.charNgramArray(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(grams(1L) === Seq("abc", "bcd", "cde"))
+    assert(grams(2L) === Seq.empty) // shorter than n
+    // multi-byte characters count as single positions
+    assert(grams(3L) === Seq("你好世", "好世界", "世界你", "界你好"))
+    // ngramArray(sep = "") routes to char grams — the whole dedup
+    // family's CJK switch
+    val viaSep = d.select(TextFunctions.ngramArray(col("text"), 3, "").as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(viaSep.toSeq === Seq(grams(1L), grams(2L), grams(3L)))
+    // char-gram jaccard finds CJK near-dups that word-split cannot see
+    val cjk = Seq((1L, "机器学习模型训练数据"), (2L, "机器学习模型训练样本"),
+      (3L, "完全无关的另一段文字")).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(cjk, col("doc_id"),
+        col("text"), n = 3, threshold = 0.4, maxDocFreq = scala.None,
+        sep = "")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+    // word-split shingles see one "token" per doc and find nothing
+    val wordPairs = graft.operators.Dedup.ngramJaccardPairs(cjk,
+        col("doc_id"), col("text"), n = 3, threshold = 0.4,
+        maxDocFreq = scala.None)
+      .collect()
+    assert(wordPairs.isEmpty)
+    // minHashKeep accepts the same switch (runs, keeps a valid subset)
+    val kept = graft.operators.Dedup.minHashKeep(cjk, col("doc_id"),
+        col("text"), ord = col("doc_id"), n = 3, sep = "")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && kept.subsetOf(Set(1L, 2L, 3L)))
+  }
+
   test("profile: one-pass per-column stats; non-orderable columns; null handling") {
     import graft.operators.Profile
     val d = Seq(
