@@ -427,17 +427,18 @@ object Dedup {
   def minHashKeepStream(df: DataFrame, id: Column, text: Column,
       eventTime: String, horizon: String,
       n: Int = 2, k: Int = 64, bands: Int = 16, seed: Long = 42L,
-      baseHash: Column => Column = xxhash64(_)): DataFrame = {
+      baseHash: Column => Column = xxhash64(_),
+      sep: String = " "): DataFrame = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands")
     if (!df.isStreaming)
       minHashKeep(df, id, text, struct(col(eventTime), id), n, k, bands,
-        seed, baseHash)
+        seed, baseHash, sep)
         .filter(col("kept")).select("doc_id")
     else {
       val sigDf = withMinHashSignature(
           df.select(id.as("doc_id"), col(eventTime), text.as("__graft_t")),
-          col("__graft_t"), "sig", n, k, seed, baseHash)
+          col("__graft_t"), "sig", n, k, seed, baseHash, sep)
         .drop("__graft_t")
         // empty documents have no shingle signal: all-null signature
         .filter(F.size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)

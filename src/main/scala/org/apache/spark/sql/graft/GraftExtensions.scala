@@ -121,6 +121,13 @@ object GraftFunctions {
             intLiteral("graft_shingles", "n", c(1))).node)
       },
       "graft_shingles(text, n) - word n-gram shingle array (n a foldable integer); the dedup family's first stage — explode it for a pure-SQL inverted-index near-dup pipeline"),
+    entry("graft_char_shingles",
+      fixedArity("graft_char_shingles", 2) { c =>
+        ColumnNodeToExpressionConverter(
+          TextFunctions.charNgramArray(ExpressionUtils.column(c(0)),
+            intLiteral("graft_char_shingles", "n", c(1))).node)
+      },
+      "graft_char_shingles(text, n) - character n-gram shingle array (n a foldable integer) — the near-dup unit for CJK and other unsegmented scripts"),
     // ---- repetition quality filters (the Gopher rules): segment
     // separators and gram widths shape the expression tree, so they
     // are literal-pinned like graft_shingles

@@ -143,6 +143,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("must be an integer literal"))
+    // character shingles: same bridge, substr-sliding grams
+    val viaCharSql = spark.sql(
+      "SELECT graft_char_shingles('你好世界', 2) AS g").head.getSeq[String](0)
+    assert(viaCharSql === Seq("你好", "好世", "世界"))
   }
 
   test("sampling family from SQL matches the Column API bit-for-bit") {
