@@ -1500,6 +1500,19 @@ object SparkEntry {
           "len(string_split(text, ' ')) / 100.0", seed = 11L)}
         |ORDER BY doc_id""".stripMargin)),
 
+    Q("sample_per_stratum",
+      // fixed-count per-stratum sampling: ring-position rank within
+      // stratum, first 7 win — winners replay row-for-row (the ring
+      // is engine-portable), and rank<=n is the WindowGroupLimit
+      // pushdown shape, so a dominant stratum never sorts whole
+      (s, dir) => Sampling.takePerStratum(T(s, dir, "documents"),
+          col("doc_id"), col("lang"), nPer = 7, seed = 11)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ${Sampling.ringPositionSql("doc_id", seed = 11)}, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 7 ORDER BY doc_id""".stripMargin)),
+
     Q("sample_mixture",
       // mixture rebalance end to end: the oracle recomputes the
       // per-stratum counts, the largest feasible total T, the

@@ -266,6 +266,28 @@ object Sampling {
         targets, budget), seed)
   }
 
+  /** Deterministic fixed-count per-stratum sample ("exactly N docs per
+    * language"): rows rank by RING POSITION within their stratum and
+    * the first `nPer` win. Reproducible (the ring is a pure function
+    * of id + seed — same winners on any partitioning/engine), stable
+    * under growth ONLY in the downward direction (new rows can enter
+    * the top-N and push others out — unlike fraction sampling, a
+    * fixed-count contract cannot be growth-stable), and NESTED across
+    * sizes: the N-sample always contains the (N−1)-sample for the
+    * same seed. Skew-safe: `row_number <= n` plans a partial
+    * WindowGroupLimit below the stratum shuffle, so a dominant
+    * stratum keeps nPer rows per map task instead of sorting whole.
+    * Requires per-stratum-unique ids (the ring tie-breaks by id).
+    */
+  def takePerStratum(df: DataFrame, id: Column, stratum: Column,
+      nPer: Int, seed: Long = 0L): DataFrame = {
+    require(nPer >= 1, s"nPer must be >= 1, got $nPer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(ringPosition(id, seed), id)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= nPer).drop("__graft_rn")
+  }
+
   /** Deterministic weighted (quality-proportional) sampling: keep each
     * row with probability `weight` (a per-row column in [0, 1] — e.g.
     * a quality score), decided by the same hash ring as

@@ -296,6 +296,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(msgs(errId).exists(m => m != null && m.contains("null doc id")))
   }
 
+  test("takePerStratum: exact count per stratum, nested across sizes, partition independent") {
+    val d = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val s5 = Sampling.takePerStratum(d, col("id"), col("lang"), 5, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s5.count(_._2 == "a") === 5 && s5.count(_._2 == "b") === 5)
+    // nested: the 5-sample is inside the 9-sample for the same seed
+    val s9 = Sampling.takePerStratum(d, col("id"), col("lang"), 9, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s5.toSet.subsetOf(s9.toSet))
+    // small strata are taken whole
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "lang")
+    val all = Sampling.takePerStratum(tiny, col("id"), col("lang"), 10)
+      .count()
+    assert(all === 3)
+    // partitioning does not change the winners
+    val s5r = Sampling.takePerStratum(d.repartition(13), col("id"),
+        col("lang"), 5, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s5r.toSet === s5.toSet)
+    // different seed, different winners (with overwhelming probability)
+    val s5b = Sampling.takePerStratum(d, col("id"), col("lang"), 5, seed = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s5b.toSet !== s5.toSet)
+  }
+
   test("guards: zero-token stratum named; null weight drops the row on both engines") {
     // tokenMixtureFractions with a zero-total targeted stratum must
     // name the stratum instead of surfacing NaN downstream
