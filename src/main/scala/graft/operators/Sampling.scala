@@ -282,10 +282,15 @@ object Sampling {
   def takePerStratum(df: DataFrame, id: Column, stratum: Column,
       nPer: Int, seed: Long = 0L): DataFrame = {
     require(nPer >= 1, s"nPer must be >= 1, got $nPer")
+    // collision-free temp name: the input may legitimately carry
+    // __graft_rn (e.g. a frame round-tripped through another graft op)
+    val rn = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_rn" else s"__graft_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(ringPosition(id, seed), id)
-    df.withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") <= nPer).drop("__graft_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= nPer).drop(rn)
   }
 
   /** Deterministic weighted (quality-proportional) sampling: keep each

@@ -320,6 +320,13 @@ class SamplingSpec extends AnyFunSuite {
     val s5b = Sampling.takePerStratum(d, col("id"), col("lang"), 5, seed = 4)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(s5b.toSet !== s5.toSet)
+    // a caller's own __graft_rn column survives untouched
+    val carry = Sampling.takePerStratum(
+        d.withColumn("__graft_rn", col("id") * 2),
+        col("id"), col("lang"), 5, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(carry.forall { case (id, c) => c === id * 2 })
+    assert(carry.map(_._1).toSet === s5.map(_._1).toSet)
   }
 
   test("guards: zero-token stratum named; null weight drops the row on both engines") {
