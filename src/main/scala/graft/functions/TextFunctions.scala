@@ -321,9 +321,12 @@ object TextFunctions {
     * fraction). Output: id, chunk_id (0-based), chunk_text,
     * n_chunk_tokens.
     */
-  def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: Column,
-      text: Column, size: Int, overlap: Int,
-      sep: String = " "): org.apache.spark.sql.DataFrame = {
+  /** The chunk windows of [[chunkByTokens]] as a row-local array
+    * column — the unit the SQL registration (`graft_chunk_tokens`)
+    * exposes; explode it for the per-chunk rows.
+    */
+  def chunkArray(text: Column, size: Int, overlap: Int,
+      sep: String = " "): Column = {
     require(size >= 1, s"chunk size must be >= 1, got $size")
     require(overlap >= 0 && overlap < size,
       s"overlap must be in [0, size), got $overlap for size $size")
@@ -333,11 +336,17 @@ object TextFunctions {
     // ceil((n - size) / step) in exact integer math (n > size branch)
     val a = greatest(n - lit(size), lit(0)) + lit(step - 1)
     val nChunks = lit(1) + (a - pmod(a, lit(step))) / lit(step)
-    val chunks = F.transform(F.sequence(lit(0), nChunks.cast("int") - 1),
+    F.transform(F.sequence(lit(0), nChunks.cast("int") - 1),
       i => array_join(F.slice(w, i * step + 1, lit(size)), sep))
-    df.select(id.as("id"), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
-      .withColumn("n_chunk_tokens", tokenCountWs(col("chunk_text")))
   }
+
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, size: Int, overlap: Int,
+      sep: String = " "): org.apache.spark.sql.DataFrame =
+    df.select(id.as("id"),
+        posexplode(chunkArray(text, size, overlap, sep))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens", tokenCountWs(col("chunk_text")))
 
   /** One-pass filter-funnel report: for pipeline stages given as
     * (name, predicate), the row count surviving each CUMULATIVE-AND

@@ -128,6 +128,14 @@ object GraftFunctions {
             intLiteral("graft_char_shingles", "n", c(1))).node)
       },
       "graft_char_shingles(text, n) - character n-gram shingle array (n a foldable integer) — the near-dup unit for CJK and other unsegmented scripts"),
+    entry("graft_chunk_tokens",
+      fixedArity("graft_chunk_tokens", 3) { c =>
+        ColumnNodeToExpressionConverter(
+          TextFunctions.chunkArray(ExpressionUtils.column(c(0)),
+            intLiteral("graft_chunk_tokens", "size", c(1)),
+            intLiteral("graft_chunk_tokens", "overlap", c(2))).node)
+      },
+      "graft_chunk_tokens(text, size, overlap) - sliding token-window chunk array (training-context chunking; size/overlap foldable integers) — posexplode it for per-chunk rows"),
     // ---- repetition quality filters (the Gopher rules): segment
     // separators and gram widths shape the expression tree, so they
     // are literal-pinned like graft_shingles

@@ -147,6 +147,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val viaCharSql = spark.sql(
       "SELECT graft_char_shingles('你好世界', 2) AS g").head.getSeq[String](0)
     assert(viaCharSql === Seq("你好", "好世", "世界"))
+    // chunk windows: same tree as the Column API's chunkArray
+    val viaChunkSql = spark.sql(
+      """SELECT doc_id, posexplode(graft_chunk_tokens(text, 30, 5))
+        |  AS (chunk_id, chunk_text)
+        |FROM sqlspec_docs ORDER BY doc_id, chunk_id""".stripMargin).collect()
+    val viaChunkApi = TextFunctions.chunkByTokens(docs, col("doc_id"),
+        col("text"), 30, 5)
+      .select(col("id").as("doc_id"), col("chunk_id"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id")).collect()
+    assert(viaChunkSql === viaChunkApi)
   }
 
   test("sampling family from SQL matches the Column API bit-for-bit") {
