@@ -718,6 +718,41 @@ object SparkEntry {
         | MEDIAN(l_quantity) AS med_qty, MEDIAN(l_extendedprice) AS med_price
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("gb_quantile",
+      // exact arbitrary-q quantile (linear interpolation) — q=0.25 and
+      // q=0.9; rounded on both sides like var/std (algorithm-identical
+      // but float-op-order-sensitive)
+      (s, dir) => {
+        val g = new GroupBy(T(s, dir, "lineitem"), liKeys)
+        g.quantile(Seq(col("l_quantity").as("q25_qty")), 0.25)
+          .join(g.quantile(Seq(col("l_extendedprice").as("q90_price")), 0.9),
+            Seq("l_returnflag", "l_linestatus"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("q25_qty"), 4).as("q25_qty"),
+            round(col("q90_price"), 4).as("q90_price"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+        | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS q90_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("gb_skew_kurt",
+      // pandas-semantics adjusted skewness (G1) and excess kurtosis
+      // (G2), derived from Spark's population moments; DuckDB's
+      // skewness/kurtosis compute the SAME bias-corrected statistics
+      // natively — rounded on both sides like var/std
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregate(Seq(
+          AggSpec("skew", col("l_quantity"), "sk"),
+          AggSpec("kurt", col("l_quantity"), "ku")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("sk"), 4).as("skew_qty"), round(col("ku"), 4).as("kurt_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        | ROUND(skewness(l_quantity), 4) AS skew_qty,
+        | ROUND(kurtosis(l_quantity), 4) AS kurt_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("gb_var_std",
       (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregate(Seq(
           AggSpec("var", col("l_quantity"), "v1"),
@@ -2059,6 +2094,73 @@ object SparkEntry {
         |  CAST(n_tokens AS DOUBLE) / CAST(nt AS DOUBLE) AS token_share
         |FROM agg, tot ORDER BY domain""".stripMargin)),
 
+    Q("text_boilerplate",
+      // frequency-based boilerplate line removal over the same derived
+      // multi-line corpus as dedup_segments: every line appearing in
+      // >= 3 distinct documents is dropped from ALL of them (unlike
+      // segment dedup's keep-first), documents reassembled; the oracle
+      // recomputes line document-frequency and the reassembly
+      (s, dir) => {
+        val para = T(s, dir, "documents").select(col("doc_id"),
+          replace(col("text"), lit(" the "), lit("\n")).as("text"))
+        Dedup.removeBoilerplate(para, col("doc_id"), col("text"),
+            minDf = 3, sep = "\n")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  string_split(replace(text, ' the ', chr(10)), chr(10)) AS ss
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(ss) AS seg,
+        |  unnest(range(1, len(ss) + 1)) AS pos FROM d),
+        |f AS (SELECT seg FROM e WHERE length(seg) >= 2
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        |m AS (SELECT e.doc_id, e.seg, e.pos, f.seg IS NOT NULL AS bp
+        |  FROM e LEFT JOIN f USING (seg))
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT bp THEN seg END, chr(10) ORDER BY pos), '') AS text,
+        |  COUNT(CASE WHEN NOT bp THEN 1 END) AS n_kept,
+        |  COUNT(CASE WHEN bp THEN 1 END) AS n_removed
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("quality_classifier",
+      // fastText-shaped linear scoring: unigram+bigram hashing-trick
+      // buckets (dim 64), integer bucket weights from the deterministic
+      // pseudo-weight table (intHash-derived — both engines generate
+      // it), per-doc exact integer sum then ONE double division; the
+      // oracle regenerates features, weights, and score
+      (s, dir) => TextFunctions.scoreLinear(T(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          TextFunctions.pseudoWeights(s, dim = 64, seed = 7), dim = 64)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH wts AS (${TextFunctions.pseudoWeightsSql(64, 7)}),
+        | f AS (SELECT doc_id,
+        |   unnest(${TextFunctions.hashFeatureBucketsSql("text", 64)}) AS bucket
+        |   FROM documents),
+        | a AS (SELECT doc_id, COUNT(bucket) AS n_features,
+        |   CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS raw
+        |   FROM f LEFT JOIN wts USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_features, raw,
+        |  (CAST(raw AS DOUBLE) / 1000.0) / CAST(n_features AS DOUBLE) AS score
+        |FROM a ORDER BY doc_id""".stripMargin)),
+
+    Q("shuffle_shards",
+      // deterministic global training-order shuffle: shard + dense
+      // within-shard position, both pure hash-ring functions of the id;
+      // the oracle replays both rings and the per-shard rank
+      (s, dir) => Sampling.shuffleShards(
+          T(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), numShards = 8, seed = 5)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH r AS (SELECT doc_id,
+        |  ${Sampling.ringPositionSql("doc_id", 5)} AS r1,
+        |  ${Sampling.ringPositionSql("doc_id",
+              (5L + Sampling.ShuffleOrderSeedOffset) % graft.functions.PortableHash.P)} AS r2
+        |  FROM documents)
+        |SELECT doc_id, CAST(r1 % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY r1 % 8 ORDER BY r2, doc_id) - 1 AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     Q("chunk_tokens",
       // training-context chunking: sliding 40-token windows, 10-token
       // overlap (step 30); the oracle regenerates every window with
@@ -2394,6 +2496,39 @@ object SparkEntry {
         |SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text,
         |  COUNT(*) AS n_kept
         |FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("dedup_spans",
+      // token-granular duplicate-span removal (ExactSubstr at 8-gram
+      // resolution): tokens whose every covering 8-gram window is a
+      // non-first duplicate vanish; the oracle replays gram claims,
+      // window coverage, and token-level reassembly independently
+      (s, dir) => Dedup.dedupSpans(T(s, dir, "documents"),
+          col("doc_id"), col("text"), ord = col("doc_id"), k = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+        |gr0 AS (SELECT doc_id, toks, n, unnest(range(0, n - 8 + 1)) AS pos
+        |  FROM g WHERE n >= 8),
+        |gr AS (SELECT doc_id, n, pos,
+        |  array_to_string(list_slice(toks, pos + 1, pos + 8), ' ') AS gram FROM gr0),
+        |cl AS (SELECT gram, COUNT(*) AS cnt,
+        |  MIN(struct_pack(o := doc_id, p := pos)) AS w FROM gr GROUP BY 1),
+        |fl AS (SELECT gr.doc_id, gr.pos,
+        |  cl.cnt > 1 AND NOT (cl.w.o = gr.doc_id AND cl.w.p = gr.pos) AS dup
+        |  FROM gr JOIN cl USING (gram)),
+        |tk AS (SELECT doc_id, toks, n, unnest(range(0, n)) AS i FROM g),
+        |cov AS (SELECT tk.doc_id, tk.i, bool_and(fl.dup) AS alldup
+        |  FROM tk JOIN fl ON fl.doc_id = tk.doc_id
+        |    AND fl.pos BETWEEN greatest(0, tk.i - 8 + 1) AND least(tk.i, tk.n - 8)
+        |  GROUP BY 1, 2),
+        |rm AS (SELECT tk.doc_id, tk.toks, tk.i,
+        |  COALESCE(cov.alldup, FALSE) AS removed
+        |  FROM tk LEFT JOIN cov USING (doc_id, i))
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT removed THEN toks[i + 1] END, ' ' ORDER BY i), '') AS text,
+        |  COUNT(CASE WHEN NOT removed THEN 1 END) AS n_kept,
+        |  COUNT(CASE WHEN removed THEN 1 END) AS n_removed
+        |FROM rm GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("decontaminate",
       // eval side = every 20th doc; train side = the rest. 5-word

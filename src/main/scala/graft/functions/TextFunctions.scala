@@ -412,6 +412,95 @@ object TextFunctions {
     }
   }
 
+  // ------------------------------------- linear quality classifier
+  // The fastText-shaped quality classifier every pretraining recipe
+  // ends up running (CCNet, GPT-3's WebText similarity filter,
+  // LLaMA's wikipedia-reference classifier): hash each word n-gram
+  // into a fixed-dimension bucket space (the hashing trick,
+  // Weinberger et al. 2009) and score a document as the mean bucket
+  // weight of its features. Training happens offline; APPLYING the
+  // model at corpus scale is the pipeline's job, and that is a
+  // broadcast of the (dim-bounded) weight vector + one combiner-
+  // friendly per-document sum — the training scan never shuffles for
+  // the model.
+
+  /** Hashing-trick feature buckets of a document: every word n-gram
+    * (for each width in `grams`) mapped to [0, dim) by the
+    * engine-portable [[PortableHash.polyHash]]. Collisions are the
+    * hashing trick's documented tradeoff, not an error; dim sizes the
+    * model, not the data.
+    */
+  def hashFeatureBuckets(text: Column, dim: Int,
+      grams: Seq[Int] = Seq(1, 2)): Column = {
+    require(dim >= 2, s"feature dimension must be >= 2, got $dim")
+    require(grams.nonEmpty, "at least one n-gram width required")
+    val arrs = grams.map(n => ngramArray(text, n))
+    val feats = if (arrs.sizeIs == 1) arrs.head else concat(arrs: _*)
+    F.transform(feats, g => PortableHash.polyHash(g) % dim)
+  }
+
+  /** DuckDB rendering of [[hashFeatureBuckets]] over a text expression
+    * `e` — unigrams + bigrams (the default `grams`) only. Keep in
+    * lockstep.
+    */
+  def hashFeatureBucketsSql(e: String, dim: Int): String = {
+    val h = PortableHash.polyHashSql("g")
+    s"list_transform(list_concat(string_split($e, ' '), " +
+      s"list_transform(range(1, len(string_split($e, ' '))), " +
+      s"i -> string_split($e, ' ')[i] || ' ' || string_split($e, ' ')[i+1])), " +
+      s"g -> $h % $dim)"
+  }
+
+  /** Score every document under a linear bucket-weight model:
+    * `score = (Σ weight[bucket(f)] / scale) / n_features` over the
+    * document's [[hashFeatureBuckets]] features (multiplicity
+    * counted, as fastText does). `weights` is the trained model —
+    * `(bucket, weight)` with INTEGER weights (fixed-point at
+    * 1/`scale`), so the per-document sum is exact 64-bit arithmetic
+    * and the one float division happens once per document, identically
+    * on any engine. Unmatched buckets weigh 0; featureless documents
+    * score null. Returns `(doc_id, n_features, raw, score)`.
+    *
+    * Distributed shape: the weight table is bounded by `dim` and
+    * broadcast — the corpus-side explode feeds a map-side hash join,
+    * then one partial-aggregated per-document sum. One shuffle, keyed
+    * on doc_id.
+    */
+  def scoreLinear(df: org.apache.spark.sql.DataFrame, id: Column,
+      text: Column, weights: org.apache.spark.sql.DataFrame, dim: Int,
+      grams: Seq[Int] = Seq(1, 2),
+      scale: Double = 1000.0): org.apache.spark.sql.DataFrame = {
+    val w = weights.select(col("bucket").cast(LongType),
+      col("weight").cast(LongType))
+    df.select(id.as("doc_id"),
+        explode_outer(hashFeatureBuckets(text, dim, grams)).as("bucket"))
+      .join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("bucket")).as("n_features"),
+        coalesce(F.sum(col("weight")), lit(0L)).as("raw"))
+      .withColumn("score", Num.safeDiv(
+        col("raw").cast(DoubleType) / lit(scale),
+        col("n_features").cast(DoubleType)))
+  }
+
+  /** Deterministic pseudo-weight table over the full bucket space —
+    * weight(b) = intHash(b + seed) mod 2001 − 1000, an integer in
+    * [−1000, 1000] — for bootstrapping and for oracle-replayable
+    * tests of the scoring path without shipping a trained model.
+    * Real deployments pass their trained table to [[scoreLinear]]
+    * instead.
+    */
+  def pseudoWeights(spark: org.apache.spark.sql.SparkSession, dim: Int,
+      seed: Long = 0L): org.apache.spark.sql.DataFrame =
+    spark.range(dim.toLong).select(col("id").as("bucket"),
+      (PortableHash.intHash(col("id") + lit(seed)) % 2001 - 1000)
+        .as("weight"))
+
+  /** DuckDB rendering of [[pseudoWeights]]. */
+  def pseudoWeightsSql(dim: Int, seed: Long = 0L): String =
+    s"SELECT b AS bucket, ${PortableHash.intHashSql(s"b + $seed")} % 2001 - 1000 AS weight " +
+      s"FROM (SELECT unnest(range($dim)) AS b)"
+
   // ------------------------------------------------------ PII scrubbing
   // Standard pretraining-pipeline redaction (emails, IPs, SSN-shaped
   // ids, phone numbers) as row-local regexp expressions — a projection

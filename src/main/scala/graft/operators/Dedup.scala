@@ -642,6 +642,78 @@ object Dedup {
         F.count(lit(1)).as("n_kept"))
   }
 
+  /** Duplicate-SPAN removal (token-granular exact substring dedup —
+    * the ExactSubstr recipe of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", approximated at
+    * word-`k`-gram resolution): a token is removed iff EVERY `k`-token
+    * window covering it is a duplicated gram whose corpus-wide first
+    * occurrence (minimal `(ord, pos)` — pass a stable `ord`) lies
+    * elsewhere. Copied passages ≥ k tokens vanish from every document
+    * but the one that claimed them; the k−1 tokens on each flank of a
+    * copied run survive through their partially-novel windows, so
+    * removal converges on the true repeated span as k shrinks.
+    * Documents shorter than k tokens have no windows and pass
+    * untouched. Returns `(doc_id, text, n_kept, n_removed)` with the
+    * document reassembled from surviving tokens (every input document
+    * appears; a fully-claimed one comes back empty).
+    *
+    * Distributed shape: gram posexplode → first-claim aggregation on
+    * the gram's md5 (the [[dedupSegments]] skeleton one granularity
+    * down) → per-document flag-array regroup → a row-local O(n·k)
+    * window-coverage fold. Two hash shuffles, volume linear in token
+    * count × 1 gram/token; no driver state, retry/partition
+    * independent.
+    */
+  def dedupSpans(df: DataFrame, id: Column, text: Column, ord: Column,
+      k: Int = 50, sep: String = " "): DataFrame = {
+    require(k >= 2, s"span gram width k must be >= 2, got $k")
+    val base = df.select(id.as("doc_id"), ord.as("__graft_ord"),
+      split(text, java.util.regex.Pattern.quote(sep)).as("toks"))
+    val gramsExpr = F.transform(F.sequence(lit(0), F.size(col("toks")) - k),
+      i => array_join(F.slice(col("toks"), i + lit(1), lit(k)), sep))
+    val grams = base
+      .where(F.size(col("toks")) >= k)
+      .select(col("doc_id"), col("__graft_ord"),
+        posexplode(gramsExpr).as(Seq("pos", "gram")))
+      .withColumn("__graft_h", md5(col("gram")))
+      .drop("gram")
+    val claims = grams.groupBy(col("__graft_h"))
+      .agg(F.count(lit(1)).as("__graft_cnt"),
+        F.min(struct(col("__graft_ord").as("o"), col("pos").as("p")))
+          .as("__graft_w"))
+    val flags = grams.join(claims, "__graft_h")
+      .select(col("doc_id"), col("pos"),
+        (col("__graft_cnt") > 1 &&
+          !(col("__graft_w.o") === col("__graft_ord") &&
+            col("__graft_w.p") === col("pos"))).as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(F.transform(
+        sort_array(collect_list(struct(col("pos"), col("dup")))),
+        s => s.getField("dup")).as("__graft_flags"))
+    base.join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        // kept(i) = no windows (short doc) OR some covering window is
+        // a non-duplicate gram; window p covers token i iff
+        // max(0, i−k+1) <= p <= min(i, n−k)
+        F.transform(F.sequence(lit(0), F.size(col("toks")) - 1),
+          i => {
+            val lo = greatest(lit(0), i - (k - 1))
+            val hi = least(i, F.size(col("toks")) - k)
+            struct(element_at(col("toks"), i + 1).as("tok"),
+              (col("__graft_flags").isNull ||
+                !F.forall(F.slice(col("__graft_flags"), lo + 1, hi - lo + 1),
+                  b => b)).as("keep"))
+          }).as("__graft_marked"))
+      .select(col("doc_id"),
+        array_join(F.transform(
+          F.filter(col("__graft_marked"), s => s.getField("keep")),
+          s => s.getField("tok")), sep).as("text"),
+        F.size(F.filter(col("__graft_marked"), s => s.getField("keep")))
+          .cast(LongType).as("n_kept"),
+        F.size(F.filter(col("__graft_marked"), s => !s.getField("keep")))
+          .cast(LongType).as("n_removed"))
+  }
+
   /** Eval-set decontamination screen: flag every training document
     * sharing at least one word `n`-gram with any document of an
     * eval/holdout set, with the count of distinct shared n-grams (the
@@ -789,6 +861,58 @@ object Dedup {
     // component's minimum: non-roots appear only as `a`, roots only as `b`
     cur.select(col("a").as("member_id"), col("b").as("cluster_id"))
       .union(cur.select(col("b"), col("b")).distinct())
+  }
+
+  /** Frequency-based boilerplate removal: drop every occurrence of any
+    * line (segment on `sep`) that appears in at least `minDf` DISTINCT
+    * documents — navigation chrome, cookie banners, license footers,
+    * "terms of service" paragraphs — and reassemble each document from
+    * its surviving lines in original order. Unlike [[dedupSegments]]
+    * (which keeps a first occurrence), boilerplate is removed from
+    * EVERY document, including the first: a line ubiquitous enough to
+    * clear `minDf` carries no training signal anywhere. Lines shorter
+    * than `minChars` characters are exempt (never dropped) so
+    * structural blanks and one-word list items survive; a document all
+    * of whose lines are boilerplate comes back with empty `text` and
+    * `n_kept = 0` rather than disappearing. Returns
+    * `(doc_id, text, n_kept, n_removed)`.
+    *
+    * Distributed shape: posexplode → distinct (line-md5, doc) →
+    * per-hash doc-frequency count → the FLAGGED set (df ≥ minDf) only
+    * — by definition small, since each flagged line recurs across ≥
+    * minDf documents — broadcast back over the segment stream as a
+    * map-side left-semi mark, then one per-document reassembly
+    * groupBy. The full corpus shuffles twice (df count, reassembly),
+    * both keyed and combiner-friendly; the join never shuffles. Set
+    * `broadcastFlagged = false` if a pathological corpus makes the
+    * flagged set itself huge — the mark becomes a shuffled equijoin.
+    */
+  def removeBoilerplate(df: DataFrame, id: Column, text: Column,
+      minDf: Int, sep: String = "\n", minChars: Int = 2,
+      broadcastFlagged: Boolean = true): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (got $minDf): df >= 1 would flag every line")
+    val segs = df.select(id.as("doc_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "seg")))
+      .withColumn("__graft_h",
+        when(length(col("seg")) >= minChars, md5(col("seg"))))
+    val flagged0 = segs.where(col("__graft_h").isNotNull)
+      .select(col("__graft_h"), col("doc_id")).distinct()
+      .groupBy(col("__graft_h"))
+      .agg(F.count(lit(1)).as("__graft_df"))
+      .where(col("__graft_df") >= minDf)
+      .select(col("__graft_h"), lit(true).as("__graft_bp"))
+    val flagged = if (broadcastFlagged) broadcast(flagged0) else flagged0
+    segs.join(flagged, Seq("__graft_h"), "left")
+      .withColumn("__graft_keep", coalesce(col("__graft_bp"), lit(false)) === false)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(F.transform(
+          sort_array(collect_list(when(col("__graft_keep"),
+            struct(col("pos"), col("seg"))))),
+          s => s.getField("seg")), sep).as("text"),
+        F.sum(when(col("__graft_keep"), 1L).otherwise(0L)).as("n_kept"),
+        F.sum(when(col("__graft_keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
   /** Transitive near-dup dedup verdicts: cluster the candidate pair

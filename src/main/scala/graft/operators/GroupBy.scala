@@ -158,6 +158,26 @@ final class GroupBy(
       case "count"  => lift(F.count(v))
       case "size"   => lift(F.count(masked(mask, lit(1))))
       case "median" => lift(F.median(v))
+      case "quantile" =>
+        // exact linear-interpolation quantile (pandas interpolation=
+        // 'linear', SQL PERCENTILE_CONT): per-group sort, the exact
+        // sibling of approx_median's sketch
+        lift(F.percentile(v, lit(spec.param.getOrElse(0.5))))
+      case "skew" =>
+        // pandas-semantics adjusted Fisher-Pearson G1 from Spark's
+        // population g1 = √n·M3/M2^1.5: G1 = g1·√(n(n−1))/(n−2);
+        // null for n < 3 (pandas returns NaN) or zero variance
+        val n = lift(F.count(v)).cast(DoubleType)
+        when(n < 3, lit(null).cast(DoubleType))
+          .otherwise(lift(F.skewness(v)) * sqrt(n * (n - 1)) / (n - 2))
+      case "kurt" =>
+        // pandas-semantics adjusted excess kurtosis G2 from Spark's
+        // population g2 = M4·n/M2²−3:
+        // G2 = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6); null for n < 4
+        val n = lift(F.count(v)).cast(DoubleType)
+        when(n < 4, lit(null).cast(DoubleType))
+          .otherwise(((n + 1) * lift(F.kurtosis(v)) + lit(6.0)) *
+            (n - 1) / ((n - 2) * (n - 3)))
       case "nunique" => over match {
         // DISTINCT aggregates are not legal window functions; the
         // window form dedups via collect_set (null-skipping, like
@@ -292,9 +312,10 @@ final class GroupBy(
       observedOnly: Boolean,
       exact: Boolean = false,
       ddof: Int = 1,
-      ord: Option[Column] = None): DataFrame =
+      ord: Option[Column] = None,
+      param: Option[Double] = None): DataFrame =
     aggregate(
-      named(values).map { case (v, n) => AggSpec(op, v, n, exact, ddof, ord) },
+      named(values).map { case (v, n) => AggSpec(op, v, n, exact, ddof, ord, param) },
       mask, transform, margins, observedOnly)
 
   /** Rows per group, null values included (reference `core.py:749`). */
@@ -334,6 +355,32 @@ final class GroupBy(
   def median(values: Seq[Column], mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("median", values, mask, transform, Margins.None, observedOnly)
+
+  /** Exact arbitrary-q quantile (pandas `quantile(q)`, linear
+    * interpolation — PERCENTILE_CONT semantics). Per-group sort; use
+    * [[medianApprox]]'s sketch family when cardinality × group size
+    * makes exact sorting unreasonable.
+    */
+  def quantile(values: Seq[Column], q: Double, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0, 1], got $q")
+    one("quantile", values, mask, transform, Margins.None, observedOnly,
+      param = Some(q))
+  }
+
+  /** Adjusted Fisher-Pearson skewness (pandas `skew()` semantics —
+    * bias-corrected G1; null for groups smaller than 3).
+    */
+  def skew(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("skew", values, mask, transform, Margins.None, observedOnly)
+
+  /** Adjusted excess kurtosis (pandas `kurt()` semantics — bias-
+    * corrected G2; null for groups smaller than 4).
+    */
+  def kurt(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("kurt", values, mask, transform, Margins.None, observedOnly)
 
   def variance(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =

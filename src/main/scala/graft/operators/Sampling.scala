@@ -348,6 +348,40 @@ object Sampling {
     * Returns `(doc_id, shard, pack_id, n_tokens)` — a pack is the
     * (shard, pack_id) group, ids dense per shard in fill order.
     */
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shard` in [0, numShards) and a dense 0-based `pos` within its
+    * shard, both pure functions of (id, seed) — the corpus-wide random
+    * interleave a training run reads, reproducible across partitioning,
+    * retries, cluster sizes, and engines (no `orderBy(rand())`, whose
+    * order changes with partition seeding). Shard assignment is one
+    * hash ring, within-shard order a SECOND decorrelated ring (offset
+    * seed) with id as the total-order tie-break. Epochs = different
+    * seeds.
+    *
+    * Distributed shape: one hash shuffle on `shard` + a per-shard sort
+    * for `row_number` — the sort is the contract (a global random
+    * permutation IS an order), and it distributes across shards; size
+    * `numShards` so one shard's rows fit a task's sort budget
+    * (100 TB / 4096 shards ≈ 25 GB — spill-backed but single-pass).
+    * Writing `.repartition(col("shard")).sortWithinPartitions("pos")`
+    * then lands training files in read order.
+    */
+  def shuffleShards(df: DataFrame, id: Column, numShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val orderSeed = (seed + ShuffleOrderSeedOffset) % PortableHash.P
+    val withShard = df.withColumn("shard",
+      (ringPosition(id, seed) % numShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(ringPosition(id, orderSeed), id)
+    withShard.withColumn("pos", row_number().over(w).cast("long") - 1L)
+  }
+
+  /** Seed offset decorrelating [[shuffleShards]]'s order ring from its
+    * shard ring (shared with any oracle rendering).
+    */
+  val ShuffleOrderSeedOffset: Long = 1000003L
+
   def packSequences(df: DataFrame, id: Column, tokens: Column,
       maxTokens: Long, ord: Column, shards: Int = 256,
       seed: Long = 0L): DataFrame = {

@@ -357,4 +357,59 @@ class GroupBySpec extends AnyFunSuite {
       mask = m)
     assert(salted.collect().toSeq === plain.collect().toSeq)
   }
+
+  test("quantile/skew/kurt match a scala oracle with pandas semantics") {
+    val data = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 5.0), ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", 30.0),
+      ("c", 1.0), ("c", 2.0), // n=2: skew null, kurt null
+      ("d", 1.0), ("d", 2.0), ("d", 4.0)) // n=3: skew defined, kurt null
+    val d = data.toDF("k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+
+    def quantileOracle(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted; val h = (s.size - 1) * q
+      val lo = math.floor(h).toInt
+      if (lo + 1 >= s.size) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+    }
+    def moments(xs: Seq[Double]): (Double, Double, Double, Double) = {
+      val n = xs.size.toDouble; val m = xs.sum / n
+      def ck(k: Int) = xs.map(x => math.pow(x - m, k)).sum / n
+      (n, ck(2), ck(3), ck(4))
+    }
+    def skewOracle(xs: Seq[Double]): Option[Double] = {
+      val (n, m2, m3, _) = moments(xs)
+      if (n < 3) None
+      else Some(m3 / math.pow(m2, 1.5) * math.sqrt(n * (n - 1)) / (n - 2))
+    }
+    def kurtOracle(xs: Seq[Double]): Option[Double] = {
+      val (n, m2, _, m4) = moments(xs)
+      if (n < 4) None
+      else Some(((n + 1) * (m4 / (m2 * m2) - 3) + 6) * (n - 1) / ((n - 2) * (n - 3)))
+    }
+    val byKey = data.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val got = g.quantile(Seq(col("v")), q).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((k, xs) <- byKey)
+        assert(math.abs(got(k) - quantileOracle(xs, q)) < 1e-9,
+          s"quantile($q) key $k")
+    }
+    val sk = g.skew(Seq(col("v"))).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val ku = g.kurt(Seq(col("v"))).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    for ((k, xs) <- byKey) {
+      (sk(k), skewOracle(xs)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"skew key $k")
+        case (a, b) => assert(a === b, s"skew key $k")
+      }
+      (ku(k), kurtOracle(xs)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"kurt key $k")
+        case (a, b) => assert(a === b, s"kurt key $k")
+      }
+    }
+    intercept[IllegalArgumentException] { g.quantile(Seq(col("v")), 1.5) }
+  }
 }

@@ -1222,6 +1222,92 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans removes claimed duplicate spans, keeps flanks and short docs") {
+    val d = Seq(
+      (1L, "x1 x2 x3 x4 x5"), // unique — untouched
+      (2L, "c1 c2 c3 c4 y1"), // first occurrence claims the span
+      (3L, "z1 c1 c2 c3 c4"), // copied span; z1's unique windows shield
+                              // the k-1 flank tokens c1 c2
+      (4L, "c1 c2 c3 c4 y1"), // verbatim copy of doc 2 — fully claimed
+      (5L, "s1 s2")           // shorter than k — no windows, untouched
+    ).toDF("id", "text")
+    val out = Dedup.dedupSpans(d, col("id"), col("text"),
+        ord = col("id"), k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("x1 x2 x3 x4 x5", 5L, 0L)))
+    assert(out(2L) === (("c1 c2 c3 c4 y1", 5L, 0L)))
+    assert(out(3L) === (("z1 c1 c2", 3L, 2L)))
+    assert(out(4L) === (("", 0L, 5L)))
+    assert(out(5L) === (("s1 s2", 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpans(d, col("id"), col("text"), ord = col("id"), k = 1)
+    }
+  }
+
+  test("removeBoilerplate drops high-df lines from every doc; short lines exempt") {
+    val d = Seq(
+      (1L, "COOKIE BANNER\n-\nunique one"),
+      (2L, "COOKIE BANNER\n-\nunique two"),
+      (3L, "COOKIE BANNER\n-\nunique three"),
+      (4L, "COOKIE BANNER\n-"), // everything flagged or exempt
+      (5L, "dup line\ndup line") // within-doc repeat: df counts DOCS (1)
+    ).toDF("id", "text")
+    val out = Dedup.removeBoilerplate(d, col("id"), col("text"),
+        minDf = 3, sep = "\n")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // "COOKIE BANNER" df=4 ≥ 3 → removed everywhere, including doc 4;
+    // "-" df=4 too but length 1 < minChars → exempt
+    assert(out(1L) === (("-\nunique one", 2L, 1L)))
+    assert(out(2L) === (("-\nunique two", 2L, 1L)))
+    assert(out(3L) === (("-\nunique three", 2L, 1L)))
+    assert(out(4L) === (("-", 1L, 1L))) // not dropped from output
+    assert(out(5L) === (("dup line\ndup line", 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplate(d, col("id"), col("text"), minDf = 1)
+    }
+    // shuffled-equijoin mark path is identical
+    val off = Dedup.removeBoilerplate(d, col("id"), col("text"),
+        minDf = 3, sep = "\n", broadcastFlagged = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(off === out)
+  }
+
+  test("scoreLinear matches a scala replay of the hashed-feature model") {
+    import graft.functions.PortableHash
+    val d = Seq((1L, "a b"), (2L, "a"), (3L, "b c b")).toDF("id", "text")
+    val dim = 64
+    val w = TextFunctions.pseudoWeights(spark, dim, seed = 7)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scala twin of polyHash (first 64 chars, Horner mod P)
+    def ph(s: String): Long =
+      s.take(PortableHash.MaxLen).foldLeft(0L)((acc, c) =>
+        (acc * 31 + c.toLong) % PortableHash.P)
+    def feats(t: String): Seq[String] = {
+      val ws = t.split(" ", -1).toSeq
+      ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val out = TextFunctions.scoreLinear(d, col("id"), col("text"), w, dim)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    for ((id, t) <- Seq(1L -> "a b", 2L -> "a", 3L -> "b c b")) {
+      val fs = feats(t)
+      val raw = fs.map(f => wm(ph(f) % dim)).sum
+      assert(out(id) === ((fs.size.toLong, raw,
+        (raw.toDouble / 1000.0) / fs.size)))
+    }
+    // pseudo-weights are bounded and deterministic
+    assert(wm.values.forall(v => v >= -1000 && v <= 1000))
+    assert(TextFunctions.pseudoWeights(spark, dim, seed = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === wm)
+  }
+
   test("portable simhash leaves the two constant-zero hash62 bits unset") {
     import graft.functions.PortableHash
     val d = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("id", "t")

@@ -349,4 +349,31 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(kept === asZero)
   }
+
+  test("shuffleShards: dense per-shard positions, partition/seed semantics") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.shuffleShards(df, col("doc_id"), numShards = 8, seed = seed)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val once = run(docs, 5L)
+    // a permutation: shards in range, positions dense 0..count-1 per shard
+    assert(once.forall { case (_, s, _) => s >= 0 && s < 8 })
+    once.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // deterministic and partition-independent
+    assert(run(docs, 5L).toSet === once.toSet)
+    assert(run(docs.repartition(13), 5L).toSet === once.toSet)
+    // a different seed reshuffles (different assignment for some doc)
+    assert(run(docs, 6L).toSet !== once.toSet)
+    // not the trivial identity order: within some shard, ascending pos
+    // does not follow ascending doc_id
+    val scrambled = once.groupBy(_._2).values.exists { rows =>
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      byPos !== byPos.sorted
+    }
+    assert(scrambled)
+  }
 }
