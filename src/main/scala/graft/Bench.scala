@@ -279,7 +279,52 @@ object Bench {
       // lexical retrieval end to end INCLUDING the one-pass stats job
       "bm25_topk" -> (() => graft.operators.Similarity.bm25TopK(docs,
         col("doc_id"), col("text"), Seq("spark", "window", "merge"),
-        k = 100)))
+        k = 100)),
+      // SemDeDup end to end INCLUDING centroid training (two Lloyd
+      // iterations, 16 clusters) — the honest cost of the published
+      // recipe; pair volume is within-cluster only
+      "semdedup" -> (() => Dedup.semDedup(embs, col("vec_id"),
+        col("embedding"), col("vec_id"),
+        graft.operators.Similarity.ivfCentroids(embs, col("vec_id"),
+          col("embedding"), nCentroids = 16, iters = 2),
+        threshold = 0.4)),
+      // fuzzy (near-dup) decontamination: fixed eval set, broadcast
+      // band buckets — compare with the exact-gram `decontaminate` row
+      "decontaminate_fuzzy" -> (() => Dedup.contaminationFuzzy(docs,
+        col("doc_id"), col("text"), docs.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"))),
+      // vocab build + full-corpus encode: tokenize → count → top-V →
+      // broadcast lookup → per-doc reassembly
+      "vocab_encode" -> (() => {
+        val v = graft.operators.Vocab.buildVocab(docs, col("text"),
+          maxSize = 30000, minCount = 2)
+        graft.operators.Vocab.encodeTokens(docs, col("doc_id"),
+          col("text"), v)
+      }),
+      // incremental ingest screen: batch vs prior snapshot on the
+      // normalized-text hash (shuffled anti-join — the 100 TB shape)
+      "dedup_incremental" -> (() => {
+        val key = md5(TextFunctions.normalizeForDedup(col("text")))
+        graft.operators.Snapshot.dedupAgainst(
+          docs.filter(col("doc_id") % 2 === 0), key,
+          docs.filter(col("doc_id") % 3 === 0), key)
+      }),
+      // snapshot diff: two full corpus fingerprints through one
+      // full-outer equijoin
+      "corpus_diff" -> (() => graft.operators.Snapshot.corpusDiff(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        col("doc_id"), md5(col("text")))),
+      // unigram-LM quality scoring end to end INCLUDING the reference
+      // count pass and the total-tokens action (the honest one-shot
+      // cost; a standing pipeline amortizes the counts across batches)
+      "lm_score" -> (() => {
+        val counts = graft.operators.LangModel.unigramCounts(
+          docs.filter(col("doc_id") % 2 === 0), col("text"))
+        graft.operators.LangModel.scoreByUnigram(docs, col("doc_id"),
+          col("text"), counts,
+          graft.operators.LangModel.totalTokens(counts))
+      }))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the
@@ -404,7 +449,27 @@ object Bench {
           .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
             col("value").as("p_value")),
         Seq("user_id"), "ts", "ts",
-        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))))
+        rightVals = Seq("purchase_id" -> "p_id", "purchase_value" -> "p_value"))),
+      s"decontaminate_fuzzy$xs" -> (() => Dedup.contaminationFuzzy(docs10,
+        col("doc_id"), col("text"), docs.filter(col("doc_id") % 20 === 0),
+        col("doc_id"), col("text"))),
+      s"vocab_encode$xs" -> (() => {
+        val v = graft.operators.Vocab.buildVocab(docs10, col("text"),
+          maxSize = 30000, minCount = 2)
+        graft.operators.Vocab.encodeTokens(docs10, col("doc_id"),
+          col("text"), v)
+      }),
+      // cluster count scales WITH the corpus (the SemDeDup recipe:
+      // constant expected cluster size) — a fixed K would grow the
+      // within-cluster pair volume quadratically, which is the wrong
+      // plan at any scale, not a property of this operator
+      s"semdedup$xs" -> (() => Dedup.semDedup(embs10, col("vec_id"),
+        col("embedding"), col("vec_id"),
+        graft.operators.Similarity.ivfCentroids(embs10, col("vec_id"),
+          col("embedding"),
+          nCentroids = math.min(16 * xMult,
+            graft.operators.Similarity.MaxCentroids), iters = 2),
+        threshold = 0.4)))
 
     // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
     // timed (the JIT universe is already compiled by the main loop —

@@ -185,7 +185,62 @@ object PlanAudit {
         graft.operators.Sampling.packSequences(docs, col("doc_id"),
           graft.functions.TextFunctions.tokenCountWs(col("text")),
           maxTokens = 400L, ord = col("doc_id"), shards = 8),
-        noSinglePartition = true, equiJoinOnly = true)
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("fuzzy decontamination (broadcast eval band buckets; hit-sized re-joins)",
+        Dedup.contaminationFuzzy(docs.where(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text")),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("semdedup (map-side centroid assignment; cluster-key equijoin only)",
+        Dedup.semDedup(embs, col("vec_id"), col("embedding"), col("vec_id"),
+          graft.operators.Similarity.ivfCentroids(embs, col("vec_id"),
+            col("embedding"), nCentroids = 4, iters = 1),
+          threshold = 0.4),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("incremental dedup, broadcast prior (map-side anti probe, no SMJ)",
+        graft.operators.Snapshot.dedupAgainst(
+          docs.where(col("doc_id") % 2 === 0), md5(col("text")),
+          docs.where(col("doc_id") % 3 === 0), md5(col("text")),
+          broadcastPrior = true),
+        noSinglePartition = true, broadcastProbe = true),
+      Audited("incremental dedup vs bloom sketch (pure filter, zero shuffle)",
+        graft.operators.Snapshot.dedupAgainstBloom(
+          docs.where(col("doc_id") % 2 === 0), md5(col("text")),
+          graft.operators.Snapshot.priorKeyBloom(
+            docs.where(col("doc_id") % 3 === 0), md5(col("text")),
+            expectedItems = Some(1000L))),
+        noSinglePartition = true, noShuffle = true),
+      Audited("corpus diff (two pruned scans into one full-outer equijoin)",
+        graft.operators.Snapshot.corpusDiff(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 5 =!= 0),
+          col("doc_id"), md5(col("text"))),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("vocab encode (top-V heap merge; broadcast lookup, no SMJ)",
+        // the vocab-sized row_number window legitimately runs single-
+        // partition (<= maxSize rows), so noSinglePartition stays off
+        graft.operators.Vocab.encodeTokens(docs, col("doc_id"), col("text"),
+          graft.operators.Vocab.buildVocab(docs, col("text"), maxSize = 150,
+            minCount = 2)),
+        broadcastProbe = true, takeOrdered = true),
+      Audited("group winsorize (broadcast fence table — data rows never shuffle)",
+        new GroupBy(li, Seq(col("l_returnflag")))
+          .winsorize(col("l_quantity"), 0.05, 0.95),
+        noSinglePartition = true, broadcastProbe = true),
+      Audited("group mode (two partial-aggregatable hash aggs, no window, no sort)",
+        new GroupBy(li, Seq(col("l_returnflag"))).mode(col("l_quantity")),
+        noSinglePartition = true),
+      Audited("group top-k values (partial WindowGroupLimit below the key shuffle)",
+        new GroupBy(orders, Seq(col("o_orderstatus")))
+          .topKValues(col("o_orderpriority"), 3),
+        noSinglePartition = true, windowGroupLimit = true),
+      Audited("unigram LM scoring (broadcast vocab lookup — corpus scan never shuffles for the join)",
+        graft.operators.LangModel.scoreByUnigram(docs, col("doc_id"),
+          col("text"),
+          graft.operators.LangModel.unigramCounts(
+            docs.where(col("doc_id") % 2 === 0), col("text")),
+          total = 100000L),
+        noSinglePartition = true, broadcastProbe = true)
     )
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Joins, Margins, Multimodal, Reshape, RollingOps, Sampling, SelectionOps, Similarity}
+import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -419,20 +419,29 @@ object SparkEntry {
     * decimal-exact element-wise means; queries probe their nProbe
     * best centroids and rank exact cosine within those buckets.
     */
-  private def ivfOracleSql(nCentroids: Int, nProbe: Int, iters: Int,
-      k: Int, dim: Int): String = {
+  /** Decimal-exact cosine of a float-list column `e` vs a double-list
+    * column `c` — mirrors Similarity.cosExact term for term. Shared by
+    * the IVF and SemDeDup oracles.
+    */
+  private def decCosSql(e: String, c: String, dim: Int): String = {
+    def ls(term: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
+        s"ii -> CAST($term AS DECIMAL(38,8)))) AS DOUBLE)"
+    val dot = ls(s"CAST($e[ii] AS DOUBLE) * $c[ii]")
+    val ne = ls(s"CAST($e[ii] AS DOUBLE) * CAST($e[ii] AS DOUBLE)")
+    val nc = ls(s"$c[ii] * $c[ii]")
+    s"($dot / (sqrt($ne) * sqrt($nc)))"
+  }
+
+  /** Shared CTE prefix of the IVF-family oracles: embeddings `e`,
+    * seeded `c0`, `iters` unrolled Lloyd iterations (assign →
+    * decimal-exact element means → rebuilt centroid lists), and the
+    * final per-vector assignment `asg(nid, cid)` against c{iters} —
+    * exactly [[Similarity.ivfCentroids]] + [[Similarity.assignCentroid]].
+    */
+  private def ivfAssignCtes(nCentroids: Int, iters: Int, dim: Int): String = {
     import graft.functions.PortableHash
-    // decimal-exact cosine of a float-list column `e` vs a double-list
-    // column `c` — mirrors Similarity.cosExact term for term
-    def cosSql(e: String, c: String): String = {
-      def ls(term: String) =
-        s"CAST(list_sum(list_transform(generate_series(1, $dim), " +
-          s"ii -> CAST($term AS DECIMAL(38,8)))) AS DOUBLE)"
-      val dot = ls(s"CAST($e[ii] AS DOUBLE) * $c[ii]")
-      val ne = ls(s"CAST($e[ii] AS DOUBLE) * CAST($e[ii] AS DOUBLE)")
-      val nc = ls(s"$c[ii] * $c[ii]")
-      s"($dot / (sqrt($ne) * sqrt($nc)))"
-    }
+    def cosSql(e: String, c: String) = decCosSql(e, c, dim)
     val iterCtes = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
       s"""a$it AS (SELECT d.vec_id,
@@ -448,7 +457,7 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
     val fin = s"c$iters"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
        |c0 AS (SELECT rn - 1 AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
        |  FROM (SELECT vec_id, embedding, ROW_NUMBER() OVER (
@@ -457,7 +466,38 @@ object SparkEntry {
        |$iterCtes,
        |asg AS (SELECT d.vec_id AS nid,
        |  (MAX(struct_pack(c := ${cosSql("d.embedding", "p.cv")}, i := p.cid))).i AS cid
-       |  FROM e d CROSS JOIN $fin p GROUP BY d.vec_id),
+       |  FROM e d CROSS JOIN $fin p GROUP BY d.vec_id)""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.semDedup(exact=true) over the
+    * ivfCentroids(exact=true) index with ord = vec_id: centroid
+    * training + assignment via [[ivfAssignCtes]], then within-cluster
+    * decimal-exact cosine pairs and the earliest-mate drop rule.
+    */
+  private def semDedupOracleSql(nCentroids: Int, iters: Int, dim: Int,
+      threshold: Double): String =
+    s"""WITH ${ivfAssignCtes(nCentroids, iters, dim)},
+       |pr AS (SELECT a.nid AS ida, b.nid AS idb
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.nid < b.nid),
+       |t AS (SELECT pr.ida, pr.idb, unnest(ea.embedding)::DOUBLE AS x,
+       |    unnest(eb.embedding)::DOUBLE AS y
+       |  FROM pr JOIN e ea ON pr.ida = ea.vec_id JOIN e eb ON pr.idb = eb.vec_id),
+       |d2 AS (SELECT ida, idb,
+       |  CAST(SUM(CAST(x*y AS DECIMAL(38,8))) AS DOUBLE) AS dot,
+       |  CAST(SUM(CAST(x*x AS DECIMAL(38,8))) AS DOUBLE) AS na,
+       |  CAST(SUM(CAST(y*y AS DECIMAL(38,8))) AS DOUBLE) AS nb
+       |  FROM t GROUP BY 1, 2),
+       |dropped AS (SELECT DISTINCT idb FROM d2
+       |  WHERE dot / (sqrt(na) * sqrt(nb)) >= $threshold)
+       |SELECT a.nid AS doc_id, a.cid, (d.idb IS NULL) AS kept
+       |FROM asg a LEFT JOIN dropped d ON a.nid = d.idb
+       |ORDER BY doc_id""".stripMargin
+
+  private def ivfOracleSql(nCentroids: Int, nProbe: Int, iters: Int,
+      k: Int, dim: Int): String = {
+    def cosSql(e: String, c: String) = decCosSql(e, c, dim)
+    val fin = s"c$iters"
+    s"""WITH ${ivfAssignCtes(nCentroids, iters, dim)},
        |probes AS (SELECT q.vec_id AS qid, p.cid,
        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |    ORDER BY ${cosSql("q.embedding", "p.cv")} DESC, p.cid DESC) AS pr
@@ -508,7 +548,8 @@ object SparkEntry {
   // ------------------------------------------------------------ queries
 
   private def all: Seq[Q] =
-    coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps ++ joinOps
+    coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps ++
+      joinOps ++ corpusOps
 
   /** events with a micros-typed ts column, whatever the session's
     * nanos handling produced (long nanos under nanosAsLong, else a
@@ -584,6 +625,59 @@ object SparkEntry {
           |FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           |  ON l.user_id = r.user_id AND l.ts <= r.ts
+          |ORDER BY l.event_id""".stripMargin)),
+
+      Q("join_asof_nearest",
+        // nearest purchase in |time|, either direction; an exact-
+        // distance tie prefers the earlier (backward) purchase —
+        // pandas direction='nearest'. The oracle is the explicit
+        // argmin over all (left, right) pairs, independent of the
+        // engine's window formulation.
+        (s, dir) => Joins.asof(nonPurchases(s, dir), purchases(s, dir),
+            Seq("user_id"), "ts_us", "ts_us",
+            rightVals = Seq("near_purchase_id" -> "p_id"),
+            direction = Joins.Nearest, matchedTs = Some("near_ts_us"))
+          .orderBy(col("event_id")),
+        Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+          |  FROM events WHERE event_type <> 'purchase'),
+          | r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS p_id
+          |  FROM events WHERE event_type = 'purchase'),
+          | cand AS (SELECT l.event_id, r.ts_us AS rts, r.p_id,
+          |   abs(l.ts_us - r.ts_us) AS d,
+          |   CASE WHEN r.ts_us <= l.ts_us THEN 0 ELSE 1 END AS pref
+          |   FROM l JOIN r ON l.user_id = r.user_id),
+          | best AS (SELECT event_id, rts, p_id FROM (
+          |   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+          |     ORDER BY d, pref, p_id DESC) AS rn FROM cand) WHERE rn = 1)
+          |SELECT l.user_id, l.ts_us, l.event_id, b.rts AS near_ts_us,
+          |  b.p_id AS near_purchase_id
+          |FROM l LEFT JOIN best b USING (event_id)
+          |ORDER BY l.event_id""".stripMargin)),
+
+      Q("join_asof_nearest_split",
+        // Nearest under the sliceWidth lever: BOTH directions' slice
+        // carries inject (each visible only to its own window frame) —
+        // same independent all-pairs oracle as the unsplit gate
+        (s, dir) => Joins.asof(nonPurchases(s, dir), purchases(s, dir),
+            Seq("user_id"), "ts_us", "ts_us",
+            rightVals = Seq("near_purchase_id" -> "p_id"),
+            direction = Joins.Nearest, matchedTs = Some("near_ts_us"),
+            sliceWidth = Some(21600000000L))
+          .orderBy(col("event_id")),
+        Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+          |  FROM events WHERE event_type <> 'purchase'),
+          | r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS p_id
+          |  FROM events WHERE event_type = 'purchase'),
+          | cand AS (SELECT l.event_id, r.ts_us AS rts, r.p_id,
+          |   abs(l.ts_us - r.ts_us) AS d,
+          |   CASE WHEN r.ts_us <= l.ts_us THEN 0 ELSE 1 END AS pref
+          |   FROM l JOIN r ON l.user_id = r.user_id),
+          | best AS (SELECT event_id, rts, p_id FROM (
+          |   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+          |     ORDER BY d, pref, p_id DESC) AS rn FROM cand) WHERE rn = 1)
+          |SELECT l.user_id, l.ts_us, l.event_id, b.rts AS near_ts_us,
+          |  b.p_id AS near_purchase_id
+          |FROM l LEFT JOIN best b USING (event_id)
           |ORDER BY l.event_id""".stripMargin)),
 
       Q("join_range",
@@ -2552,6 +2646,377 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0)
         |SELECT doc_id, COUNT(*) AS n_shared FROM sh JOIN ev USING (s)
         |WHERE doc_id % 20 <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+  )
+
+  /** DuckDB replay of Dedup.contaminationFuzzy over
+    * PortableHash.polyHash, with the corpus split into train
+    * (doc_id % 10 ≠ 0) and eval (doc_id % 10 = 0): signatures exactly
+    * as [[minHashOracleSql]], candidacy as band-slice equality across
+    * the two sides, the agreement estimate thresholded, grouped per
+    * train doc.
+    */
+  private def fuzzyContamOracleSql(k: Int, bands: Int, threshold: Double,
+      seed: Long): String = {
+    import graft.functions.PortableHash
+    val p = PortableHash.P
+    val minTerms = Dedup.minHashCoeffs(k, seed).zipWithIndex.map {
+      case ((a, b), j) => s"MIN(($a * x + $b) % $p) AS h$j"
+    }.mkString(", ")
+    val sigList = (0 until k).map(j => s"h$j").mkString("[", ", ", "]")
+    val rpb = k / bands
+    val hi = s"CASE WHEN bb = ${bands - 1} THEN $k ELSE (bb + 1) * $rpb END"
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i + 1])) AS s FROM w)),
+       |hx AS (SELECT doc_id, ${PortableHash.polyHashSql("s")} AS x FROM sh),
+       |sg0 AS (SELECT doc_id, $minTerms FROM hx GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigList AS sig FROM sg0),
+       |cand AS (SELECT t.doc_id, v.doc_id AS eval_id, t.sig AS ts, v.sig AS vs
+       |  FROM sg t JOIN sg v ON t.doc_id % 10 <> 0 AND v.doc_id % 10 = 0
+       |  WHERE list_contains(list_transform(generate_series(0, ${bands - 1}),
+       |    bb -> t.sig[(bb * $rpb + 1):($hi)] = v.sig[(bb * $rpb + 1):($hi)]), true)),
+       |est AS (SELECT doc_id, eval_id,
+       |  list_sum(list_transform(generate_series(1, $k),
+       |    j -> CASE WHEN ts[j] = vs[j] THEN 1 ELSE 0 END)) / CAST($k AS DOUBLE)
+       |    AS est FROM cand)
+       |SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(est) AS max_est
+       |FROM est WHERE est >= $threshold
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared vocab CTEs (token counts → top-`maxSize` with the
+    * (freq DESC, token ASC) total order → dense ids from 1): the
+    * DuckDB replay of Vocab.buildVocab, ending in
+    * `v(token, token_id, freq)`.
+    */
+  private def vocabCtes(maxSize: Int, minCount: Long): String =
+    s"""tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token, COUNT(*) AS freq FROM tk WHERE token <> ''
+       |  GROUP BY 1 HAVING COUNT(*) >= $minCount),
+       |top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT $maxSize),
+       |v AS (SELECT token,
+       |  ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS token_id, freq
+       |  FROM top)""".stripMargin
+
+  /** Corpus-lifecycle extension gates: snapshot diff / incremental
+    * dedup, fuzzy decontamination, SemDeDup, vocabulary build/encode,
+    * group winsorize, pct_change, WAV header decode.
+    */
+  private def corpusOps: Seq[Q] = Seq(
+    Q("corpus_diff",
+      // two snapshots simulated from the same corpus: the old one is
+      // missing multiples of 7, the new one is missing multiples of 5
+      // and rewrites multiples of 11 — so all four statuses occur and
+      // the md5 fingerprint drives "changed" detection in both engines
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val oldSnap = d.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            upper(col("text"))).otherwise(col("text")))
+        Snapshot.corpusDiff(oldSnap, newSnap, col("doc_id"), md5(col("text")))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS old_fp
+        |   FROM documents WHERE doc_id % 7 <> 0),
+        | n AS (SELECT doc_id,
+        |   md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_fp
+        |   FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp,
+        |  CASE WHEN o.old_fp IS NULL THEN 'added'
+        |       WHEN n.new_fp IS NULL THEN 'removed'
+        |       WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
+    Q("corpus_diff_summary",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        Snapshot.corpusDiffSummary(
+          d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 11 === 0,
+              upper(col("text"))).otherwise(col("text"))),
+          col("doc_id"), md5(col("text")))
+          .orderBy(col("status"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS old_fp
+        |   FROM documents WHERE doc_id % 7 <> 0),
+        | n AS (SELECT doc_id,
+        |   md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END) AS new_fp
+        |   FROM documents WHERE doc_id % 5 <> 0),
+        | d AS (SELECT CASE WHEN o.old_fp IS NULL THEN 'added'
+        |   WHEN n.new_fp IS NULL THEN 'removed'
+        |   WHEN o.old_fp = n.new_fp THEN 'unchanged'
+        |   ELSE 'changed' END AS status
+        |   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n_docs FROM d
+        |GROUP BY status ORDER BY status""".stripMargin)),
+
+    Q("dedup_incremental",
+      // new batch (even ids) against a published prior snapshot
+      // (multiples of 3), keyed on the md5 of NORMALIZED text so the
+      // screen catches case/punctuation variants exactly as the
+      // dedup_exact_normalized pass does
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val key = md5(TextFunctions.normalizeForDedup(col("text")))
+        Snapshot.dedupAgainst(
+            d.filter(col("doc_id") % 2 === 0), key,
+            d.filter(col("doc_id") % 3 === 0), key,
+            broadcastPrior = true)
+          .select(col("doc_id")).orderBy(col("doc_id"))
+      },
+      Some("""WITH norm AS (SELECT doc_id,
+        |   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+        |   FROM documents)
+        |SELECT b.doc_id FROM norm b
+        |WHERE b.doc_id % 2 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM norm p WHERE p.doc_id % 3 = 0 AND p.h = b.h)
+        |ORDER BY b.doc_id""".stripMargin)),
+
+    Q("decontaminate_fuzzy",
+      // near-dup (not just exact-gram) train×eval screen on the
+      // portable hash: train = doc_id % 10 != 0, eval = the rest —
+      // the corpus's near-dup pairs that straddle the split are the
+      // contamination signal
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        Dedup.contaminationFuzzy(
+            d.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+            d.filter(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+            threshold = 0.5,
+            baseHash = graft.functions.PortableHash.polyHash(_))
+          .orderBy(col("doc_id"))
+      },
+      Some(fuzzyContamOracleSql(k = 64, bands = 16, threshold = 0.5,
+        seed = 42L))),
+
+    Q("semdedup",
+      // SemDeDup over the decimal-exact IVF index (8 clusters, 2 Lloyd
+      // iterations, portable seed hash) with ord = vec_id: cluster
+      // assignment, within-cluster pair cosines, and the
+      // earliest-mate drop verdict all replay bit-identically
+      (s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, col("vec_id"),
+          col("embedding"), nCentroids = 8, iters = 2, exact = true,
+          seedHash = graft.functions.PortableHash.intHash(_))
+        Dedup.semDedup(emb, col("vec_id"), col("embedding"),
+            col("vec_id"), cents, threshold = 0.4, exact = true)
+          .select(col("doc_id"), col("cid").cast("long").as("cid"),
+            col("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(semDedupOracleSql(nCentroids = 8, iters = 2, dim = 64,
+        threshold = 0.4))),
+
+    Q("vocab_build",
+      (s, dir) => Vocab.buildVocab(T(s, dir, "documents"), col("text"),
+        maxSize = 150, minCount = 2).orderBy(col("token_id")),
+      Some(s"""WITH ${vocabCtes(150, 2)}
+        |SELECT token, token_id, freq FROM v ORDER BY token_id"""
+        .stripMargin)),
+
+    Q("vocab_encode",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        Vocab.encodeTokens(d, col("doc_id"), col("text"),
+            Vocab.buildVocab(d, col("text"), maxSize = 150, minCount = 2))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${vocabCtes(150, 2)},
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |enc AS (SELECT doc_id, pos, COALESCE(v.token_id, 0) AS tid
+        |  FROM toks LEFT JOIN v ON toks.tok = v.token)
+        |SELECT doc_id, list(tid ORDER BY pos) AS ids
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("vocab_oov",
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        Vocab.oovStats(d, col("doc_id"), col("text"),
+            Vocab.buildVocab(d, col("text"), maxSize = 150, minCount = 2))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${vocabCtes(150, 2)},
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |j AS (SELECT doc_id, v.token_id
+        |  FROM toks LEFT JOIN v ON toks.tok = v.token),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |  COUNT(CASE WHEN token_id IS NULL THEN 1 END) AS n_oov
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    Q("gb_winsorize",
+      // group-quantile clipping; rounded on both sides like
+      // gb_quantile (interpolation is float-op-order-sensitive at the
+      // last ulp; l_quantity is integer-valued so 4 decimals is far
+      // beyond the fence resolution)
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"),
+          Seq(col("l_returnflag")))
+        .winsorize(col("l_quantity"), 0.05, 0.95, out = "wq")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), round(col("wq"), 4).as("wq"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""WITH f AS (SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.05) AS qlo,
+        |  quantile_cont(l_quantity, 0.95) AS qhi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  ROUND(CASE WHEN l.l_quantity IS NULL THEN NULL
+        |    ELSE least(greatest(CAST(l.l_quantity AS DOUBLE), f.qlo), f.qhi)
+        |    END, 4) AS wq
+        |FROM lineitem l JOIN f USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("pct_change",
+      (s, dir) => evOut(new RollingOps(evGb(s, dir))
+        .pctChange(col("value"), col("ts"), 1, name = "pct1"), "pct1"),
+      Some("""SELECT event_id, user_id,
+        | CASE WHEN LAG(value, 1) OVER w IS NULL OR LAG(value, 1) OVER w = 0
+        |      THEN NULL
+        |      ELSE (value - LAG(value, 1) OVER w) / LAG(value, 1) OVER w
+        | END AS pct1
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("mm_audio_headers",
+      // REAL RIFF/WAVE round-trip, the audio twin of
+      // mm_decode_headers: Spark synthesizes genuine WAV headers
+      // (PCM fmt + data chunk, all fields little-endian, parameters
+      // injected from doc_id), AudioCodec walks the chunks BACK from
+      // the bytes, and the oracle replays the injection arithmetic.
+      // A parser bug (offset, endianness, block-align math) breaks
+      // the round-trip and the hash.
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        def bdiv(c: Column, q: Long): Column = floor(c / lit(q)).cast("long")
+        def hx(c: Column, n: Int) = lpad(hex(c), n, "0")
+        def le16(c: Column) = concat(hx(pmod(c, lit(256)), 2),
+          hx(pmod(bdiv(c, 256L), lit(256)), 2))
+        def le32(c: Column) = concat(hx(pmod(c, lit(256)), 2),
+          hx(pmod(bdiv(c, 256L), lit(256)), 2),
+          hx(pmod(bdiv(c, 65536L), lit(256)), 2),
+          hx(pmod(bdiv(c, 16777216L), lit(256)), 2))
+        val ch = (lit(1) + pmod(col("doc_id"), lit(2))).cast("long")
+        val rate = (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("long")
+        val blockAlign = ch * 2 // 16-bit PCM
+        val nFrames = (lit(100) + pmod(col("doc_id"), lit(400))).cast("long")
+        val dataSize = nFrames * blockAlign
+        val hexStr = concat(
+          lit("52494646"), le32(lit(36L) + dataSize), lit("57415645"), // RIFF size WAVE
+          lit("666D7420"), le32(lit(16L)),                             // "fmt " 16
+          le16(lit(1L)), le16(ch), le32(rate),                        // PCM, channels, rate
+          le32(rate * blockAlign), le16(blockAlign), le16(lit(16L)),  // byteRate, align, bits
+          lit("64617461"), le32(dataSize))                            // "data" size
+        val bin = d.select(col("doc_id"), unhex(hexStr).as("bytes"))
+        Multimodal.decodeAudioHeaders(bin, col("doc_id"), col("bytes")).toDF()
+          .select(col("id"), col("format"),
+            col("channels").cast("long").as("channels"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("bits").cast("long").as("bits"),
+            col("n_frames"), col("valid"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id, 'wav' AS format,
+        | CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        | CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        | CAST(16 AS BIGINT) AS bits,
+        | CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        | TRUE AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("gb_mode",
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"),
+          Seq(col("l_returnflag"))).mode(col("l_quantity")),
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity AS v, COUNT(*) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2)
+        |SELECT l_returnflag,
+        |  (MIN(struct_pack(nn := -n, v := v))).v AS mode,
+        |  -((MIN(struct_pack(nn := -n, v := v))).nn) AS mode_count
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("gb_topk_values",
+      (s, dir) => new GroupBy(T(s, dir, "orders"),
+          Seq(col("o_orderstatus"))).topKValues(col("o_orderpriority"), 3),
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority AS value,
+        |  COUNT(*) AS value_count FROM orders
+        |  WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2)
+        |SELECT o_orderstatus, value, value_count, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY value_count DESC, value) AS rank FROM c)
+        |WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin)),
+
+    Q("lm_score",
+      // unigram-LM quality scores (CCNet-family signal) under a
+      // reference half of the corpus. mean_logp rounds like var/std:
+      // the per-token ln terms are decimal-SUMMED (order-exact), but
+      // ln itself is only correctly-rounded-per-engine, so the last
+      // ulp of a term can differ; mean_freq is the log-free twin and
+      // stays unrounded/hash-exact
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val counts = LangModel.unigramCounts(
+          d.filter(col("doc_id") % 2 === 0), col("text"))
+        val total = LangModel.totalTokens(counts)
+        LangModel.scoreByUnigram(d, col("doc_id"), col("text"), counts, total)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("mean_logp"), 4).as("mean_logp"), col("mean_freq"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | tk AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+        | ref AS (SELECT token, COUNT(*) AS cnt FROM tk
+        |   WHERE doc_id % 2 = 0 GROUP BY 1),
+        | tot AS (SELECT SUM(cnt) AS t FROM ref),
+        | j AS (SELECT doc_id, CAST(COALESCE(r.cnt, 1) AS DOUBLE) AS c
+        |   FROM tk LEFT JOIN ref r USING (token)),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |   CAST(SUM(CAST(ln(c) AS DECIMAL(38,8))) AS DOUBLE) AS sumln,
+        |   CAST(SUM(CAST(c / (SELECT t FROM tot) AS DECIMAL(38,8))) AS DOUBLE) AS sumfreq
+        |   FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(sumln / n_tokens - ln((SELECT t FROM tot)), 4) AS mean_logp,
+        |  sumfreq / n_tokens AS mean_freq
+        |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    Q("lm_kl",
+      // corpus-drift probe: KL between one third of the corpus and
+      // the rest; rounded like every log-derived output
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        LangModel.unigramKl(
+            d.filter(col("doc_id") % 3 === 0), col("text"),
+            d.filter(col("doc_id") % 3 =!= 0), col("text"))
+          .select(col("n_tokens_p"), col("n_types_p"),
+            round(col("kl_nats"), 4).as("kl_nats"))
+      },
+      Some("""WITH tk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | tk AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+        | p AS (SELECT token, COUNT(*) AS cnt FROM tk
+        |   WHERE doc_id % 3 = 0 GROUP BY 1),
+        | q AS (SELECT token, COUNT(*) AS qcnt FROM tk
+        |   WHERE doc_id % 3 <> 0 GROUP BY 1),
+        | qt AS (SELECT SUM(qcnt) AS t FROM q),
+        | s AS (SELECT CAST(SUM(p.cnt) AS BIGINT) AS n_tokens_p, COUNT(*) AS n_types_p,
+        |   CAST(SUM(CAST((ln(CAST(p.cnt AS DOUBLE)) -
+        |     ln(CAST(COALESCE(q.qcnt, 1) AS DOUBLE))) * CAST(p.cnt AS DOUBLE)
+        |     AS DECIMAL(38,8))) AS DOUBLE) AS srel
+        |   FROM p LEFT JOIN q USING (token))
+        |SELECT n_tokens_p, n_types_p,
+        |  ROUND(srel / n_tokens_p - ln(CAST(n_tokens_p AS DOUBLE))
+        |    + ln(CAST((SELECT t FROM qt) AS DOUBLE)), 4) AS kl_nats
+        |FROM s""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

@@ -545,6 +545,80 @@ object Dedup {
     scored.filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic
+    * near-dup removal over an embedding column. Every document is
+    * assigned map-side to its nearest centroid (literal-expression
+    * argmax — no join, no shuffle; centroids from
+    * [[Similarity.ivfCentroids]] or any caller-trained list), then
+    * cosine pairs are computed WITHIN clusters only and a document is
+    * dropped iff some (ord, id)-earlier cluster-mate sits within the
+    * threshold — the paper's "keep one per ε-ball" rule made
+    * deterministic by the explicit ord. Returns one verdict row per
+    * document: (doc_id, cid, kept).
+    *
+    * Distributed shape: the only shuffles are the cluster-key
+    * self-join and the dropped-id distinct. Pair volume is Σ(cluster
+    * size)² — the paper's own dial: choose nCentroids so clusters
+    * stay bounded (they cluster 1e9 docs into 25k clusters); the
+    * corpus-wide all-pairs never happens. The earliest-mate rule
+    * (rather than transitive closure) is the published semantics and
+    * needs no iterative driver loop — compose
+    * [[connectedComponents]] over [[embeddingPairs]] when full
+    * ε-closure clustering is wanted instead.
+    *
+    * `exact = true` makes BOTH the centroid assignment and the pair
+    * cosines decimal-accumulated (order-insensitive), so the verdict
+    * replays bit-identically in any engine given the same centroid
+    * literals — the gate mode. Default accumulates doubles
+    * (codegen-friendly, the production mode).
+    */
+  def semDedup(df: DataFrame, id: Column, vec: Column, ord: Column,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double,
+      exact: Boolean = false): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val assigned = df.select(id.as("doc_id"), ord.as("__ord"), vec.as("v"))
+      .withColumn("cid", Similarity.assignCentroid(col("v"), centroids, exact))
+    val a = assigned.select(col("cid"), col("doc_id").as("ida"),
+      col("__ord").as("orda"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("doc_id").as("idb"),
+      col("__ord").as("ordb"), col("v").as("vb"))
+    // strict (ord, id) precedence: a is the earlier mate, so only the
+    // later member of a pair can be dropped — the claim is retry- and
+    // partitioning-independent
+    val cand = a.join(b, Seq("cid"))
+      .filter(col("orda") < col("ordb") ||
+        (col("orda") === col("ordb") && col("ida") < col("idb")))
+    val scored =
+      if (!exact)
+        cand.select(col("idb"),
+          Similarity.cosine(col("va"), col("vb")).as("cos"))
+      else {
+        val terms = cand.select(col("ida"), col("idb"),
+          explode(zip_with(col("va"), col("vb"), (x, y) =>
+            struct((x.cast(DoubleType) * y.cast(DoubleType)).as("xy"),
+              (x.cast(DoubleType) * x.cast(DoubleType)).as("xx"),
+              (y.cast(DoubleType) * y.cast(DoubleType)).as("yy")))).as("t"))
+        terms.groupBy("ida", "idb")
+          .agg(
+            F.sum(col("t.xy").cast(graft.functions.Num.DotDec))
+              .cast(DoubleType).as("dot"),
+            F.sum(col("t.xx").cast(graft.functions.Num.DotDec))
+              .cast(DoubleType).as("na"),
+            F.sum(col("t.yy").cast(graft.functions.Num.DotDec))
+              .cast(DoubleType).as("nb"))
+          .select(col("idb"),
+            graft.functions.Num.safeDiv(col("dot"),
+              sqrt(col("na")) * sqrt(col("nb"))).as("cos"))
+      }
+    val dropped = scored.filter(col("cos") >= threshold)
+      .select(col("idb").as("doc_id")).distinct()
+      .withColumn("__graft_dup", lit(true))
+    assigned.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cid"),
+        coalesce(!col("__graft_dup"), lit(true)).as("kept"))
+  }
+
   /** 64-bit SimHash per document: each word hash votes ±1 on its bit
     * positions; the sign vector packs into one long. One aggregation
     * pass (64 sums). `wordHash` defaults to xxhash64; pass
@@ -791,6 +865,63 @@ object Dedup {
     train.select(trainId.as("doc_id"),
       org.apache.spark.sql.graft.BloomExpressions.bloomAnyContain(
         shingleArray(trainText, n, sep), bloom).as("maybe_contaminated"))
+
+  /** FUZZY eval-set decontamination: flag training documents that are
+    * MinHash NEAR-duplicates of some eval/holdout document — the
+    * screen [[contamination]]'s exact shared-n-gram count cannot
+    * provide when contamination is paraphrased or lightly edited
+    * (the common case for benchmark text scraped into web corpora).
+    * Returns one row per flagged training document:
+    * (doc_id, n_eval_matches, max_est) — how many eval docs it
+    * collides with at `threshold`, and the best signature-agreement
+    * Jaccard estimate.
+    *
+    * Distributed shape: BOTH sides take the projection-form signature
+    * ([[withMinHashSignature]] — zero shuffle off either scan), the
+    * eval side's (band, bucket) slices broadcast
+    * (`broadcastEval = false` falls back to a shuffled equijoin when
+    * the eval corpus is itself huge), so the 100 TB training scan
+    * meets the probe map-side. Candidate hits — NOT the corpus — are
+    * deduplicated and re-joined to the two signature tables once for
+    * the agreement estimate (the [[minHashCandidates]] shuffle
+    * economics: buckets carry only ids, signatures ride exactly one
+    * join per surviving pair). Volume is bounded by train docs ×
+    * bands on the probe side and by true collisions afterward.
+    */
+  def contaminationFuzzy(train: DataFrame, trainId: Column,
+      trainText: Column, eval: DataFrame, evalId: Column,
+      evalText: Column, n: Int = 2, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_),
+      broadcastEval: Boolean = true, sep: String = " "): DataFrame = {
+    require(bands >= 1 && bands <= k,
+      s"bands must be in [1, k=$k], got $bands")
+    def sigOf(df: DataFrame, id: Column, text: Column, outId: String) =
+      withMinHashSignature(df.select(id.as(outId), text.as("__graft_t")),
+        col("__graft_t"), "sig", n, k, seed, baseHash, sep)
+        .drop("__graft_t")
+        // sub-n-word documents have no shingle signal (all-null
+        // signature) — mirror the aggregation form, which never
+        // emits a row for them
+        .filter(F.size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+    val tSig = sigOf(train, trainId, trainText, "doc_id")
+    val eSig = sigOf(eval, evalId, evalText, "eval_id")
+    val tB = bandBuckets(tSig.select(col("doc_id"), col("sig")), bands)
+    val eB = bandBuckets(eSig.select(col("eval_id"), col("sig")), bands)
+    val probe = if (broadcastEval) F.broadcast(eB) else eB
+    val hits = tB.join(probe, Seq("band", "bucket"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val ePairSig = eSig.select(col("eval_id"), col("sig").as("__esig"))
+    hits
+      .join(tSig.select(col("doc_id"), col("sig").as("__tsig")), "doc_id")
+      .join(if (broadcastEval) F.broadcast(ePairSig) else ePairSig, "eval_id")
+      .withColumn("est",
+        expr("size(filter(zip_with(__tsig, __esig, (x, y) -> x = y), z -> z))")
+          .cast(DoubleType) / expr("size(__tsig)"))
+      .filter(col("est") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(F.count(lit(1)).as("n_eval_matches"), F.max(col("est")).as("max_est"))
+  }
 
   /** Connected components of a near-duplicate pair graph: every vertex
     * of `pairs` labeled with the MINIMUM vertex id reachable through

@@ -368,6 +368,41 @@ final class GroupBy(
       param = Some(q))
   }
 
+  /** Winsorize a value within each group: clip to the group's exact
+    * [`lo`, `hi`] linear-interpolation quantiles (the standard
+    * outlier-capping pass run on quality scores before
+    * weighted sampling or mixture balancing). Returns the input rows
+    * (null keys dropped, as everywhere) plus the clipped DOUBLE
+    * column `out`; null values stay null (a pandas `clip` would,
+    * and least/greatest silently skip nulls — the explicit guard
+    * keeps the null row a null, not the lower fence).
+    *
+    * Distributed shape: one bounded per-group quantile aggregation
+    * (group-count rows), then the fences rejoin the input on the
+    * keys. The fence table BROADCASTS by default — group counts are
+    * tiny next to the corpus, so the input is clipped map-side with
+    * ZERO shuffle of the data rows; pass `broadcastQuantiles = false`
+    * at extreme group cardinalities and the join falls back to a
+    * hash shuffle on the keys (both sides co-partition).
+    */
+  def winsorize(value: Column, lo: Double = 0.01, hi: Double = 0.99,
+      out: String = "winsorized",
+      broadcastQuantiles: Boolean = true): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi,
+      s"fences must satisfy 0 <= lo <= hi <= 1, got lo=$lo hi=$hi")
+    require(!base.columns.contains(out),
+      s"output column '$out' already exists on the input — pick another name")
+    val fences = base.groupBy(keyCols: _*).agg(
+      F.percentile(value, lit(lo)).as("__graft_qlo"),
+      F.percentile(value, lit(hi)).as("__graft_qhi"))
+    val probe = if (broadcastQuantiles) F.broadcast(fences) else fences
+    val v = value.cast(DoubleType)
+    base.join(probe, keyNames)
+      .withColumn(out, when(v.isNull, lit(null).cast(DoubleType))
+        .otherwise(F.least(F.greatest(v, col("__graft_qlo")), col("__graft_qhi"))))
+      .drop("__graft_qlo", "__graft_qhi")
+  }
+
   /** Adjusted Fisher-Pearson skewness (pandas `skew()` semantics —
     * bias-corrected G1; null for groups smaller than 3).
     */
@@ -389,6 +424,54 @@ final class GroupBy(
   def std(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("std", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
+
+  /** Most frequent non-null value per group (pandas `mode()`, first
+    * of the modes): `(keys…, out, out_count)`. Ties break on the
+    * SMALLEST value — a total, engine-independent rule (pandas
+    * returns all modes sorted; this is its head). Nulls are excluded
+    * like every pandas aggregation.
+    *
+    * Distributed shape: two hash aggregations — (keys, value) counts,
+    * then a per-key struct-min over (−count, value) — both
+    * partial-aggregatable map-side, no windows, no sorting of the
+    * data. A hot key costs one combiner per distinct value, not a
+    * single-task sort.
+    */
+  def mode(value: Column, out: String = "mode"): DataFrame = {
+    val counts = base.filter(value.isNotNull)
+      .groupBy(keyCols :+ value.as("__graft_v"): _*)
+      .agg(F.count(lit(1)).as("__graft_n"))
+    val picked = counts.groupBy(keyCols: _*)
+      .agg(F.min(struct((-col("__graft_n")).as("nn"),
+        col("__graft_v").as("v"))).as("__graft_m"))
+      .select(keyCols ++ Seq(col("__graft_m.v").as(out),
+        (-col("__graft_m.nn")).as(s"${out}_count")): _*)
+    if (sort) picked.orderBy(keyCols: _*) else picked
+  }
+
+  /** Top-`k` most frequent non-null values per group with counts and
+    * dense 1-based ranks: `(keys…, value, value_count, rank)` — the
+    * pandas `value_counts().head(k)` per group. Rank order is
+    * (count DESC, value ASC), total and engine-independent.
+    *
+    * Distributed shape: the (keys, value) count aggregation, then
+    * `row_number ≤ k` — which Spark plans as a PARTIAL
+    * WindowGroupLimit below the key exchange (each map task keeps at
+    * most k candidate values per key), so a key with millions of
+    * distinct values never sorts whole in one task.
+    */
+  def topKValues(value: Column, k: Int, out: String = "value"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = base.filter(value.isNotNull)
+      .groupBy(keyCols :+ value.as(out): _*)
+      .agg(F.count(lit(1)).as(s"${out}_count"))
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(s"${out}_count").desc, col(out))
+    val ranked = counts
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    if (sort) ranked.orderBy(keyCols :+ col("rank"): _*) else ranked
+  }
 
   /** Distinct non-null values per group (pandas `nunique`; exact —
     * use [[nuniqueApprox]] at extreme cardinalities).

@@ -32,6 +32,14 @@ object Joins {
   case object Backward extends Direction
   /** Match the smallest right ts >= left ts (DuckDB `ASOF ... <=`). */
   case object Forward extends Direction
+  /** Match whichever of the Backward/Forward candidates is closer in
+    * |ts|; an exact-distance tie prefers the BACKWARD row (pandas
+    * `direction='nearest'` semantics). `leftTs`/`rightTs` must be
+    * numeric (distances are compared). Plan shape: both directional
+    * matches resolve in the SAME single shuffle — two window sorts
+    * over one partitioning, never a second exchange.
+    */
+  case object Nearest extends Direction
 
   /** As-of (nearest-key temporal) left join.
     *
@@ -107,6 +115,12 @@ object Joins {
     val leftPart = left.select(
       (on.map(col) :+ col(leftTs).as(ts)) ++ leftOthers.map(col) :+
         lit(0).as(isR) :+ lit(null).cast(rightPart.schema(pay).dataType).as(pay): _*)
+    if (direction == Nearest)
+      require(leftPart.schema(ts).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"Nearest compares |ts| distances, so the ts columns must be " +
+          s"numeric (cast timestamps to unix micros first); got " +
+          leftPart.schema(ts).dataType)
 
     // sliceWidth: sub-partition the window by time slice. A left row's
     // true match is either in its own slice or it is the globally best
@@ -118,6 +132,49 @@ object Joins {
     // range, so it sorts first within the slice and loses to any
     // admissible in-slice right row under the same running-last rule.
     val sl = "__graft_slice"
+    // per (key, slice): the winning right row under the SAME rule the
+    // in-slice window applies — nearest ts first, then greatest payload
+    // (max of (orderTs, payload) structs); then, over slice SUMMARIES
+    // (rows ≈ slices, not data), the nearest earlier (later, fwd)
+    // non-empty slice's best, injected as one synthetic right row per
+    // left-occupied slice. For Nearest BOTH directions' carries inject:
+    // a backward carry's ts lies before the slice's range and a forward
+    // carry's after it, so each is visible only to its own direction's
+    // window frame.
+    def injectedCarries(rightS: DataFrame, leftS: DataFrame,
+        dir: Direction): DataFrame = {
+      val ordT = dir match {
+        case Forward => -col(ts)
+        case _       => col(ts)
+      }
+      val best = "__graft_best"
+      val src = "__graft_src"
+      val bestAgg = rightS.groupBy((on :+ sl).map(col): _*)
+        .agg(max(struct(ordT.as("o"), col(pay).as("p"))).as(best))
+      val need = leftS.select((on :+ sl).map(col): _*).distinct()
+        .withColumn(best, lit(null).cast(bestAgg.schema(best).dataType))
+        .withColumn(src, lit(0))
+      // src orders the left marker before the same slice's right
+      // summary so "1 preceding" excludes it
+      val sliceOrd = dir match {
+        case Forward => col(sl).desc
+        case _       => col(sl).asc
+      }
+      val cw = Window.partitionBy(on.map(col): _*)
+        .orderBy(sliceOrd, col(src).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = "__graft_carry"
+      val carries = bestAgg.withColumn(src, lit(1)).unionByName(need)
+        .withColumn(carry, last(col(best), ignoreNulls = true).over(cw))
+        .filter(col(src) === 0 && col(carry).isNotNull)
+        .select(on.map(col) ++ Seq(col(sl),
+          col(carry).getField("p").as(pay)): _*)
+      carries.select(
+        (on.map(col) :+ col(pay).getField("_ts").as(ts)) ++
+          leftOthers.map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(lit(1).as(isR), col(pay), col(sl)): _*)
+    }
     val unioned: DataFrame = sliceWidth match {
       case None => rightPart.unionByName(leftPart)
       case Some(wdt) =>
@@ -128,70 +185,38 @@ object Joins {
             .cast("long")
         val rightS = rightPart.withColumn(sl, fdiv(col(ts)))
         val leftS = leftPart.withColumn(sl, fdiv(col(ts)))
-        // per (key, slice): the winning right row under the SAME rule
-        // the in-slice window applies — nearest ts first, then greatest
-        // payload (max of (orderTs, payload) structs)
-        val ordT = direction match {
-          case Backward => col(ts)
-          case Forward  => -col(ts)
+        val dirs = direction match {
+          case Nearest => Seq(Backward, Forward)
+          case d       => Seq(d)
         }
-        val best = "__graft_best"
-        val src = "__graft_src"
-        val bestAgg = rightS.groupBy((on :+ sl).map(col): _*)
-          .agg(max(struct(ordT.as("o"), col(pay).as("p"))).as(best))
-        val need = leftS.select((on :+ sl).map(col): _*).distinct()
-          .withColumn(best, lit(null).cast(bestAgg.schema(best).dataType))
-          .withColumn(src, lit(0))
-        // running best over slice summaries (rows ≈ slices, not data):
-        // for each left-occupied slice, the nearest earlier (later, fwd)
-        // non-empty slice's best. src orders the left marker before the
-        // same slice's right summary so "1 preceding" excludes it.
-        val sliceOrd = direction match {
-          case Backward => col(sl).asc
-          case Forward  => col(sl).desc
-        }
-        val cw = Window.partitionBy(on.map(col): _*)
-          .orderBy(sliceOrd, col(src).asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val carry = "__graft_carry"
-        val carries = bestAgg.withColumn(src, lit(1)).unionByName(need)
-          .withColumn(carry, last(col(best), ignoreNulls = true).over(cw))
-          .filter(col(src) === 0 && col(carry).isNotNull)
-          .select(on.map(col) ++ Seq(col(sl),
-            col(carry).getField("p").as(pay)): _*)
-        val injected = carries.select(
-          (on.map(col) :+ col(pay).getField("_ts").as(ts)) ++
-            leftOthers.map(c =>
-              lit(null).cast(left.schema(c).dataType).as(c)) ++
-            Seq(lit(1).as(isR), col(pay), col(sl)): _*)
-        rightS.unionByName(leftS).unionByName(injected)
+        dirs.map(d => injectedCarries(rightS, leftS, d))
+          .foldLeft(rightS.unionByName(leftS))(_ unionByName _)
     }
     val partKeys = if (sliceWidth.isDefined) on :+ sl else on
 
     // At equal ts the right row must sort before the left row exactly
     // when exact matches are admissible. Final tie-break on the payload
     // makes duplicate right (keys, ts) rows resolve deterministically.
-    val tsOrd = direction match {
-      case Backward => col(ts).asc
-      case Forward  => col(ts).desc
-    }
+    // Both directional matches run over the SAME (partKeys) partition —
+    // Nearest costs a second sort of the partition, never a second
+    // shuffle.
     val exactOrd = if (allowExactMatches) col(isR).desc else col(isR).asc
-    val w = Window.partitionBy(partKeys.map(col): _*)
-      .orderBy(tsOrd, exactOrd, col(pay).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val matchedRaw = "__graft_match"
-    val matchedCol = last(col(pay), ignoreNulls = true).over(w)
-    val withMatch = unioned
-      .withColumn(matchedRaw, matchedCol)
-      .filter(col(isR) === 0)
-
-    val inTol: Column = tolerance match {
+    def rawMatch(dir: Direction): Column = {
+      val tsOrd = dir match {
+        case Forward => col(ts).desc
+        case _       => col(ts).asc
+      }
+      val w = Window.partitionBy(partKeys.map(col): _*)
+        .orderBy(tsOrd, exactOrd, col(pay).asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col(pay), ignoreNulls = true).over(w)
+    }
+    def inTol(m: Column, dir: Direction): Column = tolerance match {
       case None => lit(true)
       case Some(t) =>
-        val d = direction match {
-          case Backward => col(ts) - col(matchedRaw)("_ts")
-          case Forward  => col(matchedRaw)("_ts") - col(ts)
+        val d = dir match {
+          case Forward => m("_ts") - col(ts)
+          case _       => col(ts) - m("_ts")
         }
         d <= lit(t)
     }
@@ -199,8 +224,33 @@ object Joins {
     // guard the unsplit Forward window (ts desc sorts nulls last) would
     // hand a null-ts left row the earliest right payload, while the
     // sliced path gives it none — both paths now agree on "no match"
-    val admissible = col(ts).isNotNull && col(matchedRaw).isNotNull && inTol
-    val matched = when(admissible, col(matchedRaw))
+    def admissible(m: Column, dir: Direction): Column =
+      col(ts).isNotNull && m.isNotNull && inTol(m, dir)
+
+    val mB = "__graft_mb"
+    val mF = "__graft_mf"
+    val withMatch = direction match {
+      case Nearest =>
+        unioned.withColumn(mB, rawMatch(Backward))
+          .withColumn(mF, rawMatch(Forward))
+          .filter(col(isR) === 0)
+      case d =>
+        unioned.withColumn(mB, rawMatch(d)).filter(col(isR) === 0)
+    }
+    val matched: Column = direction match {
+      case Nearest =>
+        // per-side admissibility (incl. per-side tolerance), then the
+        // closer candidate wins; an exact-distance tie prefers the
+        // backward row (pandas `direction='nearest'`)
+        val b = when(admissible(col(mB), Backward), col(mB))
+        val f = when(admissible(col(mF), Forward), col(mF))
+        val dBack = col(ts) - col(mB)("_ts")
+        val dFwd = col(mF)("_ts") - col(ts)
+        when(b.isNotNull && f.isNotNull,
+          when(dFwd < dBack, f).otherwise(b))
+          .otherwise(coalesce(b, f))
+      case d => when(admissible(col(mB), d), col(mB))
+    }
 
     val outCols =
       on.map(col) ++ Seq(col(ts).as(leftTs)) ++ leftOthers.map(col) ++

@@ -177,6 +177,89 @@ object Multimodal {
       }
   }
 
+  /** One parsed audio header: real values read from the payload bytes
+    * (`valid=false` rows carry zeros and format "unknown").
+    * `n_frames` is the sample-frame count declared by the data chunk
+    * (duration in seconds = n_frames / sample_rate — left to the
+    * caller so the row carries only exact integers).
+    */
+  case class AudioHeader(id: Long, format: String, channels: Int,
+      sample_rate: Int, bits: Int, n_frames: Long, valid: Boolean)
+
+  /** REAL header-parse decode of RIFF/WAVE audio — pure JVM, public
+    * format (Microsoft/IBM WAVE spec, RIFF little-endian):
+    * "RIFF" + size + "WAVE" at offset 0/8, then a chunk walk
+    * (id 4 bytes, size 32-bit LE, payloads word-aligned): the
+    * `fmt ` chunk gives channels/sample rate/bits per sample, the
+    * `data` chunk's DECLARED size gives the frame count
+    * (size / block align) — the payload itself need not be present,
+    * so the parse is header-only like [[HeaderCodec]].
+    */
+  object AudioCodec {
+    private def u16le(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b.slice(i, i + 4), "US-ASCII")
+
+    def sniffWav(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (bytes == null || bytes.length < 12 ||
+        tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+      var dataSize: Option[Long] = None
+      while ((fmt.isEmpty || dataSize.isEmpty) && i + 8 <= bytes.length) {
+        val id = tag(bytes, i)
+        val size = u32le(bytes, i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+          val audioFormat = u16le(bytes, i + 8)
+          val channels = u16le(bytes, i + 10)
+          val rate = u32le(bytes, i + 12)
+          val blockAlign = u16le(bytes, i + 20)
+          val bits = u16le(bytes, i + 22)
+          // PCM (1) or IEEE float (3); anything compressed is out of
+          // header-only scope
+          if ((audioFormat == 1 || audioFormat == 3) && channels > 0 &&
+              rate > 0 && rate <= Int.MaxValue && bits > 0 && blockAlign > 0)
+            fmt = Some((channels, rate.toInt, bits, blockAlign))
+        } else if (id == "data") {
+          dataSize = Some(size)
+        }
+        // chunk payloads are word-aligned: odd sizes carry a pad byte.
+        // Clamp the advance: a huge declared size (or a truncated
+        // trailing payload, legitimate for header-only rows) must end
+        // the walk, never wrap toInt negative into a loop.
+        val adv = 8L + size + (size & 1L)
+        i = if (adv > bytes.length.toLong - i) bytes.length else i + adv.toInt
+      }
+      for ((ch, rate, bits, ba) <- fmt; ds <- dataSize)
+        yield (ch, rate, bits, ds / ba)
+    }
+  }
+
+  /** Batched real WAV-header decode — the audio twin of
+    * [[decodeHeaders]]: same per-partition iterator shape, a
+    * projection over binary payloads, zero shuffle.
+    */
+  def decodeAudioHeaders(df: DataFrame, id: Column,
+      bytes: Column): Dataset[AudioHeader] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast(LongType), bytes).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, payload) =>
+          AudioCodec.sniffWav(payload) match {
+            case Some((ch, rate, bits, frames)) =>
+              AudioHeader(rowId, "wav", ch, rate, bits, frames, valid = true)
+            case None =>
+              AudioHeader(rowId, "unknown", 0, 0, 0, 0L, valid = false)
+          }
+        }
+      }
+  }
+
   /** Expression-level twin of the stub decode (pure Catalyst, used by
     * the SQL oracle): same md5-derived dimensions.
     */

@@ -297,6 +297,29 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
         }
     }
 
+  /** Fractional change vs the n-back row within group (pandas
+    * `pct_change`): `(x[i] − x[i−n]) / x[i−n]` as DOUBLE. Delegates
+    * to [[shift]], so the masked form computes over the filtered
+    * sub-stream (masked rows null, skipped by the lag) and
+    * `sliceWidth` is the same hot-key lever. One deliberate
+    * divergence from pandas: a ZERO base yields null, not ±inf —
+    * the engine-portable choice (IEEE inf round-trips differently
+    * across engines and serializers), and the one this library makes
+    * everywhere (see Num.safeDiv).
+    */
+  def pctChange(value: Column, ord: Column, n: Int = 1,
+      mask: Option[Column] = None, name: String = "pct_change",
+      sliceWidth: Option[Long] = None): DataFrame = {
+    val tmp = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_pcbase" else s"__graft_pcbase$i")
+      .find(c => !gb.df.columns.contains(c)).get
+    shift(value, ord, n, mask, tmp, sliceWidth)
+      .withColumn(name, graft.functions.Num.safeDiv(
+        value.cast("double") - col(tmp).cast("double"),
+        col(tmp).cast("double")))
+      .drop(tmp)
+  }
+
   // -------------------------------------------------------------- rolling
 
   /** Rolling aggregate over the last `window` rows per group;

@@ -325,6 +325,17 @@ object Similarity {
       exact: Boolean): Column =
     array_max(centroidScores(v, centroids, exact)).getField("cid")
 
+  /** Public form of the nearest-centroid assignment — the map-side
+    * cluster label [[graft.operators.Dedup.semDedup]] partitions on
+    * (pure expressions over literal centroids: no join, no shuffle,
+    * stream-safe). Same (cos, cid)-lexicographic argmax as the IVF
+    * index, so an assignment computed here replays in any engine
+    * computing the same decimal dots (`exact = true`).
+    */
+  def assignCentroid(v: Column, centroids: Seq[(Int, Seq[Double])],
+      exact: Boolean = false): Column =
+    nearestCid(v, centroids, exact)
+
   /** cids of the `nProbe` highest-cosine centroids. */
   private def probeCids(v: Column, centroids: Seq[(Int, Seq[Double])],
       nProbe: Int, exact: Boolean): Column =

@@ -51,6 +51,44 @@ class JoinsSpec extends AnyFunSuite {
       ("a", 35L) -> null, ("b", 14L) -> 10.0, ("c", 50L) -> null))
   }
 
+  test("asof nearest picks the closer side; exact-distance tie -> backward") {
+    val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), direction = Joins.Nearest)
+    assert(matchMap(out) === Map(
+      ("a", 5L) -> 1.0,   // only forward exists (10)
+      ("a", 20L) -> 2.0,  // exact match
+      ("a", 25L) -> 2.0,  // 20 and 30 equidistant -> backward
+      ("a", 35L) -> 3.0,  // only backward exists
+      ("b", 14L) -> 10.0, // forward (15) closer than nothing behind
+      ("c", 50L) -> null))
+  }
+
+  test("asof nearest: per-side tolerance, strict matches, and the split twin") {
+    // tolerance cuts the far side independently
+    val tol = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), direction = Joins.Nearest,
+      tolerance = Some(4L))
+    assert(matchMap(tol) === Map(
+      ("a", 5L) -> null,   // forward 10 is 5 away > 4
+      ("a", 20L) -> 2.0,   // exact, distance 0
+      ("a", 25L) -> null,  // both sides 5 away > 4
+      ("a", 35L) -> null,  // backward 30 is 5 away > 4
+      ("b", 14L) -> 10.0,  // forward 15 is 1 away
+      ("c", 50L) -> null))
+    // allowExactMatches=false skips the equal-ts quote on BOTH sides
+    val strict = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), direction = Joins.Nearest,
+      allowExactMatches = false)
+    assert(matchMap(strict)(("a", 20L)) === 1.0) // 10 and 30 equidistant -> backward
+    // sliceWidth twin: identical output (both directions' carries)
+    val split = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), direction = Joins.Nearest,
+      sliceWidth = Some(7L))
+    val unsplit = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
+      rightVals = Seq("px" -> "px"), direction = Joins.Nearest)
+    assert(matchMap(split) === matchMap(unsplit))
+  }
+
   test("asof tolerance nulls matches beyond it without falling back") {
     val out = Joins.asof(trades, quotes, Seq("key"), "ts", "ts",
       rightVals = Seq("px" -> "px"), tolerance = Some(5L))
@@ -124,6 +162,31 @@ class JoinsSpec extends AnyFunSuite {
       .select($"lid", $"m.rv".as("rv"))
       .as[(Int, Option[Int])].collect().toMap
     assert(out === naive)
+  }
+
+  test("asof nearest differential vs naive |distance| argmin on pseudo-random data") {
+    val left = (1 to 300).map(i => (i % 7, (i * 131 % 997).toLong, i))
+      .toDF("key", "ts", "lid")
+    val right = (1 to 200).map(i => (i % 7, (i * 173 % 991).toLong, i * 2))
+      .toDF("key", "ts", "rv")
+    def run(width: Option[Long]): Map[Int, Option[Int]] =
+      Joins.asof(left, right, Seq("key"), "ts", "ts",
+        rightVals = Seq("rv" -> "rv"), direction = Joins.Nearest,
+        sliceWidth = width)
+        .select("lid", "rv").as[(Int, Option[Int])].collect().toMap
+    // naive: minimize (|distance|, forward-flag), then max rv on ties —
+    // the engine's backward-preference + greatest-payload rules
+    val naive = left.as("l").join(right.as("r"),
+        $"l.key" === $"r.key", "left")
+      .groupBy($"l.lid".as("lid"))
+      .agg(max(struct(
+        -abs($"l.ts" - $"r.ts").as("negd"),
+        when($"r.ts" <= $"l.ts", 1).otherwise(0).as("backPref"),
+        $"r.rv".as("rv"))).as("m"))
+      .select($"lid", $"m.rv".as("rv"))
+      .as[(Int, Option[Int])].collect().toMap
+    assert(run(None) === naive)
+    assert(run(Some(100L)) === naive) // dual-carry sliced path
   }
 
   test("asof sliceWidth time-split equals the unsplit output (skew lever)") {
