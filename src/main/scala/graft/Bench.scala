@@ -110,6 +110,9 @@ object Bench {
         minPeriods = Some(1))),
       "cumsum" -> (() => evOps.cumsum(col("value"), col("ts"))),
       "cummax" -> (() => evOps.cummax(col("value"), col("ts"))),
+      "gb_corr" -> (() => liGb.corr(col("l_quantity"), col("l_extendedprice"))),
+      "rolling_var" -> (() => evOps.rollingVar(col("value"), col("ts"), 50,
+        minPeriods = Some(1))),
       "crosstab" -> (() => Reshape.crosstab(orders, Seq(col("o_orderstatus")),
         col("o_orderpriority"), margins = Margins.All, fillZero = true)),
       // LLM-pipeline extension ops — the surface where the real 100 TB
@@ -324,7 +327,44 @@ object Bench {
         graft.operators.LangModel.scoreByUnigram(docs, col("doc_id"),
           col("text"), counts,
           graft.operators.LangModel.totalTokens(counts))
-      }))
+      }),
+      // DSIR importance weights end to end INCLUDING both bucket-model
+      // builds and the two total actions (the honest one-shot cost;
+      // a standing pipeline reuses the broadcast-sized models)
+      "dsir_weights" -> (() => {
+        val tgt = docs.filter(col("doc_id") % 4 === 0)
+        val raw = docs.filter(col("doc_id") % 4 =!= 0)
+        val tc = graft.operators.Dsir.bucketCounts(tgt, col("text"), 4096)
+        val rc = graft.operators.Dsir.bucketCounts(raw, col("text"), 4096)
+        graft.operators.Dsir.logImportanceWeights(raw, col("doc_id"),
+          col("text"), tc, graft.operators.Dsir.totalOf(tc),
+          rc, graft.operators.Dsir.totalOf(rc), 4096)
+      }),
+      // 3 PageRank rounds over a 2M-edge synthetic link graph (200k
+      // nodes, range-generated — generation is a codegen'd projection,
+      // negligible next to the per-round join+agg being measured)
+      "pagerank_2m" -> (() => graft.operators.GraphOps.pageRank(
+        spark.range(2000000L).select((col("id") % 200000L).as("src"),
+          ((col("id") * 31L + 7L) % 200000L).as("dst")),
+        iterations = 3, numVertices = Some(200000L))),
+      // BPE merge learning, 6 rounds — the per-round driver argmax
+      // actions and vocab-sized rewrites are the op's honest cost
+      "bpe_merges" -> (() => graft.operators.Vocab.learnBpeMerges(docs,
+        col("text"), rounds = 6)),
+      // blocked fuzzy self-ER over part names + their 5th-char typos
+      "fuzzy_join" -> (() => {
+        val p = spark.read.parquet(s"$sfDir/part.parquet")
+        val l = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+        val r = p.select((col("p_partkey") + 1000000L).as("id"),
+          concat(substring(col("p_name"), 1, 4), lit("x"),
+            substring(col("p_name"), 6, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+          maxDist = 1)
+      }),
+      "suppress_rare" -> (() => graft.operators.Privacy.suppressRare(
+        docs.select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") % 20).as("size_bin")),
+        Seq(col("lang"), col("source"), col("size_bin")), k = 3)))
 
     // prefix-filter fixture: the sf documents corpus is anti-Zipfian
     // (~900-bigram vocabulary, every shingle boilerplate), so the
@@ -469,7 +509,22 @@ object Bench {
           col("embedding"),
           nCentroids = math.min(16 * xMult,
             graft.operators.Similarity.MaxCentroids), iters = 2),
-        threshold = 0.4)))
+        threshold = 0.4)),
+      s"dsir_weights$xs" -> (() => {
+        val tgt = docs10.filter(col("doc_id") % 4 === 0)
+        val raw = docs10.filter(col("doc_id") % 4 =!= 0)
+        val tc = graft.operators.Dsir.bucketCounts(tgt, col("text"), 4096)
+        val rc = graft.operators.Dsir.bucketCounts(raw, col("text"), 4096)
+        graft.operators.Dsir.logImportanceWeights(raw, col("doc_id"),
+          col("text"), tc, graft.operators.Dsir.totalOf(tc),
+          rc, graft.operators.Dsir.totalOf(rc), 4096)
+      }),
+      // edge volume and node count both scale xMult× (constant degree)
+      s"pagerank_2m$xs" -> (() => graft.operators.GraphOps.pageRank(
+        spark.range(2000000L * xMult)
+          .select((col("id") % (200000L * xMult)).as("src"),
+            ((col("id") * 31L + 7L) % (200000L * xMult)).as("dst")),
+        iterations = 3, numVertices = Some(200000L * xMult))))
 
     // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
     // timed (the JIT universe is already compiled by the main loop —

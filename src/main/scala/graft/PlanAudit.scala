@@ -240,7 +240,38 @@ object PlanAudit {
           graft.operators.LangModel.unigramCounts(
             docs.where(col("doc_id") % 2 === 0), col("text")),
           total = 100000L),
-        noSinglePartition = true, broadcastProbe = true)
+        noSinglePartition = true, broadcastProbe = true),
+      Audited("DSIR weights (two BROADCAST bucket-model lookups — corpus never shuffles for the joins)",
+        {
+          val tc = graft.operators.Dsir.bucketCounts(
+            docs.where(col("doc_id") % 4 === 0), col("text"), 512)
+          val rc = graft.operators.Dsir.bucketCounts(
+            docs.where(col("doc_id") % 4 =!= 0), col("text"), 512)
+          graft.operators.Dsir.logImportanceWeights(
+            docs.where(col("doc_id") % 4 =!= 0), col("doc_id"), col("text"),
+            tc, 100000L, rc, 300000L, 512)
+        },
+        noSinglePartition = true, broadcastProbe = true),
+      // no flags: the one-row dangling-mass aggregate legitimately
+      // finalizes on a single partition and re-enters via a broadcast
+      // nested-loop of exactly one row (the grand-total pattern) —
+      // the data-sized joins are all equijoins, visible in the print
+      Audited("pageRank round (rank⋈edges equijoin + dst hash agg; one-row dangling mass broadcast)",
+        graft.operators.GraphOps.pageRank(
+          docs.select(col("source").as("src"), col("lang").as("dst")),
+          iterations = 2, numVertices = Some(12L))),
+      Audited("fuzzy join (hash equijoin on the (prefix, length-bin) block key — never a cross join)",
+        graft.operators.Joins.fuzzyJoin(
+          orders.select(col("o_orderkey").as("id"), col("o_orderpriority").as("name")),
+          col("id"), col("name"),
+          orders.select(col("o_orderkey").as("id"), col("o_orderpriority").as("name")),
+          col("id"), col("name"), maxDist = 1),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("k-anonymity suppression (combo-key hash agg + co-partitioned struct-key equijoin)",
+        graft.operators.Privacy.suppressRare(
+          docs.select(col("doc_id"), col("lang"), col("source")),
+          Seq(col("lang"), col("source")), k = 3),
+        noSinglePartition = true, equiJoinOnly = true)
     )
   }
 

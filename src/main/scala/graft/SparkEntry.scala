@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
+import graft.operators.{AggSpec, Dedup, Dsir, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,6 +43,41 @@ object SparkEntry {
       name: String,
       fn: (SparkSession, String) => DataFrame,
       sql: Option[String])
+
+  /** DuckDB replay of Vocab.learnBpeMerges as unrolled CTEs: per
+    * round, adjacent-pair counts over the current symbol table, the
+    * (freq DESC, left ASC, right ASC) argmax, and the greedy
+    * left-to-right rewrite as a list_reduce fold (elements lifted to
+    * single-element lists so the accumulator type matches — the same
+    * trick as PortableHash's fold). `corpusSql` must yield a `text`
+    * column. Kept in lockstep with the engine.
+    */
+  private def bpeMergesSql(corpusSql: String, rounds: Int): String = {
+    val iterCtes = (0 until rounds).map { i =>
+      s""" p$i AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(freq) AS pf
+         |   FROM s$i, unnest(generate_series(1, len(syms)-1)) t(i)
+         |   WHERE len(syms) >= 2 GROUP BY 1, 2),
+         | m$i AS (SELECT a, b, pf FROM p$i ORDER BY pf DESC, a, b LIMIT 1),
+         | s${i + 1} AS (SELECT freq,
+         |   list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |     (acc, xs) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.a AND xs[1] = m.b
+         |                  THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+         |                  ELSE list_append(acc, xs[1]) END) AS syms
+         |   FROM s$i CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until rounds).map { i =>
+      s"SELECT CAST(${i + 1} AS INT) AS merge_rank, a AS \"left\", b AS \"right\", " +
+        s"a || b AS merged, CAST(pf AS BIGINT) AS pair_freq FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM ($corpusSql)),
+       | wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM w0
+       |   WHERE word <> '' GROUP BY 1),
+       | s0 AS (SELECT list_transform(generate_series(1, length(word)),
+       |     i -> substr(word, i, 1)) AS syms, freq FROM wf),
+       |$iterCtes
+       |$unions
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** DuckDB replay of Dedup.ngramJaccardPairs (word-bigram shingles,
     * exact Jaccard, thresholded), with the optional doc-frequency cap
@@ -549,7 +584,144 @@ object SparkEntry {
 
   private def all: Seq[Q] =
     coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps ++
-      joinOps ++ corpusOps
+      joinOps ++ corpusOps ++ curationOps
+
+  /** Round-10 curation wave: DSIR importance weighting, domain-graph
+    * PageRank, k-anonymity suppression — the published data-selection
+    * and governance recipes a recurring pretraining pipeline runs on
+    * top of the dedup/sampling/scoring families.
+    */
+  private def curationOps: Seq[Q] = Seq(
+    Q("dsir_weights",
+      // DSIR (Xie et al. 2023) hashed-unigram log importance ratios:
+      // target = doc_id % 4 == 0, raw = the rest, 512 hashed buckets
+      // (PortableHash — the oracle rebuilds both models bit-exactly).
+      // log_w and the min(1, exp·) acceptance weight round like every
+      // log-derived output; n_tokens is exact
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val target = d.filter(col("doc_id") % 4 === 0)
+        val raw = d.filter(col("doc_id") % 4 =!= 0)
+        val b = 512
+        val tc = Dsir.bucketCounts(target, col("text"), b)
+        val rc = Dsir.bucketCounts(raw, col("text"), b)
+        val (tt, rt) = (Dsir.totalOf(tc), Dsir.totalOf(rc))
+        Dsir.logImportanceWeights(raw, col("doc_id"), col("text"),
+            tc, tt, rc, rt, b)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("log_w"), 4).as("log_w"),
+            round(Dsir.acceptanceWeight(col("log_w")), 4).as("accept_w"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        | tk AS (SELECT doc_id, ${Dsir.bucketOfSql("token", 512)} AS bucket
+        |   FROM tk0 WHERE token <> ''),
+        | t AS (SELECT bucket, COUNT(*) AS tcnt FROM tk WHERE doc_id % 4 = 0 GROUP BY 1),
+        | r AS (SELECT bucket, COUNT(*) AS rcnt FROM tk WHERE doc_id % 4 <> 0 GROUP BY 1),
+        | tt AS (SELECT COALESCE(SUM(tcnt), 0) AS t FROM t),
+        | rt AS (SELECT COALESCE(SUM(rcnt), 0) AS t FROM r),
+        | j AS (SELECT doc_id,
+        |   CAST(COALESCE(t.tcnt, 0) AS DOUBLE) AS tc,
+        |   CAST(COALESCE(r.rcnt, 0) AS DOUBLE) AS rc
+        |   FROM tk LEFT JOIN t USING (bucket) LEFT JOIN r USING (bucket)
+        |   WHERE tk.doc_id % 4 <> 0),
+        | agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |   CAST(SUM(CAST(ln(tc + 1) - ln(rc + 1) AS DECIMAL(38,8))) AS DOUBLE) AS sumlr
+        |   FROM j GROUP BY 1),
+        | w AS (SELECT doc_id, n_tokens,
+        |   sumlr - n_tokens * (ln((SELECT t FROM tt) + 512.0)
+        |     - ln((SELECT t FROM rt) + 512.0)) AS log_w
+        |   FROM agg)
+        |SELECT doc_id, n_tokens, ROUND(log_w, 4) AS log_w,
+        |  ROUND(exp(least(log_w, 0.0)), 4) AS accept_w
+        |FROM w ORDER BY doc_id""".stripMargin)),
+
+    Q("domain_pagerank",
+      // 3 damped PageRank rounds over the (source → linked-domain)
+      // graph, URLs injected like text_urls so every doc links two
+      // domains; all domain nodes are dangling, so the uniform
+      // mass-redistribution path is exercised every round. Decimal-
+      // summed contributions → ranks replay bit-exactly, unrounded
+      (s, dir) => {
+        val inj = concat(col("text"), lit(" see https://Site"),
+          (col("doc_id") % 50).cast("string"),
+          lit(".Example.COM/p?q=1 and plain http://d"),
+          (col("doc_id") % 7).cast("string"), lit(".org tail"))
+        val edges = T(s, dir, "documents")
+          .select(col("source").as("src"),
+            explode(TextFunctions.textDomains(inj)).as("dst"))
+        GraphOps.pageRank(edges, iterations = 3, damping = 0.85)
+          .orderBy(col("node"))
+      },
+      Some(GraphOps.pageRankSql(
+        // NOTE: no line here may start with "||" — pageRankSql
+        // stripMargins the composed text again, which would eat one
+        // pipe of a leading concat operator
+        s"""SELECT source AS src, unnest(list_distinct(list_transform(
+           |  regexp_extract_all(text || ' see https://Site' || CAST(doc_id % 50 AS VARCHAR) ||
+           |    '.Example.COM/p?q=1 and plain http://d' || CAST(doc_id % 7 AS VARCHAR) ||
+           |    '.org tail', '${TextFunctions.UrlPattern}'),
+           |  u -> lower(regexp_extract(u, '^https?://([^/:?#\\s]+)', 1))))) AS dst
+           |FROM documents""".stripMargin, 3, 0.85) + "\nORDER BY node")),
+
+    Q("fuzzy_join",
+      // blocked fuzzy (edit-distance) entity-resolution join: parts
+      // vs the same parts with the 5th name char replaced — inside
+      // the prefix block, so every typo pair is reachable; the oracle
+      // replays blocking AND verification (both engines' levenshtein
+      // is the standard DP distance)
+      (s, dir) => {
+        val p = T(s, dir, "part")
+        val l = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+        val r = p.select((col("p_partkey") + 1000000L).as("id"),
+          concat(substring(col("p_name"), 1, 4), lit("x"),
+            substring(col("p_name"), 6, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+            maxDist = 1)
+          .withColumn("dist", col("dist").cast("long"))
+          .orderBy(col("left_id"), col("right_id"))
+      },
+      Some("""WITH l0 AS (SELECT p_partkey AS left_id, lower(trim(p_name)) AS lk FROM part),
+        | r0 AS (SELECT p_partkey + 1000000 AS right_id,
+        |   lower(trim(substr(p_name, 1, 4) || 'x' || substr(p_name, 6))) AS rk FROM part),
+        | lb AS (SELECT left_id, lk, substr(lk, 1, 2) AS pfx,
+        |   CAST(length(lk) // 4 AS INT) AS bin FROM l0 WHERE lk IS NOT NULL),
+        | rb AS (SELECT right_id, rk, substr(rk, 1, 2) AS pfx,
+        |   CAST(length(rk) // 4 AS INT) AS bin FROM r0 WHERE rk IS NOT NULL)
+        |SELECT left_id, right_id, lk AS left_key, rk AS right_key,
+        |  CAST(levenshtein(lk, rk) AS BIGINT) AS dist
+        |FROM lb JOIN rb ON lb.pfx = rb.pfx AND rb.bin BETWEEN lb.bin - 1 AND lb.bin + 1
+        |WHERE levenshtein(lk, rk) <= 1
+        |ORDER BY left_id, right_id""".stripMargin)),
+
+    Q("bpe_merges",
+      // BPE merge learning (Sennrich et al. 2016), 6 rounds over the
+      // word-frequency table; the oracle replays every round — pair
+      // counting, the (freq DESC, pair ASC) argmax, and the greedy
+      // left-to-right list-fold rewrite — as unrolled CTEs
+      (s, dir) => Vocab.learnBpeMerges(T(s, dir, "documents"),
+          col("text"), rounds = 6)
+        .orderBy(col("merge_rank")),
+      Some(bpeMergesSql("SELECT text FROM documents", 6))),
+
+    Q("privacy_k_anon",
+      // k-anonymity suppression over (lang, source, size-bin) quasi-
+      // identifiers, k=3: rare combinations null out, every row kept
+      (s, dir) => Privacy.suppressRare(
+          T(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("source"), (col("n_chars") % 20).as("size_bin")),
+          Seq(col("lang"), col("source"), col("size_bin")), k = 3)
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (SELECT doc_id, lang, source, n_chars % 20 AS size_bin,
+        |  COUNT(*) OVER (PARTITION BY lang, source, n_chars % 20) AS qn
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN qn < 3 THEN NULL ELSE lang END AS lang,
+        | CASE WHEN qn < 3 THEN NULL ELSE source END AS source,
+        | CASE WHEN qn < 3 THEN NULL ELSE size_bin END AS size_bin,
+        | qn < 3 AS suppressed
+        |FROM b ORDER BY doc_id""".stripMargin)))
 
   /** events with a micros-typed ts column, whatever the session's
     * nanos handling produced (long nanos under nanosAsLong, else a
@@ -699,6 +871,32 @@ object SparkEntry {
           |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
           |  ON l.user_id = r.user_id
           | AND l.ts BETWEEN r.ts - INTERVAL 1 HOUR AND r.ts + INTERVAL 1 HOUR
+          |ORDER BY 1, 2""".stripMargin)),
+
+      Q("join_interval",
+        // interval-overlap join: view windows [ts, ts+30m] against
+        // same-user purchase windows [ts−15m, ts+15m]; the bucketised
+        // engine emits each overlapping pair exactly once (from the
+        // overlap-start bucket), oracled by plain range predicates
+        (s, dir) => {
+          val views = eventsUs(s, dir).filter(col("event_type") === "view")
+            .select(col("user_id"), col("event_id"),
+              col("ts_us").as("lo"), (col("ts_us") + 1800000000L).as("hi"))
+          val pv = purchases(s, dir).select(col("user_id"),
+            col("p_id").as("purchase_id"),
+            (col("ts_us") - 900000000L).as("plo"),
+            (col("ts_us") + 900000000L).as("phi"))
+          Joins.intervalJoin(views, pv, Seq("user_id"), "lo", "hi",
+              "plo", "phi", bucketWidth = 3600000000L)
+            .select(col("event_id"), col("purchase_id"))
+            .orderBy(col("event_id"), col("purchase_id"))
+        },
+        Some("""SELECT l.event_id, r.event_id AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'view') l
+          |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+          |  ON l.user_id = r.user_id
+          | AND l.ts <= r.ts + INTERVAL 15 MINUTE
+          | AND r.ts - INTERVAL 15 MINUTE <= l.ts + INTERVAL 30 MINUTE
           |ORDER BY 1, 2""".stripMargin))
     )
   }
@@ -863,6 +1061,114 @@ object SparkEntry {
         | ROUND((SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(l_quantity))
         |       / (COUNT(l_quantity) - 2), 4) AS var2_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("gb_cov_corr",
+      // pandas GroupBy.cov / corr for one column pair: pairwise-
+      // complete rows, single-pass decimal-exact pair moments. The
+      // oracle replays the SAME Σxy identity (not DuckDB's native
+      // covar/corr, which use different accumulation), so the
+      // statistic is bit-identical before the defensive round.
+      (s, dir) => {
+        val g = new GroupBy(T(s, dir, "lineitem"), liKeys)
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        g.cov(x, y, out = "cov_qp")
+          .join(g.cov(x, y, ddof = 0, out = "covp_qp"),
+            Seq("l_returnflag", "l_linestatus"))
+          .join(g.corr(x, y, out = "corr_qp"),
+            Seq("l_returnflag", "l_linestatus"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("cov_qp"), 4).as("cov_qp"),
+            round(col("covp_qp"), 4).as("covp_qp"),
+            round(col("corr_qp"), 4).as("corr_qp"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag, l_linestatus,
+        |  COUNT(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(28,6)) END) AS DOUBLE) AS sx,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(28,6)) END) AS DOUBLE) AS sy,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    THEN CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,6)) END) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        | ROUND(CASE WHEN n > 1 THEN (sxy - sx*sy/n) / (n - 1) END, 4) AS cov_qp,
+        | ROUND(CASE WHEN n > 0 THEN (sxy - sx*sy/n) / n END, 4) AS covp_qp,
+        | ROUND(CASE WHEN n >= 2 AND (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+        |   THEN (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) END, 4) AS corr_qp
+        |FROM m ORDER BY 1, 2""".stripMargin)),
+
+    Q("gb_prod_sem",
+      // pandas GroupBy.prod (exp-sum-log with zero latch and parity
+      // sign, decimal-summed ln terms) and sem (std/√n, ddof 1 and
+      // 0), over a masked ~0.5% subset so the product magnitude stays
+      // in round-4 range; the oracle replays the identical formula
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).aggregate(Seq(
+          AggSpec("prod", lit(1.5) - col("l_discount"), "p1"),
+          AggSpec("sem", col("l_quantity"), "s1"),
+          AggSpec("sem", col("l_quantity"), "s0", ddof = 0)),
+          mask = Some(col("l_orderkey") % 211 === 7))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("p1"), 4).as("prod_disc"),
+          round(col("s1"), 4).as("sem_qty"),
+          round(col("s0"), 4).as("sem0_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""WITH m AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(1.5 - l_discount AS DOUBLE) AS x, l_quantity AS q
+        | FROM lineitem WHERE l_orderkey % 211 = 7),
+        | a AS (SELECT l_returnflag, l_linestatus,
+        |  COUNT(x) AS cnt, COUNT(CASE WHEN x = 0 THEN 1 END) AS zeros,
+        |  COUNT(CASE WHEN x < 0 THEN 1 END) AS negs,
+        |  CAST(SUM(CAST(CASE WHEN x <> 0 THEN ln(abs(x)) END AS DECIMAL(38,8))) AS DOUBLE) AS sumln,
+        |  STDDEV_SAMP(q) AS sd1, STDDEV_POP(q) AS sd0, COUNT(q) AS nq
+        | FROM m GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus,
+        | ROUND(CASE WHEN cnt = 0 THEN 1.0 WHEN zeros > 0 THEN 0.0
+        |   ELSE exp(sumln) * (CASE WHEN negs % 2 = 0 THEN 1.0 ELSE -1.0 END) END, 4) AS prod_disc,
+        | ROUND(sd1 / sqrt(CAST(nq AS DOUBLE)), 4) AS sem_qty,
+        | ROUND(sd0 / sqrt(CAST(nq AS DOUBLE)), 4) AS sem0_qty
+        |FROM a ORDER BY 1, 2""".stripMargin)),
+
+    Q("gb_rank",
+      // pandas GroupBy.rank as a transform: min / dense / first /
+      // average methods + pct, null-safe ordering (nulls sort last so
+      // non-null ranks are unaffected); integer ranks cast to double
+      // like pandas; average/pct are exact dyadic arithmetic —
+      // unrounded
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        def g(d: DataFrame) = new GroupBy(d, Seq(col("user_id")))
+        val r1 = g(ev).rank(col("value"), "min", out = "rank_min")
+        val r2 = g(r1).rank(col("value"), "dense", out = "rank_dense")
+        val r3 = g(r2).rank(col("value"), "first",
+          ord = Some(col("event_id")), out = "rank_first")
+        val r4 = g(r3).rank(col("value"), "average", out = "rank_avg")
+        val r5 = g(r4).rank(col("value"), "average", pct = true,
+          out = "rank_pct")
+        r5.select(col("event_id"), col("user_id"), col("rank_min"),
+            col("rank_dense"), col("rank_first"), col("rank_avg"),
+            col("rank_pct"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+        | CASE WHEN value IS NOT NULL THEN CAST(RANK() OVER w AS DOUBLE) END AS rank_min,
+        | CASE WHEN value IS NOT NULL THEN CAST(DENSE_RANK() OVER w AS DOUBLE) END AS rank_dense,
+        | CASE WHEN value IS NOT NULL THEN CAST(ROW_NUMBER() OVER w2 AS DOUBLE) END AS rank_first,
+        | CASE WHEN value IS NOT NULL THEN CAST(RANK() OVER w AS DOUBLE)
+        |   + (CAST(COUNT(value) OVER wt AS DOUBLE) - 1) / 2.0 END AS rank_avg,
+        | CASE WHEN value IS NOT NULL THEN (CAST(RANK() OVER w AS DOUBLE)
+        |   + (CAST(COUNT(value) OVER wt AS DOUBLE) - 1) / 2.0)
+        |   / CAST(COUNT(value) OVER wu AS DOUBLE) END AS rank_pct
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC NULLS LAST),
+        |  w2 AS (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id),
+        |  wt AS (PARTITION BY user_id, value),
+        |  wu AS (PARTITION BY user_id)
+        |ORDER BY event_id""".stripMargin)),
 
     Q("gb_first_last",
       (s, dir) => {
@@ -1155,6 +1461,105 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin)),
+
+    Q("roll_var_std",
+      // pandas rolling var/std (ddof=1) via the Σx² identity over the
+      // frame, decimal-exact sums; the oracle replays the identical
+      // formula (incl. the 0-clamp), so values agree bit-for-bit —
+      // UNROUNDED deliberately: the 2-decimal event values put many
+      // variances exactly on .xxxx5 boundaries, where Spark's
+      // HALF_UP and DuckDB's ROUND disagree; the raw doubles are the
+      // same bits (decimal sums + fixed-order IEEE + correctly-
+      // rounded sqrt), so rounding could only ADD divergence
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir)).rollingVar(
+          col("value"), col("ts"), 20, minPeriods = Some(2), exact = true)
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id")))).rollingStd(
+          col("value"), col("ts"), 20, minPeriods = Some(2), exact = true)
+        d2.select(col("event_id"), col("user_id"),
+            col("rolling_var"), col("rolling_std"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH f AS (SELECT event_id, user_id,
+        |  COUNT(value) OVER w AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        | CASE WHEN n > 1 THEN GREATEST((ss - s*s/n) / (n - 1), 0.0) END AS rolling_var,
+        | CASE WHEN n > 1 THEN sqrt(GREATEST((ss - s*s/n) / (n - 1), 0.0)) END AS rolling_std
+        |FROM f ORDER BY event_id""".stripMargin)),
+
+    Q("roll_cov_corr",
+      // pandas rolling cov/corr for one pair (pairwise-complete frame
+      // rows, decimal-exact pair moments); y is a deterministic
+      // integer-valued column so every product stays exact at decimal
+      // scale 6 — values replay bit-for-bit, unrounded (the
+      // roll_var_std lesson: rounding row-scale exact formulas only
+      // adds divergence)
+      (s, dir) => {
+        val y = pmod(col("event_id"), lit(89L)).cast("double")
+        val d1 = new RollingOps(evGb(s, dir)).rollingCov(
+          col("value"), y, col("ts"), 15, minPeriods = Some(5))
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id")))).rollingCorr(
+          col("value"), y, col("ts"), 15, minPeriods = Some(5))
+        evOut(d2, "rolling_cov", "rolling_corr")
+      },
+      Some("""WITH f AS (SELECT event_id, user_id,
+        |  COUNT(CASE WHEN value IS NOT NULL THEN 1 END) OVER w AS n,
+        |  CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE) END AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN CAST(event_id % 89 AS DOUBLE) END AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE) * CAST(event_id % 89 AS DOUBLE) END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE) END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(CASE WHEN value IS NOT NULL THEN CAST(event_id % 89 AS DOUBLE) * CAST(event_id % 89 AS DOUBLE) END AS DECIMAL(38,6))) OVER w AS DOUBLE) AS syy
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        | CASE WHEN n >= 5 THEN (sxy - sx*sy/n) / (n - 1) END AS rolling_cov,
+        | CASE WHEN n >= 5 AND (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+        |   THEN (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) END AS rolling_corr
+        |FROM f ORDER BY event_id""".stripMargin)),
+
+    Q("cum_mean_var",
+      // expanding mean/variance (pandas expanding().mean()/var()):
+      // the cumulative machinery with mean/var aggregates; decimal
+      // running sums → unrounded bit-exact replay
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir)).cummean(
+          col("value"), col("ts"), exact = true)
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id")))).cumvar(
+          col("value"), col("ts"), exact = true)
+        evOut(d2, "cummean", "cumvar")
+      },
+      Some("""WITH f AS (SELECT event_id, user_id,
+        |  COUNT(value) OVER w AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,6))) OVER w AS DOUBLE) AS ss
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        | CASE WHEN n > 0 THEN s / n END AS cummean,
+        | CASE WHEN n > 1 THEN GREATEST((ss - s*s/n) / (n - 1), 0.0) END AS cumvar
+        |FROM f ORDER BY event_id""".stripMargin)),
+
+    Q("cum_prod",
+      // cumulative product (exp-sum-log path): positive inputs
+      // (value/100), gate emits ln(cumprod) rounded — both engines
+      // run the identical exp(Σ ln)·ln round-trip; the zero-latch /
+      // sign / null-carry semantics are spec-covered
+      (s, dir) => evOut(new RollingOps(evGb(s, dir)).cumprod(
+          col("value") / 100.0, col("ts")), "cumprod")
+        .select(col("event_id"), col("user_id"),
+          when(col("cumprod") > 0, round(log(col("cumprod")), 4))
+            .as("ln_cumprod")),
+      Some("""WITH f AS (SELECT event_id, user_id,
+        |  exp(CAST(SUM(CAST(ln(abs(CAST(value AS DOUBLE) / 100.0)) AS DECIMAL(38,8))) OVER w AS DOUBLE)) AS cp
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        | CASE WHEN cp > 0 THEN ROUND(ln(cp), 4) END AS ln_cumprod
+        |FROM f ORDER BY event_id""".stripMargin)),
 
     Q("roll_sum_masked",
       (s, dir) => evOut(new RollingOps(evGb(s, dir)).rollingSum(

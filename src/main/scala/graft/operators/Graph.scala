@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.Num
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.DoubleType
+
+/** Link-graph operators for corpus curation. PageRank over the host/
+  * domain graph is the standard web-corpus quality prior (Page et al.
+  * 1999; Common-Crawl-derived pipelines rank hosts this way to weight
+  * or threshold crawl sources). No reference counterpart; designed
+  * Spark-first.
+  *
+  * Determinism: every cross-row float accumulation (per-target
+  * contribution sums, the dangling-mass total) passes through decimal
+  * casts, so ranks are partitioning-independent and replay
+  * bit-identically in the oracle — no rounding needed on the output.
+  */
+object GraphOps {
+
+  /** `iterations` rounds of damped PageRank over `edges` (columns
+    * `src`, `dst`; parallel edges collapse to simple edges). Returns
+    * `(node, rank)` for every node appearing as a source or target.
+    *
+    * Semantics (the standard formulation, dangling mass
+    * redistributed uniformly):
+    *
+    * {{{ rank'(v) = (1−d)/N + d · (Σ_{u→v} rank(u)/outdeg(u)
+    *                              + danglingMass/N) }}}
+    *
+    * so Σ rank = 1 is preserved every round. Ranks start uniform at
+    * 1/N.
+    *
+    * Distributed shape: each round is one equijoin of the rank table
+    * with the edge list on the source key plus one groupBy(dst) —
+    * volume linear in edges, the join co-partitions on the node key
+    * and AQE owns skew. The dangling mass is a ONE-ROW lazy aggregate
+    * cross-joined back (broadcast), never a driver action, so the
+    * whole K-round computation is a single lazy plan. `numVertices`
+    * skips the one bounded count action when the caller already knows
+    * N (the lazy/stream-composable form, like the sampling family's
+    * precomputed totals). For large K pass `checkpointEvery` to cut
+    * lineage with a localCheckpoint every that-many rounds (the
+    * dedup-clusters pattern); 0 = off.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85, numVertices: Option[Long] = None,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping >= 0.0 && damping <= 1.0,
+      s"damping must be in [0, 1], got $damping")
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = numVertices.getOrElse(verts.count())
+    require(n > 0, "graph has no vertices")
+    val nD = n.toDouble
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(F.count(lit(1)).as("__graft_deg"))
+
+    var ranks = verts.withColumn("rank", lit(1.0 / nD))
+    for (i <- 1 to iterations) {
+      val withDeg = ranks.join(outd, Seq("node"), "left")
+      // nodes with no out-edges: their rank mass redistributes
+      // uniformly (one-row decimal-exact aggregate, broadcast back)
+      val dangling = withDeg.filter(col("__graft_deg").isNull)
+        .agg(coalesce(F.sum(col("rank").cast(Num.DotDec)),
+          lit(0).cast(Num.DotDec)).cast(DoubleType).as("__graft_dmass"))
+      val contribs = withDeg.filter(col("__graft_deg").isNotNull)
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(F.sum((col("rank") / col("__graft_deg").cast(DoubleType))
+          .cast(Num.DotDec)).cast(DoubleType).as("__graft_contrib"))
+      ranks = verts.join(contribs, Seq("node"), "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / nD) + lit(damping) *
+            (coalesce(col("__graft_contrib"), lit(0.0)) +
+              col("__graft_dmass") / lit(nD))).as("rank"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** DuckDB replay of [[pageRank]] as unrolled CTEs over an edge
+    * subquery `edgesSql` (must yield columns `src`, `dst`). Kept in
+    * lockstep with the engine: same distinct-edge collapse, same
+    * decimal-cast contribution and dangling sums, same IEEE closing
+    * arithmetic — bit-identical ranks.
+    */
+  def pageRankSql(edgesSql: String, iterations: Int,
+      damping: Double): String = {
+    val d = damping
+    val iterCtes = (0 until iterations).map { i =>
+      s""" dm$i AS (SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(38,8))), 0) AS DOUBLE) AS mass
+         |   FROM r$i r LEFT JOIN outd o ON r.node = o.node WHERE o.deg IS NULL),
+         | c$i AS (SELECT e.dst AS node,
+         |   CAST(SUM(CAST(r.rank / CAST(o.deg AS DOUBLE) AS DECIMAL(38,8))) AS DOUBLE) AS contrib
+         |   FROM r$i r JOIN outd o ON r.node = o.node JOIN e0 e ON e.src = r.node
+         |   GROUP BY 1),
+         | r${i + 1} AS (SELECT v.node,
+         |   (1.0 - $d) / (SELECT nn FROM n) + $d * (COALESCE(c.contrib, 0.0)
+         |     + (SELECT mass FROM dm$i) / (SELECT nn FROM n)) AS rank
+         |   FROM v LEFT JOIN c$i c ON v.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT src, dst FROM ($edgesSql)
+       |   WHERE src IS NOT NULL AND dst IS NOT NULL),
+       | v AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       | n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM v),
+       | outd AS (SELECT src AS node, COUNT(*) AS deg FROM e0 GROUP BY 1),
+       | r0 AS (SELECT node, 1.0 / (SELECT nn FROM n) AS rank FROM v),
+       |$iterCtes
+       |SELECT node, rank FROM r$iterations""".stripMargin
+  }
+}

@@ -198,6 +198,32 @@ final class GroupBy(
       case "last" =>
         val ord = spec.ord.getOrElse(sys.error("last requires ord column"))
         lift(F.max_by(v, when(v.isNotNull, ord)))
+      case "prod" =>
+        // pandas GroupBy.prod (skipna): exp(Σ ln|x|)·(−1)^#neg, 0 when
+        // any factor is zero, 1.0 for an empty/all-null group (the
+        // multiplicative identity, pandas' choice). The ln terms
+        // decimal-sum (order-exact); ln/exp are correctly rounded
+        // per-engine, not bit-pinned across engines — gates round,
+        // like every log-derived output
+        val av = v.cast(DoubleType)
+        val cnt = lift(F.count(av))
+        val zeros = lift(F.count(when(av === 0.0, lit(1))))
+        val negs = lift(F.count(when(av < 0.0, lit(1))))
+        val sumln = lift(F.sum(when(av =!= 0.0, F.log(F.abs(av)))
+          .cast(Num.DotDec))).cast(DoubleType)
+        val sign = when(pmod(negs, lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+        when(cnt === 0, lit(1.0))
+          .when(zeros > 0, lit(0.0))
+          .otherwise(F.exp(sumln) * sign)
+      case "sem" =>
+        // pandas GroupBy.sem: std(ddof)/√n over non-null values
+        val n = lift(F.count(v)).cast(DoubleType)
+        val stdC = spec.ddof match {
+          case 1 => lift(F.stddev_samp(v))
+          case 0 => lift(F.stddev_pop(v))
+          case d => sqrt(Num.varianceExpr(v, d, lift))
+        }
+        stdC / sqrt(n)
       case "var" =>
         spec.ddof match {
           case 1 => lift(F.var_samp(v))
@@ -424,6 +450,112 @@ final class GroupBy(
   def std(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("std", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
+
+  /** Per-group pairwise covariance of `x` and `y` (pandas
+    * `GroupBy.cov` for one column pair): only rows where BOTH are
+    * non-null participate (pairwise-complete observations, exactly
+    * pandas' rule), `ddof` generalizes the divisor (1 = sample, 0 =
+    * population), null for pair-count ≤ ddof. One hash aggregation —
+    * partial/final like every algebraic agg, no second pass.
+    */
+  def cov(x: Column, y: Column, ddof: Int = 1, mask: Option[Column] = None,
+      out: String = "cov", observedOnly: Boolean = true): DataFrame =
+    pairMoment(x, y, mask, observedOnly) { (n, sx, sy, sxy, _, _) =>
+      when(n > ddof, (sxy - sx * sy / n) / (n - lit(ddof.toDouble)))
+        .otherwise(lit(null).cast(DoubleType)).as(out)
+    }
+
+  /** Per-group Pearson correlation of `x` and `y` (pandas
+    * `GroupBy.corr` for one column pair): pairwise-complete
+    * observations, null when either marginal variance is zero or the
+    * pair count is < 2 (pandas yields NaN there; null is this
+    * library's engine-portable NaN throughout). ddof cancels in the
+    * ratio, so there is no ddof knob — same as pandas.
+    */
+  def corr(x: Column, y: Column, mask: Option[Column] = None,
+      out: String = "corr", observedOnly: Boolean = true): DataFrame =
+    pairMoment(x, y, mask, observedOnly) { (n, sx, sy, sxy, sxx, syy) =>
+      val cxy = sxy - sx * sy / n
+      val cxx = sxx - sx * sx / n
+      val cyy = syy - sy * sy / n
+      when(n >= 2 && cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy))
+        .otherwise(lit(null).cast(DoubleType)).as(out)
+    }
+
+  /** Per-group rank of `value` (pandas `GroupBy.rank`): a TRANSFORM —
+    * input rows come back with a `rank` column appended.
+    *
+    *   - `method`: `"min"` (competition rank, pandas min), `"dense"`,
+    *     `"first"` (order of appearance — requires `ord`, the
+    *     physical-order stand-in), `"average"` (mean rank of ties,
+    *     the pandas default).
+    *   - `ascending` flips the direction; `pct` divides by the
+    *     group's non-null count (pandas pct=True).
+    *   - Null values rank as null and don't shift other ranks
+    *     (pandas NaN semantics): nulls sort to the END of the rank
+    *     window, so every non-null rank is unaffected, and the
+    *     output nulls out.
+    *
+    * Distributed shape: one window sort per key — the same skew
+    * exposure as unsplit positional selection; rank has no limit to
+    * push down, so a degenerate hot key serializes its sort (use the
+    * value-bucketed two-pass form if that regime ever matters; at
+    * normal cardinality the per-key sort is the right plan).
+    */
+  def rank(value: Column, method: String = "average",
+      ascending: Boolean = true, pct: Boolean = false,
+      ord: Option[Column] = scala.None, out: String = "rank"): DataFrame = {
+    require(Seq("min", "dense", "first", "average").contains(method),
+      s"unknown rank method '$method'")
+    require(!base.columns.contains(out),
+      s"output column '$out' already exists — pick another name")
+    val dir = if (ascending) value.asc_nulls_last else value.desc_nulls_last
+    val w = method match {
+      case "first" =>
+        val o = ord.getOrElse(sys.error("method='first' requires ord"))
+        Window.partitionBy(keyCols: _*).orderBy(dir, o)
+      case _ => Window.partitionBy(keyCols: _*).orderBy(dir)
+    }
+    val raw: Column = method match {
+      case "min"   => F.rank().over(w).cast(DoubleType)
+      case "dense" => F.dense_rank().over(w).cast(DoubleType)
+      case "first" => F.row_number().over(w).cast(DoubleType)
+      case "average" =>
+        // mean rank of a tie run = min rank + (ties − 1)/2
+        val ties = Window.partitionBy(keyCols :+ value: _*)
+        F.rank().over(w).cast(DoubleType) +
+          (F.count(value).over(ties).cast(DoubleType) - 1) / 2.0
+    }
+    val nonNull = F.count(value)
+      .over(Window.partitionBy(keyCols: _*)).cast(DoubleType)
+    val r0 = if (pct) raw / nonNull else raw
+    base.withColumn(out, when(value.isNotNull, r0))
+  }
+
+  /** Shared single-pass pair-moment aggregation behind [[cov]] /
+    * [[corr]]: the five sums over pairwise-complete rows, exact
+    * decimal accumulation throughout ([[graft.functions.Num]]) so the
+    * statistic is partitioning-independent — then `f(n, Σx, Σy, Σxy,
+    * Σx², Σy²)` finishes row-locally in double.
+    */
+  private def pairMoment(x: Column, y: Column, mask: Option[Column],
+      observedOnly: Boolean)(
+      f: (Column, Column, Column, Column, Column, Column) => Column): DataFrame = {
+    val both = masked(mask, when(x.isNotNull && y.isNotNull, lit(1)))
+    def s(c: Column, dec: org.apache.spark.sql.types.DecimalType) =
+      F.sum(when(both.isNotNull, c.cast(DoubleType)).cast(dec)).cast(DoubleType)
+    val xd = x.cast(DoubleType); val yd = y.cast(DoubleType)
+    val n = F.count(both).cast(DoubleType)
+    val stat = f(n, s(xd, Num.SumDec), s(yd, Num.SumDec),
+      s(xd * yd, Num.MomentDec), s(xd * xd, Num.MomentDec),
+      s(yd * yd, Num.MomentDec))
+    val needSize = observedOnly && mask.isDefined
+    val exprs = Seq(stat) ++
+      (if (needSize) Seq(F.count(masked(mask, lit(1))).as(GroupBy.SizeCol)) else Nil)
+    var outDf = base.groupBy(keyCols: _*).agg(exprs.head, exprs.tail: _*)
+    if (needSize) outDf = outDf.filter(col(GroupBy.SizeCol) > 0).drop(GroupBy.SizeCol)
+    if (sort) outDf.orderBy(keyCols: _*) else outDf
+  }
 
   /** Most frequent non-null value per group (pandas `mode()`, first
     * of the modes): `(keys…, out, out_count)`. Ties break on the

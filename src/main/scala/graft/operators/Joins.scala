@@ -300,4 +300,94 @@ object Joins {
       .filter(col(leftPoint) >= col(rightLo) && col(leftPoint) <= col(rightHi))
       .drop(b)
   }
+
+  /** Interval-overlap join: pairs of rows whose CLOSED intervals
+    * `[leftLo, leftHi]` and `[rightLo, rightHi]` overlap, per `on`
+    * key — the interval–interval sibling of [[rangeJoin]]'s
+    * point-in-interval. Same quantised-bucket strategy: both sides
+    * explode to the buckets they cover and meet in a plain hash
+    * equi-join. Each overlapping pair is emitted EXACTLY ONCE — from
+    * the bucket containing the overlap's start `max(lo_l, lo_r)` —
+    * so no distinct pass is needed (the standard dedup rule for
+    * bucketised interval joins). Degenerate/invalid intervals
+    * (hi < lo) never match.
+    *
+    * `bucketWidth` trades replication for selectivity exactly as in
+    * [[rangeJoin]]: pick it near the typical interval length so each
+    * interval covers O(1) buckets.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftLo: String, leftHi: String,
+      rightLo: String, rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val b = "__graft_bucket"
+    def fdiv(c: Column): Column =
+      ((c.cast("decimal(38,0)") - pmod(c, lit(bucketWidth))) / lit(bucketWidth))
+        .cast("long")
+    val leftB = left.filter(col(leftHi) >= col(leftLo))
+      .withColumn(b, explode(sequence(fdiv(col(leftLo)), fdiv(col(leftHi)))))
+    val rightB = right.filter(col(rightHi) >= col(rightLo))
+      .withColumn(b, explode(sequence(fdiv(col(rightLo)), fdiv(col(rightHi)))))
+    leftB.join(rightB, on :+ b)
+      .filter(col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi))
+      .filter(col(b) === fdiv(greatest(col(leftLo), col(rightLo))))
+      .drop(b)
+  }
+
+  /** Blocked fuzzy (approximate-string) equi-join — the standard
+    * entity-resolution recipe (blocking + edit-distance verification;
+    * Christen 2012 survey) for linking records whose keys differ by
+    * typos: returns `(left_id, right_id, left_key, right_key, dist)`
+    * for every cross-side pair with `levenshtein(norm(a), norm(b)) <=
+    * maxDist`, where norm = lower + trim.
+    *
+    * '''Blocking contract (recall, not completeness):''' candidate
+    * pairs must share the `prefixLen`-char normalized prefix and sit
+    * within ±1 adjacent `lenBand`-sized length bins. The length-bin
+    * expansion (each left row probes bins b−1, b, b+1) makes the
+    * length dimension complete for `maxDist <= lenBand`; the prefix
+    * block is the standard recall/cost dial — a typo inside the first
+    * `prefixLen` chars is missed, by design. Pass `prefixLen = 0` to
+    * block on length alone (complete for `maxDist <= lenBand`, at
+    * quadratic-within-bin cost).
+    *
+    * Distributed shape: a plain hash equi-join on the (prefix, bin)
+    * block key — never a cross join; the 3× bin expansion sits on the
+    * LEFT (probe) side as a row-local explode. Pair volume is
+    * Σ_block |L_block|·|R_block|: bounded by the blocking, the same
+    * economics as the dedup family's capped posting lists. The
+    * verification predicate is codegen'd `levenshtein`, evaluated
+    * only on block-mates.
+    */
+  def fuzzyJoin(
+      left: DataFrame, leftId: Column, leftKey: Column,
+      right: DataFrame, rightId: Column, rightKey: Column,
+      maxDist: Int, prefixLen: Int = 2, lenBand: Int = 4): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 0, s"prefixLen must be >= 0, got $prefixLen")
+    require(lenBand >= 1, s"lenBand must be >= 1, got $lenBand")
+    def norm(c: Column): Column = lower(trim(c))
+    def bin(c: Column): Column = (length(c) / lenBand).cast("int")
+    def blockKey(c: Column): Column =
+      if (prefixLen == 0) lit("") else substring(c, 1, prefixLen)
+    val l = left.select(leftId.as("left_id"), norm(leftKey).as("__graft_lk"))
+      .filter(col("__graft_lk").isNotNull)
+      .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
+      .withColumn("__graft_bin", explode(array(
+        bin(col("__graft_lk")) - 1, bin(col("__graft_lk")),
+        bin(col("__graft_lk")) + 1)))
+    val r = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
+      .filter(col("__graft_rk").isNotNull)
+      .withColumn("__graft_pfx", blockKey(col("__graft_rk")))
+      .withColumn("__graft_bin", bin(col("__graft_rk")))
+    l.join(r, Seq("__graft_pfx", "__graft_bin"))
+      .filter(levenshtein(col("__graft_lk"), col("__graft_rk")) <= maxDist)
+      .select(col("left_id"), col("right_id"),
+        col("__graft_lk").as("left_key"), col("__graft_rk").as("right_key"),
+        levenshtein(col("__graft_lk"), col("__graft_rk")).as("dist"))
+  }
 }

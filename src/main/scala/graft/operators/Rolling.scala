@@ -74,6 +74,41 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
         F.sum(v.cast(graft.functions.Num.SumDec)).over(w)
           .cast(org.apache.spark.sql.types.DoubleType),
         F.count(v).over(w).cast(org.apache.spark.sql.types.DoubleType))
+    case "var" | "std" =>
+      // pandas rolling var/std (ddof=1) via the Σx² identity over the
+      // frame. Exact mode accumulates both sums through decimals so
+      // the statistic is partitioning- and engine-independent; the
+      // closing arithmetic is fixed-order row-local IEEE double. The
+      // 0-clamp absorbs the tiny negative cancellation residue a
+      // constant-valued window can produce (pandas clamps the same
+      // way internally before its sqrt).
+      val dt = org.apache.spark.sql.types.DoubleType
+      val vd = v.cast(dt)
+      val n = F.count(v).over(w).cast(dt)
+      val (s, ss) =
+        if (exact)
+          (F.sum(vd.cast(graft.functions.Num.SumDec)).over(w).cast(dt),
+            F.sum((vd * vd).cast(graft.functions.Num.MomentDec)).over(w).cast(dt))
+        else (F.sum(vd).over(w), F.sum(vd * vd).over(w))
+      val varC = when(n > 1, greatest((ss - s * s / n) / (n - 1), lit(0.0)))
+        .otherwise(lit(null).cast(dt))
+      if (op == "var") varC else sqrt(varC)
+    case "prod" =>
+      // running/windowed product via exp(Σ ln|x|)·(−1)^#neg with a
+      // zero latch — the [[GroupBy]] "prod" formula lifted over the
+      // frame; null before the first non-null value (house cumulative
+      // rule: null values carry the running product)
+      val dt = org.apache.spark.sql.types.DoubleType
+      val av = v.cast(dt)
+      val cnt = F.count(av).over(w)
+      val zeros = F.count(when(av === 0.0, lit(1))).over(w)
+      val negs = F.count(when(av < 0.0, lit(1))).over(w)
+      val sumln = F.sum(when(av =!= 0.0, log(abs(av)))
+        .cast(graft.functions.Num.DotDec)).over(w).cast(dt)
+      val sign = when(pmod(negs, lit(2L)) === 0, lit(1.0)).otherwise(lit(-1.0))
+      when(cnt === 0, lit(null).cast(dt))
+        .when(zeros > 0, lit(0.0))
+        .otherwise(exp(sumln) * sign)
     case _ => aggOf(op, v).over(w)
   }
 
@@ -89,6 +124,11 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
       name: String = "cum", exact: Boolean = false,
       sliceWidth: Option[Long] = None): DataFrame = sliceWidth match {
     case Some(wdt) =>
+      // the sliced carry combines sum/min/max/count partials; second
+      // moments (var/std) have no carry representation there yet
+      require(!Seq("var", "std", "prod").contains(op),
+        s"sliceWidth cum $op is unsupported: the injected prefix carry " +
+          "has no representation for this aggregate — run unsplit")
       cumSliced(op, value, ord, mask, skipNa, name, exact, wdt)
     case None =>
       val cum = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
@@ -477,6 +517,120 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
       sliceWidth: Option[Long] = None): DataFrame =
     rollingAgg("max", value, ord, window, minPeriods, mask, name, exact,
       sliceWidth)
+
+  /** Rolling sample variance (pandas `rolling().var()`, ddof=1; null
+    * below `minPeriods` or with < 2 non-null values in the frame).
+    * Masked sub-stream and `sliceWidth` hot-key semantics come from
+    * [[rollingAgg]] like every other rolling op.
+    */
+  def rollingVar(value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling_var", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame =
+    rollingAgg("var", value, ord, window, minPeriods, mask, name, exact,
+      sliceWidth)
+
+  /** Rolling sample standard deviation (pandas `rolling().std()`,
+    * ddof=1). See [[rollingVar]].
+    */
+  def rollingStd(value: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, mask: Option[Column] = None,
+      name: String = "rolling_std", exact: Boolean = false,
+      sliceWidth: Option[Long] = None): DataFrame =
+    rollingAgg("std", value, ord, window, minPeriods, mask, name, exact,
+      sliceWidth)
+
+  /** Rolling pairwise covariance of `x` and `y` over the last `window`
+    * rows (pandas `rolling().cov()` for one pair, ddof=1): only
+    * frame rows where BOTH are non-null contribute
+    * (pairwise-complete, the [[GroupBy.cov]] rule); `minPeriods`
+    * counts those pairs (default = window); null when pairs ≤ ddof.
+    * Decimal-exact pair moments, IEEE closing arithmetic — the same
+    * float policy as the grouped twin, so results are partitioning-
+    * independent and replay bit-exactly unrounded.
+    */
+  def rollingCov(x: Column, y: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None, ddof: Int = 1,
+      name: String = "rolling_cov"): DataFrame =
+    pairMomentWindow(x, y, ord, window, minPeriods, name) {
+      (n, sx, sy, sxy, _, _) =>
+        when(n > ddof, (sxy - sx * sy / n) / (n - lit(ddof.toDouble)))
+          .otherwise(lit(null).cast(org.apache.spark.sql.types.DoubleType))
+    }
+
+  /** Rolling pairwise Pearson correlation (pandas `rolling().corr()`
+    * for one pair): null when either marginal variance of the frame's
+    * pairwise-complete rows is non-positive or pairs < 2 (pandas NaN
+    * → this library's null). See [[rollingCov]] for the float policy.
+    */
+  def rollingCorr(x: Column, y: Column, ord: Column, window: Int,
+      minPeriods: Option[Int] = None,
+      name: String = "rolling_corr"): DataFrame =
+    pairMomentWindow(x, y, ord, window, minPeriods, name) {
+      (n, sx, sy, sxy, sxx, syy) =>
+        val cxy = sxy - sx * sy / n
+        val cxx = sxx - sx * sx / n
+        val cyy = syy - sy * sy / n
+        when(n >= 2 && cxx > 0 && cyy > 0, cxy / sqrt(cxx * cyy))
+          .otherwise(lit(null).cast(org.apache.spark.sql.types.DoubleType))
+    }
+
+  /** Shared frame-scoped pair-moment machinery behind
+    * [[rollingCov]]/[[rollingCorr]]: the five decimal-summed sums over
+    * pairwise-complete frame rows plus the pair count, finished
+    * row-locally by `f`.
+    */
+  private def pairMomentWindow(x: Column, y: Column, ord: Column,
+      window: Int, minPeriods: Option[Int], name: String)(
+      f: (Column, Column, Column, Column, Column, Column) => Column): DataFrame = {
+    val dt = org.apache.spark.sql.types.DoubleType
+    val mp = minPeriods.getOrElse(window)
+    val frame = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val both = when(x.isNotNull && y.isNotNull, lit(1))
+    def s(c: Column, dec: org.apache.spark.sql.types.DecimalType) =
+      F.sum(when(both.isNotNull, c.cast(dt)).cast(dec)).over(frame).cast(dt)
+    val xd = x.cast(dt); val yd = y.cast(dt)
+    val n = F.count(both).over(frame).cast(dt)
+    val stat = f(n, s(xd, graft.functions.Num.SumDec),
+      s(yd, graft.functions.Num.SumDec),
+      s(xd * yd, graft.functions.Num.MomentDec),
+      s(xd * xd, graft.functions.Num.MomentDec),
+      s(yd * yd, graft.functions.Num.MomentDec))
+    gb.dfWithKeys.withColumn(name, when(keysOk && n >= mp, stat))
+  }
+
+  /** Expanding (cumulative) mean — pandas `expanding().mean()`: the
+    * [[cumAgg]] machinery with op = mean; masked rows carry the
+    * previous value like every cumulative op. `exact = true` for the
+    * order-insensitive decimal path (required under `sliceWidth`).
+    */
+  def cummean(value: Column, ord: Column, mask: Option[Column] = None,
+      skipNa: Boolean = true, name: String = "cummean",
+      exact: Boolean = false, sliceWidth: Option[Long] = None): DataFrame =
+    cumAgg("mean", value, ord, mask, skipNa, name, exact, sliceWidth)
+
+  /** Expanding sample variance — pandas `expanding().var()` (ddof=1;
+    * null below 2 non-null values). No `sliceWidth` form: the sliced
+    * carry machinery combines sum/min/max/count partials, not second
+    * moments — a hot key's expanding variance needs the (future)
+    * moment-carry extension, so the op refuses rather than silently
+    * produce a wrong split.
+    */
+  def cumvar(value: Column, ord: Column, mask: Option[Column] = None,
+      skipNa: Boolean = true, name: String = "cumvar",
+      exact: Boolean = false): DataFrame =
+    cumAgg("var", value, ord, mask, skipNa, name, exact, None)
+
+  /** Cumulative product (pandas `cumprod` under the house null rule:
+    * null/masked rows carry the running product): exp(Σ ln|x|) with a
+    * zero latch and parity sign — see the liftAgg "prod" case. Like
+    * [[cumvar]], no `sliceWidth` form (the prefix carry has no
+    * product representation yet).
+    */
+  def cumprod(value: Column, ord: Column, mask: Option[Column] = None,
+      skipNa: Boolean = true, name: String = "cumprod"): DataFrame =
+    cumAgg("prod", value, ord, mask, skipNa, name, exact = false, None)
 
   /** Compute `build(__v, partitionWindow)` over the mask-filtered
     * sub-stream and left-join the result back on (keys, ord). Both

@@ -89,4 +89,103 @@ object Vocab {
         F.count(when(col("token_id").isNull, lit(1))).as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
+
+  /** Byte-Pair-Encoding merge learning (Sennrich et al. 2016): the
+    * `rounds` highest-frequency adjacent symbol-pair merges over the
+    * corpus, starting from single characters. Returns one row per
+    * learned merge: `(merge_rank, left, right, merged, pair_freq)`,
+    * rank 1 = first/most-frequent. Ties break on (left ASC, right
+    * ASC) — a total, engine-independent rule. Stops early when no
+    * pair reaches `minPairFreq`.
+    *
+    * Distributed shape — the property that makes BPE trainable at
+    * corpus scale: ONE corpus-wide pass builds the word-FREQUENCY
+    * table (the classic BPE formulation trains on word counts, not
+    * running text), and every round after operates on that
+    * vocab-sized table: adjacent-pair explode → hash count →
+    * TakeOrdered(1) for the argmax (a one-row bounded action per
+    * round, like the IVF centroid probe), then a row-local
+    * left-to-right fold rewrites the symbol arrays. Each round
+    * localCheckpoints the vocab-sized table so K rounds keep constant
+    * lineage (the dedup-clusters pattern).
+    */
+  def learnBpeMerges(df: DataFrame, text: Column, rounds: Int,
+      minPairFreq: Long = 1L, sep: String = " "): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minPairFreq >= 1, s"minPairFreq must be >= 1, got $minPairFreq")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df
+      .select(explode(split(text, java.util.regex.Pattern.quote(sep))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(F.count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val pairTop = cur.filter(F.size(col("syms")) >= 2)
+        .select(col("freq"), explode(F.zip_with(
+          F.slice(col("syms"), lit(1), F.size(col("syms")) - 1),
+          F.slice(col("syms"), lit(2), F.size(col("syms")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(F.sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (pairTop.isEmpty || pairTop.head.getAs[Long]("pf") < minPairFreq) {
+        done = true
+      } else {
+        val a = pairTop.head.getAs[String]("a")
+        val b = pairTop.head.getAs[String]("b")
+        merges += ((r, a, b, a + b, pairTop.head.getAs[Long]("pf")))
+        cur = cur.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "merged", "pair_freq")
+  }
+
+  /** Row-local left-to-right BPE merge of adjacent (`a`, `b`) symbol
+    * occurrences in an array column — overlapping occurrences merge
+    * greedily from the left (`[a,a,a]` with pair (a,a) → `[aa,a]`),
+    * the standard BPE scan order.
+    */
+  private[operators] def mergePair(syms: Column, a: String, b: String): Column =
+    F.aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(F.size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(F.slice(acc, lit(1), F.size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Segment every document with an already-learned merge list
+    * ([[learnBpeMerges]] output collected to `(left, right)` pairs in
+    * rank order): one row per document, `(doc_id, pieces)` — the
+    * in-order concatenation of each word's final symbol sequence.
+    *
+    * Distributed shape: each DISTINCT word is segmented once (the
+    * merge folds run over the vocab-sized table, not the corpus),
+    * then a BROADCAST join maps words to piece arrays and one
+    * groupBy(doc) reassembles in word order — the [[encodeTokens]]
+    * economics. The merge list is rank-ordered fold composition:
+    * K merges = K chained row-local rewrites.
+    */
+  def bpeSegment(df: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)], sep: String = " "): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "word")))
+      .filter(col("word") =!= "")
+    val pieces = merges.foldLeft(split(col("word"), "").as("syms")) {
+      case (acc, (a, b)) => mergePair(acc, a, b)
+    }
+    val wordPieces = toks.select(col("word")).distinct()
+      .withColumn("__pieces", pieces)
+    toks
+      .join(F.broadcast(wordPieces), Seq("word"))
+      .groupBy("doc_id")
+      .agg(F.flatten(F.transform(array_sort(F.collect_list(
+          struct(col("__pos"), col("__pieces")))),
+        s => s.getField("__pieces"))).as("pieces"))
+  }
 }

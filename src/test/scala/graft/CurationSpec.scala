@@ -1,0 +1,255 @@
+package graft
+
+import graft.operators.{Dsir, GraphOps, Privacy}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the curation wave: DSIR importance weighting
+  * (vs an independent in-memory reimplementation), PageRank (vs an
+  * independent dense power iteration), k-anonymity suppression.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- DSIR
+
+  /** Independent scala twin of the engine's hashed-unigram DSIR:
+    * PortableHash polynomial fold, add-1 smoothing, plain double sums
+    * (the engine decimal-sums at scale 8, so compare within 1e-6).
+    */
+  private def scalaDsir(target: Seq[String], raw: Seq[(Long, String)],
+      buckets: Int): Map[Long, (Long, Double)] = {
+    def bucket(tok: String): Int =
+      (tok.take(64).foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+        % buckets).toInt
+    def counts(docs: Seq[String]): Map[Int, Long] =
+      docs.flatMap(_.split(" ").filter(_.nonEmpty)).map(bucket)
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val tc = counts(target); val rc = counts(raw.map(_._2))
+    val tt = tc.values.sum.toDouble; val rt = rc.values.sum.toDouble
+    val norm = math.log(tt + buckets) - math.log(rt + buckets)
+    raw.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val s = toks.map { t =>
+          val b = bucket(t)
+          math.log(tc.getOrElse(b, 0L) + 1.0) - math.log(rc.getOrElse(b, 0L) + 1.0)
+        }.sum
+        Some(id -> (toks.length.toLong, s - toks.length * norm))
+      }
+    }.toMap
+  }
+
+  test("DSIR log weights match an independent scala reimplementation") {
+    val target = Seq("alpha beta alpha", "beta gamma", "alpha nu xi")
+    val raw = Seq(1L -> "alpha beta", 2L -> "delta epsilon zeta",
+      3L -> "beta beta gamma alpha", 4L -> "", 5L -> "omega")
+    val exp = scalaDsir(target, raw, buckets = 64)
+    val tgtDf = target.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rawDf = raw.toDF("doc_id", "text")
+    val tc = Dsir.bucketCounts(tgtDf, col("text"), 64)
+    val rc = Dsir.bucketCounts(rawDf, col("text"), 64)
+    val got = Dsir.logImportanceWeights(rawDf, col("doc_id"), col("text"),
+        tc, Dsir.totalOf(tc), rc, Dsir.totalOf(rc), 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === exp.keySet)       // empty doc 4 absent from both
+    for ((id, (n, w)) <- exp) {
+      assert(got(id)._1 === n, s"doc $id n_tokens")
+      assert(math.abs(got(id)._2 - w) < 1e-6, s"doc $id log_w: ${got(id)._2} vs $w")
+    }
+    // target-looking docs score above off-target docs
+    assert(got(1L)._2 > got(2L)._2)
+  }
+
+  test("DSIR acceptance weight is min(1, exp(log_w))") {
+    val d = Seq(0.5, 0.0, -1.0).toDF("lw")
+    val out = d.select(Dsir.acceptanceWeight(col("lw"))).collect().map(_.getDouble(0))
+    assert(out(0) === 1.0 && out(1) === 1.0)
+    assert(math.abs(out(2) - math.exp(-1.0)) < 1e-15)
+  }
+
+  // ------------------------------------------------------------ PageRank
+
+  /** Independent dense power iteration with the same dangling rule. */
+  private def scalaPr(edges: Seq[(String, String)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / out(src) }.sum
+      }
+      r = nodes.map(v => v ->
+        ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches an independent dense power iteration; mass conserved") {
+    val edges = Seq("a" -> "b", "c" -> "b", "b" -> "a", "a" -> "d",
+      "e" -> "a", "a" -> "b" /* duplicate collapses */)
+    val exp = scalaPr(edges, 4, 0.85)
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === exp.keySet)
+    for ((k, v) <- exp)
+      assert(math.abs(got(k) - v) < 1e-6, s"node $k: ${got(k)} vs $v")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "rank mass must stay 1")
+  }
+
+  test("pageRank: two-node cycle is the uniform fixed point; checkpointing changes nothing") {
+    val e = Seq("x" -> "y", "y" -> "x").toDF("src", "dst")
+    val r = GraphOps.pageRank(e, iterations = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r("x") - 0.5) < 1e-9 && math.abs(r("y") - 0.5) < 1e-9)
+    val rc = GraphOps.pageRank(e, iterations = 5, checkpointEvery = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rc === r)
+  }
+
+  test("pageRank validates its arguments") {
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException] { GraphOps.pageRank(e, iterations = 0) }
+    intercept[IllegalArgumentException] { GraphOps.pageRank(e, damping = 1.5) }
+  }
+
+  // ----------------------------------------------------------- fuzzy join
+
+  test("fuzzyJoin finds typo pairs within blocks; prefix typos are missed by design") {
+    val left = Seq((1L, "Widget Alpha"), (2L, "Gadget Beta"), (3L, "Gizmo"))
+      .toDF("id", "name")
+    val right = Seq(
+      (10L, "widget alpja"),  // dist 1, same prefix → found
+      (20L, "Xadget Beta"),   // dist 1 but first char differs → missed (prefix block)
+      (30L, "gizmo XL"),      // dist 3 > maxDist → rejected by verify
+      (40L, "GIZMO ")         // trim+lower → exact, dist 0
+    ).toDF("id", "name")
+    val out = graft.operators.Joins.fuzzyJoin(
+        left, col("id"), col("name"), right, col("id"), col("name"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(out === Set((1L, 10L, 1), (3L, 40L, 0)))
+  }
+
+  test("fuzzyJoin length-band adjacency: a one-char insertion across a bin boundary still matches") {
+    // lengths 8 and 9 straddle the lenBand=4 boundary (bins 2 vs 2? 8/4=2, 9/4=2)
+    // use 7 vs 8: bins 1 and 2 — adjacent, must still match at dist 1
+    val l = Seq((1L, "abcdefg")).toDF("id", "name")       // len 7, bin 1
+    val r = Seq((2L, "abcdefgh")).toDF("id", "name")      // len 8, bin 2
+    val out = graft.operators.Joins.fuzzyJoin(
+      l, col("id"), col("name"), r, col("id"), col("name"), maxDist = 1)
+    assert(out.count() === 1)
+    // prefixLen = 0 blocks on length alone: complete for maxDist <= lenBand
+    val p0 = graft.operators.Joins.fuzzyJoin(
+      Seq((1L, "xbcdefg")).toDF("id", "name"), col("id"), col("name"),
+      r, col("id"), col("name"), maxDist = 2, prefixLen = 0)
+    assert(p0.count() === 1)
+  }
+
+  // ----------------------------------------------------------------- BPE
+
+  /** Independent in-memory BPE (word-frequency formulation, greedy
+    * left-to-right rewrite, (freq DESC, left ASC, right ASC) argmax).
+    */
+  private def scalaBpe(words: Map[String, Long], rounds: Int)
+      : (List[(String, String, Long)], Map[String, List[String]]) = {
+    var syms = words.map { case (w, f) => w.toList.map(_.toString) -> f }.toList
+    var merges = List.empty[(String, String, Long)]
+    var stop = false
+    for (_ <- 1 to rounds if !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- syms; p <- s.zip(s.drop(1)))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), pf) = counts.toList
+          .sortBy { case ((x, y), c) => (-c, x, y) }.head
+        merges = merges :+ ((a, b, pf))
+        def rw(s: List[String]): List[String] = s.foldLeft(List.empty[String]) {
+          (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+        }
+        syms = syms.map { case (s, f) => rw(s) -> f }
+      }
+    }
+    val seg = words.keys.map { w =>
+      var s = w.toList.map(_.toString)
+      for ((a, b, _) <- merges) {
+        s = s.foldLeft(List.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+          else acc :+ x
+        }
+      }
+      w -> s
+    }.toMap
+    (merges, seg)
+  }
+
+  test("learnBpeMerges matches an independent in-memory BPE; bpeSegment applies the merges") {
+    val docs = Seq((1L, "low low low lower lowest"), (2L, "newest newest"))
+    val words = Map("low" -> 3L, "lower" -> 1L, "lowest" -> 1L, "newest" -> 2L)
+    val (expMerges, expSeg) = scalaBpe(words, 6)
+    // sanity of the oracle itself: the classic first merges
+    assert(expMerges.take(3).map(m => (m._1, m._2)) ===
+      List(("l", "o"), ("lo", "w"), ("e", "s")))
+    val d = docs.toDF("doc_id", "text")
+    val got = graft.operators.Vocab.learnBpeMerges(d, col("text"), 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+    assert(got === expMerges)
+    val seg = graft.operators.Vocab.bpeSegment(d, col("doc_id"), col("text"),
+        expMerges.map(m => (m._1, m._2)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val expDoc1 = "low low low lower lowest".split(" ").toList.flatMap(expSeg)
+    val expDoc2 = "newest newest".split(" ").toList.flatMap(expSeg)
+    assert(seg(1L) === expDoc1)
+    assert(seg(2L) === expDoc2)
+  }
+
+  test("learnBpeMerges stops early when no pair reaches minPairFreq") {
+    val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m = graft.operators.Vocab.learnBpeMerges(d, col("text"), 10,
+      minPairFreq = 2L).collect()
+    // only (a,b) reaches freq 2; after merging it no pair has freq >= 2
+    assert(m.length === 1)
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) === (("a", "b", 2L)))
+  }
+
+  // ------------------------------------------------------- k-anonymity
+
+  test("suppressRare nulls quasi columns of combos rarer than k; nulls form their own combo") {
+    val d = Seq(
+      (1L, Some("en"), "web"), (2L, Some("en"), "web"), (3L, Some("en"), "web"),
+      (4L, Some("fr"), "web"),                    // count 1 → suppressed
+      (5L, None, "web"), (6L, None, "web"), (7L, None, "web") // null combo, count 3
+    ).toDF("id", "lang", "source")
+    val out = Privacy.suppressRare(d, Seq(col("lang"), col("source")), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(out.size === 7)
+    assert(out(1L) === ((Some("en"), Some("web"), false)))
+    assert(out(4L) === ((None, None, true)))
+    assert(out(5L) === ((None, Some("web"), false))) // null lang kept: combo count 3
+  }
+
+  test("suppressRare rejects missing columns, duplicate names, flag collisions, bad k") {
+    val d = Seq((1L, "a")).toDF("id", "q")
+    intercept[IllegalArgumentException] {
+      Privacy.suppressRare(d, Seq(col("q")), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.suppressRare(d, Seq((col("q") === "a").as("derived")), k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.suppressRare(d.withColumn("suppressed", lit(true)), Seq(col("q")), k = 2)
+    }
+  }
+}

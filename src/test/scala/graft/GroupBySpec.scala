@@ -412,4 +412,91 @@ class GroupBySpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { g.quantile(Seq(col("v")), 1.5) }
   }
+
+  test("cov/corr: pairwise-complete pandas semantics, ddof variants, degenerate groups") {
+    val d = Seq[(String, Option[Double], Option[Double])](
+      ("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)), ("a", Some(3.0), Some(6.0)),
+      ("b", Some(1.0), Some(5.0)), ("b", Some(2.0), Some(3.0)),
+      ("c", Some(1.0), Some(7.0)),                       // n=1: cov/corr null
+      ("d", Some(1.0), Some(1.0)), ("d", Some(1.0), Some(3.0)), // x-variance 0
+      ("e", Some(1.0), Some(2.0)), ("e", None, Some(10.0)), ("e", Some(2.0), Some(4.0))
+    ).toDF("k", "x", "y")
+    val g = new GroupBy(d, Seq(col("k")))
+    def m(df: org.apache.spark.sql.DataFrame, c: String): Map[String, Any] =
+      df.collect().map(r => r.getString(0) -> r.get(r.fieldIndex(c))).toMap
+
+    val cv = m(g.cov(col("x"), col("y")), "cov")
+    assert(cv("a") === 2.0 && cv("b") === -1.0 && cv("c") == null)
+    assert(cv("d") === 0.0)
+    assert(cv("e") === 1.0)  // the null-x pair is excluded entirely
+
+    val cvp = m(g.cov(col("x"), col("y"), ddof = 0), "cov")
+    assert(math.abs(cvp("a").asInstanceOf[Double] - 4.0 / 3) < 1e-12)
+    assert(cvp("c") === 0.0 || cvp("c") == null) // n=1, ddof=0: defined, zero
+    assert(cvp("b") === -0.5)
+
+    val cr = m(g.corr(col("x"), col("y")), "corr")
+    assert(cr("a") === 1.0 && cr("b") === -1.0)
+    assert(cr("c") == null)   // n < 2
+    assert(cr("d") == null)   // zero marginal variance → null, not NaN
+    assert(cr("e") === 1.0)
+
+    // mask composes: only 'a' rows with x >= 2 → n=2 per pair
+    val cm = m(g.cov(col("x"), col("y"), mask = Some(col("x") >= 2.0)), "cov")
+    assert(cm("a") === 1.0 && !cm.contains("c")) // fully-masked group drops
+  }
+
+  test("prod: sign parity, zero latch, empty-group identity, null skip; sem = std/sqrt(n)") {
+    val d = Seq(
+      ("a", Some(2.0)), ("a", Some(-3.0)), ("a", Some(0.5)),   // -3.0
+      ("b", Some(-2.0)), ("b", Some(-5.0)),                    // 10.0
+      ("c", Some(4.0)), ("c", Some(0.0)), ("c", Some(-7.0)),   // 0.0 (latch)
+      ("d", None),                                             // empty → 1.0
+      ("e", Some(1.5))
+    ).toDF("k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    val p = g.aggregate(Seq(graft.operators.AggSpec("prod", col("v"), "p")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(p("a") - (-3.0)) < 1e-6)  // ln terms decimal-round at scale 8
+    assert(math.abs(p("b") - 10.0) < 1e-6)
+    assert(p("c") === 0.0)
+    assert(p("d") === 1.0)   // pandas: prod of all-NaN group is 1.0
+    assert(math.abs(p("e") - 1.5) < 1e-6)
+
+    // sem: std/sqrt(n); group [2, 4, 6]: std=2, n=3
+    val ds = Seq(("x", 2.0), ("x", 4.0), ("x", 6.0)).toDF("k", "v")
+    val s = new GroupBy(ds, Seq(col("k")))
+      .aggregate(Seq(graft.operators.AggSpec("sem", col("v"), "s")))
+      .head().getDouble(1)
+    assert(math.abs(s - 2.0 / math.sqrt(3.0)) < 1e-12)
+  }
+
+  test("rank: pandas methods (min/dense/first/average), pct, descending, null handling") {
+    // group g: values [10, 20, 20, null, 30]
+    val d = Seq((0, "g", Some(10.0)), (1, "g", Some(20.0)), (2, "g", Some(20.0)),
+      (3, "g", None), (4, "g", Some(30.0)), (5, "h", Some(1.0)))
+      .toDF("ord", "k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    def ranks(method: String, asc: Boolean = true, pct: Boolean = false) =
+      g.rank(col("v"), method, ascending = asc, pct = pct,
+          ord = Some(col("ord")))
+        .collect().map(r => r.getInt(0) ->
+          (if (r.isNullAt(r.fieldIndex("rank"))) null
+           else r.getDouble(r.fieldIndex("rank")))).toMap
+    assert(ranks("min") === Map(0 -> 1.0, 1 -> 2.0, 2 -> 2.0, 3 -> null,
+      4 -> 4.0, 5 -> 1.0))
+    assert(ranks("dense") === Map(0 -> 1.0, 1 -> 2.0, 2 -> 2.0, 3 -> null,
+      4 -> 3.0, 5 -> 1.0))
+    assert(ranks("first") === Map(0 -> 1.0, 1 -> 2.0, 2 -> 3.0, 3 -> null,
+      4 -> 4.0, 5 -> 1.0))
+    assert(ranks("average") === Map(0 -> 1.0, 1 -> 2.5, 2 -> 2.5, 3 -> null,
+      4 -> 4.0, 5 -> 1.0))
+    // pct: average rank / non-null count (4 in g)
+    assert(ranks("average", pct = true) === Map(0 -> 0.25, 1 -> 0.625,
+      2 -> 0.625, 3 -> null, 4 -> 1.0, 5 -> 1.0))
+    // descending: 30 ranks 1
+    assert(ranks("min", asc = false) === Map(0 -> 4.0, 1 -> 2.0, 2 -> 2.0,
+      3 -> null, 4 -> 1.0, 5 -> 1.0))
+    intercept[IllegalArgumentException] { g.rank(col("v"), "median") }
+  }
 }

@@ -294,4 +294,37 @@ class JoinsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), plan)
   }
+
+  test("intervalJoin: overlap matrix vs a brute-force oracle, each pair exactly once, all widths") {
+    // dense fixture: every lo/hi combination within a small range, two
+    // keys, including touching endpoints, containment, disjoint, and
+    // inverted (hi < lo, must never match) intervals
+    val ls = for (k <- 1 to 2; lo <- 0L to 40L by 7; len <- Seq(0L, 5L, 13L))
+      yield (k, lo, lo + len, s"l$k-$lo-$len")
+    val rs = for (k <- 1 to 2; lo <- 3L to 45L by 5; len <- Seq(0L, 4L, 20L))
+      yield (k, lo, lo + len, s"r$k-$lo-$len")
+    val inverted = Seq((1, 10L, 5L, "linv"))
+    val l = (ls ++ inverted).toDF("key", "llo", "lhi", "lid")
+    val r = (rs ++ Seq((1, 20L, 2L, "rinv"))).toDF("key", "rlo", "rhi", "rid")
+    val expect = (for {
+      (k1, llo, lhi, lid) <- ls
+      (k2, rlo, rhi, rid) <- rs
+      if k1 == k2 && llo <= rhi && rlo <= lhi
+    } yield (lid, rid)).toSet
+    for (width <- Seq(1L, 3L, 10L, 1000L)) {
+      val got = Joins.intervalJoin(l, r, Seq("key"), "llo", "lhi",
+          "rlo", "rhi", bucketWidth = width)
+        .select("lid", "rid").as[(String, String)].collect()
+      assert(got.length === got.toSet.size, s"width=$width: duplicates")
+      assert(got.toSet === expect, s"width=$width")
+    }
+  }
+
+  test("intervalJoin plans an equi-join, not a nested-loop join") {
+    val l = Seq((1, 0L, 5L, 1)).toDF("key", "llo", "lhi", "lid")
+    val r = Seq((1, 3L, 9L, 2)).toDF("key", "rlo", "rhi", "rid")
+    val plan = Joins.intervalJoin(l, r, Seq("key"), "llo", "lhi",
+      "rlo", "rhi", bucketWidth = 4L).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
 }

@@ -110,6 +110,87 @@ class RollingSpec extends AnyFunSuite {
       mask = Some(col("m"))), "rolling_sum") === Seq(null, null, 4.0, 7.0))
   }
 
+  test("rolling var/std (ddof=1): hand-computed windows; single-obs frame is null even at minPeriods=1") {
+    // values [1, 2, 4]; window=2 mp=2: var = [null, 0.5, 2.0]
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), true), (2, 0, Some(4.0), true))
+    assert(vals(ops(d).rollingVar(col("value"), col("ord"), 2), "rolling_var") ===
+      Seq(null, 0.5, 2.0))
+    assert(vals(ops(d).rollingStd(col("value"), col("ord"), 2), "rolling_std") ===
+      Seq(null, math.sqrt(0.5), math.sqrt(2.0)))
+    // a null inside the frame: [1, null, 4] window=2 mp=1 — every
+    // frame has <2 non-null values, so var is null everywhere (the
+    // ddof=1 guard, independent of minPeriods — pandas NaN semantics)
+    val dn = df((0, 0, Some(1.0), true), (1, 0, None, true), (2, 0, Some(4.0), true))
+    assert(vals(ops(dn).rollingVar(col("value"), col("ord"), 2,
+      minPeriods = Some(1)), "rolling_var") === Seq(null, null, null))
+    // constant window: exact-zero variance (the 0-clamp), not an ulp residue
+    val dc = df((0, 0, Some(3.0), true), (1, 0, Some(3.0), true), (2, 0, Some(3.0), true))
+    assert(vals(ops(dc).rollingVar(col("value"), col("ord"), 3,
+      minPeriods = Some(2), exact = true), "rolling_var") === Seq(null, 0.0, 0.0))
+  }
+
+  test("masked rolling var computes over the filtered sub-stream") {
+    // stream without row1: [1, 3, 5]; window=2 vars: [null, 2.0, 2.0]
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(99.0), false),
+      (2, 0, Some(3.0), true), (3, 0, Some(5.0), true))
+    assert(vals(ops(d).rollingVar(col("value"), col("ord"), 2,
+      mask = Some(col("m"))), "rolling_var") === Seq(null, null, 2.0, 2.0))
+  }
+
+  test("rolling cov/corr: pairwise-complete frames, minPeriods counts pairs") {
+    // x = [1, 2, null, 4], y = [2, 4, 6, 8]; window=3 mp=2
+    // frames (pairs): [.]=1, [(1,2),(2,4)], [(1,2),(2,4)], [(2,4),(4,8)]
+    val d = Seq(
+      (0, 0, Some(1.0), 2.0), (1, 0, Some(2.0), 4.0),
+      (2, 0, None, 6.0), (3, 0, Some(4.0), 8.0)
+    ).toDF("ord", "key", "x", "y")
+    val ops = new RollingOps(new GroupBy(d, Seq(col("key"))))
+    val cv = vals(ops.rollingCov(col("x"), col("y"), col("ord"), 3,
+      minPeriods = Some(2)), "rolling_cov")
+    // cov((1,2),(2,4)) = ((1-1.5)(2-3)+(2-1.5)(4-3))/1 = 1.0
+    // cov((2,4),(4,8)) = ((2-3)(4-6)+(4-3)(8-6))/1 = 4.0
+    assert(cv === Seq(null, 1.0, 1.0, 4.0))
+    val cr = vals(ops.rollingCorr(col("x"), col("y"), col("ord"), 3,
+      minPeriods = Some(2)), "rolling_corr")
+    assert(cr === Seq(null, 1.0, 1.0, 1.0)) // y = 2x on complete pairs
+    // zero x-variance in the frame: corr null, cov 0
+    val dz = Seq((0, 0, 3.0, 1.0), (1, 0, 3.0, 5.0)).toDF("ord", "key", "x", "y")
+    val opz = new RollingOps(new GroupBy(dz, Seq(col("key"))))
+    assert(vals(opz.rollingCorr(col("x"), col("y"), col("ord"), 2,
+      minPeriods = Some(2)), "rolling_corr") === Seq(null, null))
+    assert(vals(opz.rollingCov(col("x"), col("y"), col("ord"), 2,
+      minPeriods = Some(2)), "rolling_cov") === Seq(null, 0.0))
+  }
+
+  test("expanding mean/var (cummean/cumvar) with null skip; sliced var refuses") {
+    val d = df((0, 0, Some(2.0), true), (1, 0, None, true),
+      (2, 0, Some(4.0), true), (3, 0, Some(6.0), true))
+    assert(vals(ops(d).cummean(col("value"), col("ord"), exact = true),
+      "cummean") === Seq(2.0, 2.0, 3.0, 4.0))
+    // vars: [2]=null, [2]=null, [2,4]=2.0, [2,4,6]=4.0
+    assert(vals(ops(d).cumvar(col("value"), col("ord"), exact = true),
+      "cumvar") === Seq(null, null, 2.0, 4.0))
+    intercept[IllegalArgumentException] {
+      ops(d).cumAgg("var", col("value"), col("ord"), sliceWidth = Some(10L))
+    }
+  }
+
+  test("cumprod: null carries, zero latches, sign flips; sliced refuses") {
+    val d = df((0, 0, Some(2.0), true), (1, 0, None, true),
+      (2, 0, Some(-3.0), true), (3, 0, Some(0.0), true), (4, 0, Some(5.0), true))
+    val out = vals(ops(d).cumprod(col("value"), col("ord")), "cumprod")
+    assert(math.abs(out(0).asInstanceOf[Double] - 2.0) < 1e-6)  // ln terms decimal-round at scale 8
+    assert(math.abs(out(1).asInstanceOf[Double] - 2.0) < 1e-6)  // null carries
+    assert(math.abs(out(2).asInstanceOf[Double] - (-6.0)) < 1e-6)
+    assert(out(3) === 0.0 && out(4) === 0.0)                     // zero latches
+    // leading null: no value yet → null
+    val d2 = df((0, 0, None, true), (1, 0, Some(3.0), true))
+    assert(vals(ops(d2).cumprod(col("value"), col("ord")), "cumprod")(0) == null)
+    intercept[IllegalArgumentException] {
+      ops(d).cumAgg("prod", col("value"), col("ord"), sliceWidth = Some(10L))
+    }
+  }
+
   test("window larger than group: minPeriods guard holds") {
     val d = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), true))
     assert(vals(ops(d).rollingSum(col("value"), col("ord"), 50), "rolling_sum") ===
@@ -146,7 +227,7 @@ class RollingSpec extends AnyFunSuite {
         .map(r => (r.getInt(0), r.getLong(1)) -> r.get(2)).toMap
     for {
       (op, exact) <- Seq(("sum", true), ("mean", true), ("min", false),
-        ("max", false), ("count", false))
+        ("max", false), ("count", false), ("var", true), ("std", true))
       (window, mp) <- Seq((7, None), (7, Some(3)), (1, None), (50, Some(1)))
     } {
       val base = run(op, window, mp, exact, None)
