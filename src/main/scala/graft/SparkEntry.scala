@@ -1133,6 +1133,44 @@ object SparkEntry {
         | ROUND(sd0 / sqrt(CAST(nq AS DOUBLE)), 4) AS sem0_qty
         |FROM a ORDER BY 1, 2""".stripMargin)),
 
+    Q("gb_any_all_idx",
+      // pandas any/all (skipna, empty-group identities) and
+      // idxmin/idxmax (first-occurrence tie rule via lexicographic
+      // struct-min — the same composite-key trick as first/last)
+      (s, dir) => {
+        val ev = eventsUs(s, dir)
+        val g = new GroupBy(ev, Seq(col("user_id")))
+        g.any(Seq((col("value") > 400).as("any_big")))
+          .join(g.all(Seq((col("value") > 0.5).as("all_pos"))), Seq("user_id"))
+          .join(g.idxmin(Seq(col("value").as("idx_min")), col("event_id")),
+            Seq("user_id"))
+          .join(g.idxmax(Seq(col("value").as("idx_max")), col("event_id")),
+            Seq("user_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+        | COALESCE(bool_or(value > 400), false) AS any_big,
+        | COALESCE(bool_and(value > 0.5), true) AS all_pos,
+        | (MIN(CASE WHEN value IS NOT NULL THEN
+        |   struct_pack(v := CAST(value AS DOUBLE), o := event_id) END)).o AS idx_min,
+        | (MIN(CASE WHEN value IS NOT NULL THEN
+        |   struct_pack(v := -CAST(value AS DOUBLE), o := event_id) END)).o AS idx_max
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("gb_ohlc",
+      // pandas GroupBy.ohlc: open/high/low/close in one aggregation
+      // pass, (ord, value) composite keys making ties deterministic
+      (s, dir) => new GroupBy(eventsUs(s, dir), Seq(col("user_id")))
+        .ohlc(col("value"), col("ts_us"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+        | (MIN(CASE WHEN value IS NOT NULL THEN
+        |   struct_pack(o := epoch_us(ts), v := value) END)).v AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | (MAX(CASE WHEN value IS NOT NULL THEN
+        |   struct_pack(o := epoch_us(ts), v := value) END)).v AS close
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("gb_rank",
       // pandas GroupBy.rank as a transform: min / dense / first /
       // average methods + pct, null-safe ordering (nulls sort last so
@@ -1662,6 +1700,47 @@ object SparkEntry {
       Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         |  FROM orders) WHERE rn <= 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("sel_nlargest",
+      // pandas per-group nlargest (keep='first': value DESC, id ASC),
+      // null values dropped; nsmallest is the mirrored gate
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"),
+          Seq(col("o_custkey"))))
+        .nlargest(2, col("o_totalprice"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |WHERE rn <= 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("sel_nsmallest",
+      (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"),
+          Seq(col("o_custkey"))))
+        .nsmallest(2, col("o_totalprice"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC, o_orderkey) AS rn
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |WHERE rn <= 2 ORDER BY o_orderkey""".stripMargin)),
+
+    Q("reshape_melt",
+      // pandas melt: wide → long, a row-local stack projection (zero
+      // shuffle); null values kept; replayed by a plain UNION ALL
+      (s, dir) => Reshape.melt(T(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("variable")),
+      Some("""SELECT l_orderkey, l_linenumber, variable, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin)),
 
     Q("sel_nth",
       (s, dir) => new SelectionOps(new GroupBy(T(s, dir, "orders"), Seq(col("o_custkey"))))

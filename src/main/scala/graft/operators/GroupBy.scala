@@ -224,6 +224,25 @@ final class GroupBy(
           case d => sqrt(Num.varianceExpr(v, d, lift))
         }
         stdC / sqrt(n)
+      case "any" =>
+        // pandas GroupBy.any (skipna): true iff any non-null value is
+        // truthy; an empty/all-null group is FALSE (pandas' identity)
+        coalesce(lift(F.max(when(v.isNotNull, v.cast("boolean")))), lit(false))
+      case "all" =>
+        // pandas GroupBy.all: false iff any non-null value is falsy;
+        // empty/all-null group is TRUE
+        coalesce(lift(F.min(when(v.isNotNull, v.cast("boolean")))), lit(true))
+      case "idxmin" =>
+        // pandas idxmin: the ord of the FIRST (smallest-ord) occurrence
+        // of the minimum — lexicographic struct-min over (value, ord);
+        // numeric values only (idxmax negates)
+        val ordC = spec.ord.getOrElse(sys.error("idxmin requires ord column"))
+        lift(F.min(when(v.isNotNull,
+          struct(v.cast(DoubleType).as("v"), ordC.as("o"))))).getField("o")
+      case "idxmax" =>
+        val ordC = spec.ord.getOrElse(sys.error("idxmax requires ord column"))
+        lift(F.min(when(v.isNotNull,
+          struct((-v.cast(DoubleType)).as("v"), ordC.as("o"))))).getField("o")
       case "var" =>
         spec.ddof match {
           case 1 => lift(F.var_samp(v))
@@ -712,6 +731,46 @@ final class GroupBy(
   def last(values: Seq[Column], ord: Column, mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("last", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
+
+  /** pandas `GroupBy.any` / `all` over boolean(ish) columns: skipna —
+    * null values don't count; an empty/all-null group is false (any)
+    * / true (all), the pandas identities. Plain partial-aggregatable
+    * min/max under the hood.
+    */
+  def any(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("any", values, mask, transform, Margins.None, observedOnly)
+
+  def all(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("all", values, mask, transform, Margins.None, observedOnly)
+
+  /** pandas `idxmin`/`idxmax` for a numeric value: the `ord` (row
+    * identifier) of the first — smallest-ord — occurrence of the
+    * group minimum/maximum. One lexicographic struct-min aggregation,
+    * partial-aggregatable like min itself.
+    */
+  def idxmin(values: Seq[Column], ord: Column, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("idxmin", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
+
+  def idxmax(values: Seq[Column], ord: Column, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("idxmax", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
+
+  /** pandas `GroupBy.ohlc` for one value column: open/high/low/close
+    * = first/max/min/last in `ord` order, one aggregation pass.
+    */
+  def ohlc(value: Column, ord: Column, mask: Option[Column] = None,
+      observedOnly: Boolean = true): DataFrame = {
+    val ordV = struct(ord.as("o"), value.as("v"))
+    aggregate(Seq(
+      AggSpec("first", value, "open", ord = Some(ordV)),
+      AggSpec("max", value, "high"),
+      AggSpec("min", value, "low"),
+      AggSpec("last", value, "close", ord = Some(ordV))),
+      mask, transform = false, Margins.None, observedOnly)
+  }
 
   /** Func-list agg with the reference's zip semantics: `funcs(i)` is
     * applied to `values(i)` — a 1:1 zip, NOT a cross-product

@@ -160,6 +160,31 @@ final class SelectionOps(val gb: GroupBy) extends AnyVal {
         // Spark row_number is int32; long for cross-engine schema parity
         .select(gb.keyCols :+ rowId :+ col(posName).cast("long").as(posName): _*)
   }
+
+  /** pandas per-group `nlargest`: the `n` rows with the largest
+    * `value`, ties broken by `ord` ascending (keep='first'); null
+    * values are dropped, as pandas drops NaN. Plans with the same
+    * partial WindowGroupLimit rank-limit pushdown as [[head]] — each
+    * map task keeps at most n candidates per key before the shuffle.
+    */
+  def nlargest(n: Int, value: Column, ord: Column,
+      posName: String = "__pos"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    gb.base.filter(value.isNotNull)
+      .withColumn(posName, row_number().over(Window.partitionBy(gb.keyCols: _*)
+        .orderBy(value.desc, ord)))
+      .filter(col(posName) <= n).drop(posName)
+  }
+
+  /** pandas per-group `nsmallest` — see [[nlargest]]. */
+  def nsmallest(n: Int, value: Column, ord: Column,
+      posName: String = "__pos"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    gb.base.filter(value.isNotNull)
+      .withColumn(posName, row_number().over(Window.partitionBy(gb.keyCols: _*)
+        .orderBy(value.asc, ord)))
+      .filter(col(posName) <= n).drop(posName)
+  }
 }
 
 object SelectionOps {
@@ -354,6 +379,26 @@ object Reshape {
     * names of the true flags joined by `sep`, all-false → `naRep`
     * (reference `bools_to_categorical`, `util.py:796-892`).
     */
+  /** pandas `melt` (wide → long unpivot): one output row per (input
+    * row × value column), `(ids…, variable, value)`. All `valueCols`
+    * must share one type (pandas object-upcasts; a silent common-type
+    * coercion would surprise at scale, so mixed types are rejected —
+    * cast first). Null values are KEPT (pandas keeps NaN rows).
+    *
+    * Distributed shape: a row-local `stack` projection — zero
+    * shuffle, output volume = rows × columns, streaming-safe.
+    */
+  def melt(df: DataFrame, ids: Seq[String], valueCols: Seq[String],
+      varName: String = "variable", valueName: String = "value"): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns to melt")
+    val types = valueCols.map(c => df.schema(c).dataType).distinct
+    require(types.size == 1,
+      s"melt value columns must share one type, got $types — cast first")
+    val stackArgs = valueCols.flatMap(c => Seq(lit(c), col(c)))
+    df.select(ids.map(col) :+
+      stack(lit(valueCols.size) +: stackArgs: _*).as(Seq(varName, valueName)): _*)
+  }
+
   def boolsToCategorical(flags: Seq[(String, Column)], sep: String = " & ",
       naRep: String = "None", allowDuplicates: Boolean = true): Column = {
     require(!flags.exists(_._1 == naRep),

@@ -471,6 +471,30 @@ class GroupBySpec extends AnyFunSuite {
     assert(math.abs(s - 2.0 / math.sqrt(3.0)) < 1e-12)
   }
 
+  test("any/all: skipna with pandas empty-group identities; idxmin/idxmax first-occurrence ties; ohlc") {
+    val d = Seq[(String, Int, Option[Double])](
+      ("a", 0, Some(5.0)), ("a", 1, Some(2.0)), ("a", 2, Some(2.0)), ("a", 3, Some(5.0)),
+      ("b", 4, None), ("b", 5, None),
+      ("c", 6, Some(-1.0))
+    ).toDF("k", "ord", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    def m(df: DataFrame): Map[String, Any] =
+      df.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(m(g.any(Seq((col("v") > 0).as("f")))) ===
+      Map("a" -> true, "b" -> false, "c" -> false)) // all-null group → false
+    assert(m(g.all(Seq((col("v") > 0).as("f")))) ===
+      Map("a" -> true, "b" -> true, "c" -> false))  // all-null group → true
+    // ties: min value 2.0 at ords 1,2 → idxmin 1; max 5.0 at 0,3 → idxmax 0
+    assert(m(g.idxmin(Seq(col("v").as("i")), col("ord"))) ===
+      Map("a" -> 1, "b" -> null, "c" -> 6))
+    assert(m(g.idxmax(Seq(col("v").as("i")), col("ord"))) ===
+      Map("a" -> 0, "b" -> null, "c" -> 6))
+    val o = g.ohlc(col("v"), col("ord")).collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3), r.get(4))).toMap
+    assert(o("a") === ((5.0, 5.0, 2.0, 5.0)))
+    assert(o("c") === ((-1.0, -1.0, -1.0, -1.0)))
+  }
+
   test("rank: pandas methods (min/dense/first/average), pct, descending, null handling") {
     // group g: values [10, 20, 20, null, 30]
     val d = Seq((0, "g", Some(10.0)), (1, "g", Some(20.0)), (2, "g", Some(20.0)),

@@ -259,4 +259,31 @@ class ReshapeSpec extends AnyFunSuite {
     assert(a.getAs[Double]("y|q") === 2.0)
     assert(a.isNullAt(out.columns.indexOf("x|q")))
   }
+
+  test("melt: wide to long, nulls kept, mixed types rejected") {
+    import spark.implicits._
+    val d = Seq((1, Some(10.0), 100.0), (2, None, 200.0)).toDF("id", "a", "b")
+    val out = Reshape.melt(d, Seq("id"), Seq("a", "b"))
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out === Set((1, "a", 10.0), (1, "b", 100.0),
+      (2, "a", null), (2, "b", 200.0)))
+    val mixed = Seq((1, 1.0, "s")).toDF("id", "a", "b")
+    intercept[IllegalArgumentException] {
+      Reshape.melt(mixed, Seq("id"), Seq("a", "b"))
+    }
+  }
+
+  test("nlargest/nsmallest: keep='first' tie rule, nulls dropped") {
+    import spark.implicits._
+    val d = Seq[(String, Int, Option[Double])](
+      ("g", 0, Some(5.0)), ("g", 1, Some(5.0)), ("g", 2, Some(1.0)),
+      ("g", 3, None), ("g", 4, Some(3.0))
+    ).toDF("k", "id", "v")
+    val sel = new SelectionOps(new GroupBy(d, Seq(col("k"))))
+    assert(sel.nlargest(2, col("v"), col("id")).select("id")
+      .collect().map(_.getInt(0)).toSet === Set(0, 1)) // tie → smaller id first
+    assert(sel.nsmallest(2, col("v"), col("id")).select("id")
+      .collect().map(_.getInt(0)).toSet === Set(2, 4)) // null id=3 dropped
+  }
 }
