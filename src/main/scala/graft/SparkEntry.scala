@@ -1133,6 +1133,33 @@ object SparkEntry {
         | ROUND(sd0 / sqrt(CAST(nq AS DOUBLE)), 4) AS sem0_qty
         |FROM a ORDER BY 1, 2""".stripMargin)),
 
+    Q("gb_scale",
+      // per-group z-score + min-max transforms: bounded moment agg →
+      // BROADCAST stats join-back, data rows never shuffle (the
+      // winsorize shape — a whole-partition window would serialize a
+      // hot key); decimal-exact moments → unrounded bit-exact scores
+      (s, dir) => {
+        val ev = T(s, dir, "events")
+        val g1 = new GroupBy(ev, Seq(col("user_id"))).zscore(col("value"))
+        val g2 = new GroupBy(g1, Seq(col("user_id"))).minmaxScale(col("value"))
+        g2.select(col("event_id"), col("user_id"), col("zscore"), col("scaled"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH st AS (SELECT user_id,
+        |  CAST(COUNT(value) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        |  CAST(SUM(CAST(CAST(value AS DOUBLE) * CAST(value AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS ss,
+        |  MIN(value) AS mn, MAX(value) AS mx
+        | FROM events GROUP BY user_id)
+        |SELECT event_id, e.user_id,
+        | CASE WHEN value IS NOT NULL AND n > 1
+        |   AND sqrt(GREATEST((ss - s*s/n) / (n - 1), 0.0)) > 0
+        |   THEN (CAST(value AS DOUBLE) - s/n) / sqrt(GREATEST((ss - s*s/n) / (n - 1), 0.0)) END AS zscore,
+        | CASE WHEN value IS NOT NULL AND mx > mn
+        |   THEN (CAST(value AS DOUBLE) - mn) / (mx - mn) END AS scaled
+        |FROM events e JOIN st USING (user_id)
+        |ORDER BY event_id""".stripMargin)),
+
     Q("gb_any_all_idx",
       // pandas any/all (skipna, empty-group identities) and
       // idxmin/idxmax (first-occurrence tie rule via lexicographic

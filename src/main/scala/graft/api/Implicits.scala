@@ -107,6 +107,19 @@ object Implicits {
       gb.first(values, ord, mask = mask)
     def last(ord: Column, mask: Option[Column] = None): DataFrame =
       gb.last(values, ord, mask = mask)
+    def skew(mask: Option[Column] = None): DataFrame = gb.skew(values, mask)
+    def kurt(mask: Option[Column] = None): DataFrame = gb.kurt(values, mask)
+    def quantile(q: Double, mask: Option[Column] = None): DataFrame =
+      gb.quantile(values, q, mask)
+    def prod(mask: Option[Column] = None): DataFrame = gb.prod(values, mask)
+    def sem(ddof: Int = 1, mask: Option[Column] = None): DataFrame =
+      gb.sem(values, ddof, mask)
+    def any(mask: Option[Column] = None): DataFrame = gb.any(values, mask)
+    def all(mask: Option[Column] = None): DataFrame = gb.all(values, mask)
+    def idxmin(ord: Column, mask: Option[Column] = None): DataFrame =
+      gb.idxmin(values, ord, mask)
+    def idxmax(ord: Column, mask: Option[Column] = None): DataFrame =
+      gb.idxmax(values, ord, mask)
   }
 
   final class RollingFacade(gb: GroupBy, window: Int, minPeriods: Option[Int]) {
@@ -130,5 +143,15 @@ object Implicits {
       ops.rollingMin(value, ord, window, minPeriods, mask)
     def max(value: Column, ord: Column, mask: Option[Column] = None): DataFrame =
       ops.rollingMax(value, ord, window, minPeriods, mask)
+    def variance(value: Column, ord: Column, mask: Option[Column] = None,
+        exact: Boolean = false): DataFrame =
+      ops.rollingVar(value, ord, window, minPeriods, mask, exact = exact)
+    def std(value: Column, ord: Column, mask: Option[Column] = None,
+        exact: Boolean = false): DataFrame =
+      ops.rollingStd(value, ord, window, minPeriods, mask, exact = exact)
+    def cov(x: Column, y: Column, ord: Column, ddof: Int = 1): DataFrame =
+      ops.rollingCov(x, y, ord, window, minPeriods, ddof)
+    def corr(x: Column, y: Column, ord: Column): DataFrame =
+      ops.rollingCorr(x, y, ord, window, minPeriods)
   }
 }

@@ -732,6 +732,67 @@ final class GroupBy(
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("last", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
 
+  /** pandas `GroupBy.prod` (skipna; empty/all-null group → 1.0). */
+  def prod(values: Seq[Column], mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("prod", values, mask, transform, Margins.None, observedOnly)
+
+  /** pandas `GroupBy.sem`: std(ddof)/√n. */
+  def sem(values: Seq[Column], ddof: Int = 1, mask: Option[Column] = None,
+      transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
+    one("sem", values, mask, transform, Margins.None, observedOnly, ddof = ddof)
+
+  /** Per-group z-score standardization transform: `(x − mean)/std`
+    * (ddof configurable), null where std is zero/undefined or x is
+    * null — the feature-normalization pass run on quality scores
+    * before mixing or thresholding across heterogeneous groups.
+    *
+    * Distributed shape: one bounded per-group moment aggregation
+    * (decimal-exact sums, so the stats — and therefore every score —
+    * are partitioning-independent), then the group-sized stats table
+    * rejoins the input BROADCAST by default (the winsorize pattern):
+    * the data rows are standardized map-side with zero shuffle. A
+    * whole-partition window would serialize each hot key on one task;
+    * this shape never does.
+    */
+  def zscore(value: Column, ddof: Int = 1, out: String = "zscore",
+      broadcastStats: Boolean = true): DataFrame = {
+    require(!base.columns.contains(out),
+      s"output column '$out' already exists — pick another name")
+    val vd = value.cast(DoubleType)
+    val stats = base.groupBy(keyCols: _*).agg(
+      F.count(vd).cast(DoubleType).as("__graft_zn"),
+      F.sum(vd.cast(Num.SumDec)).cast(DoubleType).as("__graft_zs"),
+      F.sum((vd * vd).cast(Num.MomentDec)).cast(DoubleType).as("__graft_zss"))
+    val probe = if (broadcastStats) F.broadcast(stats) else stats
+    val n = col("__graft_zn"); val s = col("__graft_zs"); val ss = col("__graft_zss")
+    val mean = s / n
+    val variance = greatest((ss - s * s / n) / (n - lit(ddof.toDouble)), lit(0.0))
+    val std = sqrt(variance)
+    base.join(probe, keyNames)
+      .withColumn(out, when(vd.isNotNull && n > ddof && std > 0,
+        (vd - mean) / std))
+      .drop("__graft_zn", "__graft_zs", "__graft_zss")
+  }
+
+  /** Per-group min-max scaling transform: `(x − min)/(max − min)` in
+    * [0, 1], null where the group range is zero or x is null. Same
+    * broadcast-stats shape as [[zscore]].
+    */
+  def minmaxScale(value: Column, out: String = "scaled",
+      broadcastStats: Boolean = true): DataFrame = {
+    require(!base.columns.contains(out),
+      s"output column '$out' already exists — pick another name")
+    val vd = value.cast(DoubleType)
+    val stats = base.groupBy(keyCols: _*).agg(
+      F.min(vd).as("__graft_mn"), F.max(vd).as("__graft_mx"))
+    val probe = if (broadcastStats) F.broadcast(stats) else stats
+    base.join(probe, keyNames)
+      .withColumn(out, when(vd.isNotNull && col("__graft_mx") > col("__graft_mn"),
+        (vd - col("__graft_mn")) / (col("__graft_mx") - col("__graft_mn"))))
+      .drop("__graft_mn", "__graft_mx")
+  }
+
   /** pandas `GroupBy.any` / `all` over boolean(ish) columns: skipna —
     * null values don't count; an empty/all-null group is false (any)
     * / true (all), the pandas identities. Plain partial-aggregatable

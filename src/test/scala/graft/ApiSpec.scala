@@ -124,6 +124,34 @@ class ApiSpec extends AnyFunSuite {
     assert(math.abs(rows.head.getAs[Double]("x_mean") - 13.0) < 1e-12)
   }
 
+  test("veneer round-10 additions: selected prod/sem/any/idxmax, rolling var/corr facade, zscore/minmax") {
+    import graft.api.Implicits._
+    val d = Seq((0, "a", 2.0), (1, "a", 4.0), (2, "a", 6.0), (3, "b", 5.0))
+      .toDF("ord", "k", "v")
+    val g = d.groupByFast(col("k"))
+    assert(g.cols(col("v")).sem().collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+      .apply("a").asInstanceOf[Double] - 2.0 / math.sqrt(3) < 1e-9)
+    assert(g.cols(col("v")).idxmax(col("ord")).collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap === Map("a" -> 2, "b" -> 3))
+    val rv = g.rolling(2, Some(2)).variance(col("v"), col("ord"))
+      .filter(col("ord") === 1).head.getAs[Double]("rolling_var")
+    assert(math.abs(rv - 2.0) < 1e-9)
+    // zscore: group a mean 4, std 2 → [-1, 0, 1]; minmax → [0, 0.5, 1]
+    val z = new GroupBy(d, Seq(col("k"))).zscore(col("v"))
+      .filter(col("k") === "a").orderBy("ord")
+      .select("zscore").collect().map(_.getDouble(0)).toSeq
+    assert(z.zip(Seq(-1.0, 0.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    val mm = new GroupBy(d, Seq(col("k"))).minmaxScale(col("v"))
+      .filter(col("k") === "a").orderBy("ord")
+      .select("scaled").collect().map(_.getDouble(0)).toSeq
+    assert(mm === Seq(0.0, 0.5, 1.0))
+    // single-member group: zero std/range → null, not NaN
+    val zb = new GroupBy(d, Seq(col("k"))).zscore(col("v"))
+      .filter(col("k") === "b").select("zscore").head
+    assert(zb.isNullAt(0))
+  }
+
   test("binnedMeans approx path (exactBins=false) matches exact bins on clean quantiles") {
     val d = (1 to 100).map(i => (i.toDouble, 2.0 * i)).toDF("x", "y")
     // distinct uniform values, tight relativeError → identical bins
