@@ -705,6 +705,31 @@ object SparkEntry {
         .orderBy(col("merge_rank")),
       Some(bpeMergesSql("SELECT text FROM documents", 6))),
 
+    Q("win_funnel",
+      // 3-step conversion funnel (view → click → purchase) computed
+      // in ONE aggregation (filter → groupBy(entity) → sorted fold);
+      // the oracle is the INDEPENDENT relational formulation —
+      // chained conditional minima over joins — not a replay of the
+      // engine's fold, so a fold bug cannot self-confirm
+      (s, dir) => graft.operators.Funnel.funnel(eventsUs(s, dir),
+          col("user_id"), col("ts_us"), col("event_type"),
+          Seq("view", "click", "purchase"))
+        .orderBy(col("entity")),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        | s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |   WHERE event_type = 'click' AND ts >= t1 GROUP BY 1),
+        | s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |   WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1)
+        |SELECT u.user_id AS entity, t1 AS step_1_ts, t2 AS step_2_ts, t3 AS step_3_ts,
+        |  CAST(CASE WHEN t1 IS NULL THEN 0 WHEN t2 IS NULL THEN 1
+        |    WHEN t3 IS NULL THEN 2 ELSE 3 END AS INT) AS steps_completed
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY entity""".stripMargin)),
+
     Q("privacy_k_anon",
       // k-anonymity suppression over (lang, source, size-bin) quasi-
       // identifiers, k=3: rare combinations null out, every row kept
@@ -3442,6 +3467,55 @@ object SparkEntry {
         | CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
         | CAST(16 AS BIGINT) AS bits,
         | CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        | TRUE AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("mm_video_headers",
+      // REAL MP4/ISO-BMFF round-trip, the video sibling of the WAV
+      // gate: Spark synthesizes genuine ftyp+moov(mvhd, trak/tkhd)
+      // box structures (big-endian sizes, 16.16 fixed-point
+      // dimensions, parameters injected from doc_id), VideoCodec
+      // walks the boxes BACK from the bytes, and the oracle replays
+      // the injection arithmetic — an offset/endianness/box-size bug
+      // breaks the round-trip and the hash
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        def be32(c: Column) = lpad(hex(c.cast("long")), 8, "0")
+        val width = lit(160L) + pmod(col("doc_id"), lit(16)) * 16
+        val height = lit(120L) + pmod(col("doc_id"), lit(9)) * 8
+        val duration = lit(600L) * (lit(1L) + pmod(col("doc_id"), lit(30)))
+        val matrix = lit("000100000000000000000000000000000001000000" +
+          "000000000000000000000040000000")
+        val hexStr = concat(
+          // ftyp: size 16, major isom, minor 0
+          be32(lit(16L)), lit("66747970"), lit("69736F6D"), be32(lit(0L)),
+          // moov: 8 + mvhd(108) + trak(100)
+          be32(lit(216L)), lit("6D6F6F76"),
+          // mvhd v0: verflags, created, modified, timescale 600,
+          // duration, rate 1.0, volume 1.0 + 10 reserved, matrix,
+          // 24 predefined, next track id
+          be32(lit(108L)), lit("6D766864"), be32(lit(0L)), be32(lit(0L)),
+          be32(lit(0L)), be32(lit(600L)), be32(duration), be32(lit(65536L)),
+          lit("0100"), lit("0" * 20), matrix, lit("0" * 48), be32(lit(2L)),
+          // trak > tkhd v0: verflags(flags 7), created, modified,
+          // track id 1, reserved, duration, 8 reserved, layer/alt/
+          // volume/reserved, matrix, width<<16, height<<16
+          be32(lit(100L)), lit("7472616B"),
+          be32(lit(92L)), lit("746B6864"), be32(lit(7L)), be32(lit(0L)),
+          be32(lit(0L)), be32(lit(1L)), be32(lit(0L)), be32(duration),
+          be32(lit(0L)), be32(lit(0L)), lit("0" * 16), matrix,
+          be32(width * 65536L), be32(height * 65536L))
+        val bin = d.select(col("doc_id"), unhex(hexStr).as("bytes"))
+        Multimodal.decodeVideoHeaders(bin, col("doc_id"), col("bytes")).toDF()
+          .select(col("id"), col("format"), col("width"), col("height"),
+            col("timescale"), col("duration"), col("valid"))
+          .orderBy(col("id"))
+      },
+      Some("""SELECT doc_id AS id, 'mp4' AS format,
+        | CAST(160 + (doc_id % 16) * 16 AS INT) AS width,
+        | CAST(120 + (doc_id % 9) * 8 AS INT) AS height,
+        | CAST(600 AS BIGINT) AS timescale,
+        | CAST(600 * (1 + doc_id % 30) AS BIGINT) AS duration,
         | TRUE AS valid
         |FROM documents ORDER BY doc_id""".stripMargin)),
 

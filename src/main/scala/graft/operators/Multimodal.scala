@@ -260,6 +260,113 @@ object Multimodal {
       }
   }
 
+  /** One parsed video header (`valid=false` rows carry zeros and
+    * format "unknown"). `duration` is in `timescale` units (seconds =
+    * duration / timescale — exact integers only, like the audio
+    * header's frame count).
+    */
+  case class VideoHeader(id: Long, format: String, width: Int, height: Int,
+      timescale: Long, duration: Long, valid: Boolean)
+
+  /** REAL header-parse decode of the MP4/ISO-BMFF container — pure
+    * JVM, public format (ISO/IEC 14496-12 box structure): big-endian
+    * boxes `size(4) type(4)` (size 1 → 64-bit largesize follows,
+    * size 0 → to end of buffer), `ftyp` first, then inside `moov`:
+    * `mvhd` gives the movie timescale/duration (v0: 32-bit fields at
+    * payload offsets 12/16; v1: 64-bit times, timescale at 20,
+    * duration at 24) and the first `trak`→`tkhd` with non-zero
+    * dimensions gives width/height as 16.16 fixed point at payload
+    * offsets 76/80 (v0) or 88/92 (v1) — an audio track's tkhd has
+    * zero dimensions and is skipped. Frame data stays out of scope;
+    * dimensions and duration are real parsed values.
+    */
+  object VideoCodec {
+    private def u32be(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64be(b: Array[Byte], i: Int): Long =
+      (u32be(b, i) << 32) | u32be(b, i + 4)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b.slice(i, i + 4), "US-ASCII")
+
+    /** Iterate the boxes of `b` in [from, until): (type, payloadStart,
+      * payloadEnd) triples, with clamped advances so corrupt sizes end
+      * the walk instead of wrapping it.
+      */
+    private def boxes(b: Array[Byte], from: Int,
+        until: Int): Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var i = from
+      def hasNext: Boolean = i + 8 <= until
+      def next(): (String, Int, Int) = {
+        val size0 = u32be(b, i)
+        val t = tag(b, i + 4)
+        val (hdr, size) =
+          if (size0 == 1 && i + 16 <= until) (16L, u64be(b, i + 8))
+          else if (size0 == 0) (8L, (until - i).toLong)
+          else (8L, size0)
+        val end =
+          if (size < hdr || size > until.toLong - i) until.toLong
+          else i + size
+        val start = i + hdr
+        i = end.toInt
+        (t, math.min(start, end).toInt, end.toInt)
+      }
+    }
+
+    def sniffMp4(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      if (bytes == null || bytes.length < 12) return None
+      val top = boxes(bytes, 0, bytes.length).toSeq
+      if (top.isEmpty || top.head._1 != "ftyp") return None
+      top.find(_._1 == "moov").flatMap { case (_, ms, me) =>
+        var timescale = 0L; var duration = 0L
+        var dims: Option[(Int, Int)] = None
+        for ((t, s, e) <- boxes(bytes, ms, me)) t match {
+          case "mvhd" if e - s >= 20 =>
+            val v = bytes(s) & 0xff
+            if (v == 0 && e - s >= 20) {
+              timescale = u32be(bytes, s + 12); duration = u32be(bytes, s + 16)
+            } else if (v == 1 && e - s >= 32) {
+              timescale = u32be(bytes, s + 20); duration = u64be(bytes, s + 24)
+            }
+          case "trak" if dims.isEmpty =>
+            for ((tt, ts, te) <- boxes(bytes, s, e)
+                 if tt == "tkhd" && dims.isEmpty) {
+              val v = bytes(ts) & 0xff
+              val off = if (v == 1) 88 else 76
+              if (te - ts >= off + 8) {
+                val w = (u32be(bytes, ts + off) >> 16).toInt
+                val h = (u32be(bytes, ts + off + 4) >> 16).toInt
+                if (w > 0 && h > 0) dims = Some((w, h))
+              }
+            }
+          case _ =>
+        }
+        dims.collect { case (w, h) if timescale > 0 => (w, h, timescale, duration) }
+      }
+    }
+  }
+
+  /** Batched real MP4-header decode — the video sibling of
+    * [[decodeHeaders]]/[[decodeAudioHeaders]]: same per-partition
+    * iterator shape, a projection over binary payloads, zero shuffle.
+    */
+  def decodeVideoHeaders(df: DataFrame, id: Column,
+      bytes: Column): Dataset[VideoHeader] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast(LongType), bytes).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, payload) =>
+          VideoCodec.sniffMp4(payload) match {
+            case Some((w, h, ts, dur)) =>
+              VideoHeader(rowId, "mp4", w, h, ts, dur, valid = true)
+            case None =>
+              VideoHeader(rowId, "unknown", 0, 0, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
   /** Expression-level twin of the stub decode (pure Catalyst, used by
     * the SQL oracle): same md5-derived dimensions.
     */

@@ -277,6 +277,74 @@ class CorpusSpec extends AnyFunSuite {
       java.util.Arrays.copyOf(noData, noData.length - 8)) === None)
   }
 
+  test("VideoCodec.sniffMp4: box walk, v0/v1 tkhd, audio-trak skip, largesize, corrupt input") {
+    def be32(bb: java.nio.ByteBuffer, v: Long): java.nio.ByteBuffer =
+      bb.putInt(v.toInt)
+    def mp4(w: Int, h: Int, timescale: Long, duration: Long,
+        tkhdV1: Boolean = false, audioTrakFirst: Boolean = false,
+        largesizeFtyp: Boolean = false): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2048)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      if (largesizeFtyp) {
+        // size=1 → 64-bit largesize (24 = 16-byte header + 8 payload)
+        be32(bb, 1); bb.put("ftyp".getBytes("US-ASCII")).putLong(24L)
+          .put("isom".getBytes("US-ASCII")).putInt(0)
+      } else {
+        be32(bb, 16); bb.put("ftyp".getBytes("US-ASCII"))
+          .put("isom".getBytes("US-ASCII")).putInt(0)
+      }
+      def mvhd(): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(108)
+        b.putInt(108).put("mvhd".getBytes("US-ASCII")).putInt(0)
+          .putInt(0).putInt(0).putInt(timescale.toInt).putInt(duration.toInt)
+        while (b.position() < 108) b.put(0.toByte)
+        b.array()
+      }
+      def tkhd(tw: Int, th: Int, v1: Boolean): Array[Byte] = {
+        val size = if (v1) 8 + 96 else 8 + 84
+        val b = java.nio.ByteBuffer.allocate(size)
+        b.putInt(size).put("tkhd".getBytes("US-ASCII"))
+          .putInt(if (v1) 0x01000007 else 7)
+        val dimOff = 8 + (if (v1) 88 else 76)
+        while (b.position() < dimOff) b.put(0.toByte)
+        b.putInt(tw << 16).putInt(th << 16)
+        b.array()
+      }
+      def trak(tw: Int, th: Int, v1: Boolean): Array[Byte] = {
+        val inner = tkhd(tw, th, v1)
+        val b = java.nio.ByteBuffer.allocate(8 + inner.length)
+        b.putInt(8 + inner.length).put("trak".getBytes("US-ASCII")).put(inner)
+        b.array()
+      }
+      val parts = Seq(mvhd()) ++
+        (if (audioTrakFirst) Seq(trak(0, 0, v1 = false)) else Nil) ++
+        Seq(trak(w, h, tkhdV1))
+      val moovLen = 8 + parts.map(_.length).sum
+      be32(bb, moovLen); bb.put("moov".getBytes("US-ASCII"))
+      parts.foreach(bb.put)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    assert(Multimodal.VideoCodec.sniffMp4(mp4(640, 480, 600, 1800)) ===
+      Some((640, 480, 600L, 1800L)))
+    assert(Multimodal.VideoCodec.sniffMp4(
+      mp4(1920, 1080, 90000, 450000, tkhdV1 = true)) ===
+      Some((1920, 1080, 90000L, 450000L)))
+    // an audio trak (zero dims) before the video trak is skipped
+    assert(Multimodal.VideoCodec.sniffMp4(
+      mp4(320, 240, 600, 60, audioTrakFirst = true)) ===
+      Some((320, 240, 600L, 60L)))
+    // 64-bit largesize ftyp still walks
+    assert(Multimodal.VideoCodec.sniffMp4(
+      mp4(64, 64, 600, 1, largesizeFtyp = true)) ===
+      Some((64, 64, 600L, 1L)))
+    assert(Multimodal.VideoCodec.sniffMp4("notanmp4....".getBytes) === None)
+    assert(Multimodal.VideoCodec.sniffMp4(null) === None)
+    // truncated mid-moov: clamped walk, no crash, no dims → None
+    val full = mp4(640, 480, 600, 1800)
+    assert(Multimodal.VideoCodec.sniffMp4(
+      java.util.Arrays.copyOf(full, full.length - 60)) === None)
+  }
+
   test("decodeAudioHeaders: batch decode round-trip and invalid rows") {
     val good = Seq((1L, 1, 16000, 16, 320), (2L, 2, 8000, 16, 64))
     val rows = good.map { case (id, ch, rate, bits, ds) =>

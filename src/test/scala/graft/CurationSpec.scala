@@ -223,6 +223,47 @@ class CurationSpec extends AnyFunSuite {
     assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) === (("a", "b", 2L)))
   }
 
+  // ------------------------------------------------------------- funnel
+
+  test("funnel: greedy-earliest step times, order constraint, ties, maxGap, partial completion") {
+    val ev = Seq(
+      // u1: view@10, click@5 (before view — ignored), click@20, buy@30 → full
+      (1L, 10L, "view"), (1L, 5L, "click"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      // u2: view@10, buy@15 (no click) → 1 step
+      (2L, 10L, "view"), (2L, 15L, "buy"),
+      // u3: click-only → 0 steps but present
+      (3L, 7L, "click"),
+      // u4: same-ts tie view@10 click@10 buy@10 → step order resolves all 3
+      (4L, 10L, "view"), (4L, 10L, "click"), (4L, 10L, "buy"),
+      // u5: only non-step events → absent from output
+      (5L, 1L, "error")
+    ).toDF("u", "ts", "t")
+    val out = graft.operators.Funnel.funnel(ev, col("u"), col("ts"), col("t"),
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        ((1 to 3).map(i => if (r.isNullAt(i)) null else r.getLong(i)),
+          r.getInt(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((Seq(10L, 20L, 30L), 3)))
+    assert(out(2L) === ((Seq(10L, null, null), 1)))
+    assert(out(3L) === ((Seq(null, null, null), 0)))
+    assert(out(4L) === ((Seq(10L, 10L, 10L), 3)))
+    // maxGap: u1's click at 20 is within 10 of view@10, but buy@30 is
+    // exactly 10 after click@20 → still completes; gap 5 cuts it
+    val g5 = graft.operators.Funnel.funnel(ev, col("u"), col("ts"), col("t"),
+        Seq("view", "click", "buy"), maxGap = Some(5L))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(g5(1L) === 1) // click@20 is 10 > 5 after view@10
+    val g10 = graft.operators.Funnel.funnel(ev, col("u"), col("ts"), col("t"),
+        Seq("view", "click", "buy"), maxGap = Some(10L))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(g10(1L) === 3)
+    intercept[IllegalArgumentException] {
+      graft.operators.Funnel.funnel(ev, col("u"), col("ts"), col("t"),
+        Seq("view", "view"))
+    }
+  }
+
   // ------------------------------------------------------- k-anonymity
 
   test("suppressRare nulls quasi columns of combos rarer than k; nulls form their own combo") {
