@@ -705,6 +705,22 @@ object SparkEntry {
         .orderBy(col("merge_rank")),
       Some(bpeMergesSql("SELECT text FROM documents", 6))),
 
+    Q("profile_skew",
+      // key-skew diagnosis: top-N heaviest keys with shares and
+      // cumulative shares — deterministic (count DESC, key ASC) rank
+      (s, dir) => graft.operators.Profile.keySkew(
+          T(s, dir, "events"), col("event_type"), topN = 4)
+        .orderBy(col("rank")),
+      Some("""WITH c AS (SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        | t AS (SELECT COUNT(*) AS total FROM events),
+        | r AS (SELECT key, n_rows,
+        |   ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, key, n_rows,
+        | CAST(n_rows AS DOUBLE) / (SELECT total FROM t) AS share,
+        | CAST(SUM(n_rows) OVER (ORDER BY rank) AS DOUBLE) / (SELECT total FROM t) AS cum_share
+        |FROM r WHERE rank <= 4 ORDER BY rank""".stripMargin)),
+
     Q("win_funnel",
       // 3-step conversion funnel (view → click → purchase) computed
       // in ONE aggregation (filter → groupBy(entity) → sorted fold);

@@ -58,4 +58,38 @@ object Profile {
           col("__n").cast(DoubleType)).as("null_frac"),
         col("n_distinct"), col("min"), col("max"))
   }
+
+  /** Key-skew diagnosis — the report run before choosing a partition
+    * or join strategy ("does one user own half the table?"): the
+    * `topN` heaviest values of `key` with row counts, share of all
+    * rows, and cumulative share, rank order (count DESC, key ASC) —
+    * total and engine-independent. Null keys count as a value here
+    * (they shuffle like any other, which is exactly what the report
+    * must reveal); the key renders as a string so one schema covers
+    * every type.
+    *
+    * Scale shape: one hash count on the key (map-side partials), a
+    * distributed top-N (TakeOrderedAndProject — per-task heaps,
+    * never a full sort), and a one-row broadcast total; the ranking
+    * window runs over the already-limited ≤ topN rows.
+    */
+  def keySkew(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(F.count(lit(1)).as("n_rows"))
+    val top = counts.orderBy(col("n_rows").desc, col("key").asc_nulls_last)
+      .limit(topN)
+    val total = df.agg(F.count(lit(1)).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key").asc_nulls_last)
+    top.crossJoin(F.broadcast(total))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .withColumn("share",
+        col("n_rows").cast(DoubleType) / col("__total").cast(DoubleType))
+      .withColumn("cum_share",
+        F.sum(col("n_rows")).over(w.rowsBetween(Long.MinValue, 0))
+          .cast(DoubleType) / col("__total").cast(DoubleType))
+      .select(col("rank"), col("key"), col("n_rows"), col("share"),
+        col("cum_share"))
+  }
 }

@@ -223,6 +223,63 @@ class CurationSpec extends AnyFunSuite {
     assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) === (("a", "b", 2L)))
   }
 
+  // -------------------------------------------------------- key skew
+
+  test("keySkew: deterministic tie-broken top-N, shares, null keys counted") {
+    val d = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(2)(null.asInstanceOf[String])).map(Tuple1(_)).toDF("k")
+    val out = graft.operators.Profile.keySkew(d, col("k"), topN = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length === 3)
+    assert(out(0) === ((1L, "a", 5L, 5.0 / 13, 5.0 / 13)))
+    assert(out(1) === ((2L, "b", 3L, 3.0 / 13, 8.0 / 13)))  // b before c (tie)
+    assert(out(2) === ((3L, "c", 3L, 3.0 / 13, 11.0 / 13)))
+    // nulls are a countable key (rank 4 here, outside topN=3; visible at topN=4)
+    val withNull = graft.operators.Profile.keySkew(d, col("k"), topN = 4)
+      .collect()
+    assert(withNull.length === 4 && withNull(3).isNullAt(1) &&
+      withNull(3).getLong(2) === 2L)
+  }
+
+  test("fuzzyJoin randomized differential: exactly the brute-force pairs admitted by the blocking contract") {
+    // deterministic pseudo-random short strings over a 4-letter
+    // alphabet — dense enough that near pairs are common
+    def str(seed: Int): String = {
+      var x = seed * 2654435761L
+      val len = 3 + (math.abs(x) % 6).toInt
+      (0 until len).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "abcd" (math.abs(x % 4).toInt)
+      }.mkString
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ls = (0 until 60).map(i => (i.toLong, str(i)))
+    val rs = (0 until 60).map(i => (1000L + i, str(i + 17)))
+    val maxDist = 2; val prefixLen = 2; val lenBand = 4
+    val expect = (for {
+      (li, ln) <- ls; (ri, rn) <- rs
+      lb = ln.length / lenBand; rb = rn.length / lenBand
+      if ln.take(prefixLen) == rn.take(prefixLen) && math.abs(lb - rb) <= 1
+      if lev(ln, rn) <= maxDist
+    } yield (li, ri)).toSet
+    val got = graft.operators.Joins.fuzzyJoin(
+        ls.toDF("id", "name"), col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist, prefixLen, lenBand)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(expect.nonEmpty, "fixture must produce matches")
+    assert(got === expect)
+  }
+
   // ------------------------------------------------------------- funnel
 
   test("funnel: greedy-earliest step times, order constraint, ties, maxGap, partial completion") {
