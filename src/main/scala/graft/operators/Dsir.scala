@@ -109,6 +109,62 @@ object Dsir {
           col("n_tokens").cast(DoubleType) * lit(normConst)).as("log_w"))
   }
 
+  /** Collect a bucket-counts model to a plain map — a BOUNDED action
+    * (≤ `buckets` rows by construction), the model form the
+    * projection scorer embeds as a literal.
+    */
+  def collectModel(counts: DataFrame): Map[Int, Long] =
+    counts.collect().map(r => r.getAs[Any]("bucket") match {
+      case i: Int  => i -> r.getAs[Long]("cnt")
+      case l: Long => l.toInt -> r.getAs[Long]("cnt")
+    }).toMap
+
+  /** PROJECTION-form DSIR scoring: both bucket models embedded as
+    * literal maps (constant-size by construction — the hashed feature
+    * space is the broadcastability guarantee), the per-document log
+    * importance weight computed entirely row-locally: tokenize →
+    * per-token `ln(tc+1) − ln(rc+1)` terms folded through a DECIMAL
+    * accumulator (the same decimal summation as
+    * [[logImportanceWeights]], so the two forms are BIT-EQUAL) minus
+    * the count-scaled normalizer. Null for token-free documents
+    * (which the groupBy form omits entirely).
+    *
+    * This is the zero-shuffle / streaming twin (the
+    * `withMinHashSignature` pattern): a pure projection, so it runs
+    * identically inside `readStream` micro-batches, in a join-free
+    * scoring pass over 100 TB, or composed with
+    * [[Sampling.weightedSample]] via [[acceptanceWeight]] with no
+    * aggregation anywhere.
+    */
+  def logImportanceWeightProjection(text: Column,
+      targetModel: Map[Int, Long], targetTotal: Long,
+      rawModel: Map[Int, Long], rawTotal: Long,
+      buckets: Int, sep: String = " "): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val tm = typedLit(targetModel)
+    val rm = typedLit(rawModel)
+    val toks = F.filter(split(text, java.util.regex.Pattern.quote(sep)),
+      t => t =!= "")
+    val normConst = math.log(targetTotal.toDouble + buckets) -
+      math.log(rawTotal.toDouble + buckets)
+    // fold accumulator types: a (38,8)+(38,8) add would widen past 38
+    // and Spark would REDUCE the scale to 7 (losing the 8th decimal
+    // every step); bounding the term at (20,8) and the accumulator at
+    // (28,8) keeps every add exact at scale 8 — the term still rounds
+    // at scale 8 exactly like the groupBy form's DotDec cast, so the
+    // two forms stay bit-equal
+    val termDec = org.apache.spark.sql.types.DecimalType(20, 8)
+    val accDec = org.apache.spark.sql.types.DecimalType(28, 8)
+    val sumlr = F.aggregate(toks, lit(0).cast(accDec), (acc, t) => {
+      val b = bucketOf(t, buckets).cast("int")
+      val tc = coalesce(element_at(tm, b), lit(0L)).cast(DoubleType)
+      val rc = coalesce(element_at(rm, b), lit(0L)).cast(DoubleType)
+      (acc + (F.log(tc + 1) - F.log(rc + 1)).cast(termDec)).cast(accDec)
+    }).cast(DoubleType)
+    when(F.size(toks) > 0,
+      sumlr - F.size(toks).cast(DoubleType) * lit(normConst))
+  }
+
   /** Rejection-sampling acceptance weight for a log importance ratio:
     * `min(1, exp(log_w)) = exp(min(log_w, 0))` — accept-with-
     * probability-min(1, r) is the classic envelope-free acceptance

@@ -71,6 +71,43 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(out(2) - math.exp(-1.0)) < 1e-15)
   }
 
+  test("DSIR projection form is bit-equal to the groupBy form; runs on a real stream") {
+    val target = Seq("alpha beta alpha", "beta gamma")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val raw = Seq(1L -> "alpha beta", 2L -> "delta epsilon zeta",
+      3L -> "beta beta gamma alpha", 5L -> "omega").toDF("doc_id", "text")
+    val b = 64
+    val tc = Dsir.bucketCounts(target, col("text"), b)
+    val rc = Dsir.bucketCounts(raw, col("text"), b)
+    val (tt, rt) = (Dsir.totalOf(tc), Dsir.totalOf(rc))
+    val grouped = Dsir.logImportanceWeights(raw, col("doc_id"), col("text"),
+        tc, tt, rc, rt, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val (tm, rm) = (Dsir.collectModel(tc), Dsir.collectModel(rc))
+    val proj = raw.select(col("doc_id"),
+        Dsir.logImportanceWeightProjection(col("text"), tm, tt, rm, rt, b)
+          .as("log_w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj === grouped) // BIT-equal, not approximately
+
+    // the projection is a stateless projection: identical on a stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dsir.logImportanceWeightProjection(col("text"), tm, tt, rm, rt, b)
+          .as("log_w"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_dsir_stream").start()
+    ms.addData(1L -> "alpha beta", 3L -> "beta beta gamma alpha")
+    q.processAllAvailable()
+    val streamed = spark.table("graft_dsir_stream").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    q.stop()
+    assert(streamed === Map(1L -> grouped(1L), 3L -> grouped(3L)))
+  }
+
   // ------------------------------------------------------------ PageRank
 
   /** Independent dense power iteration with the same dangling rule. */
@@ -319,6 +356,60 @@ class CurationSpec extends AnyFunSuite {
       graft.operators.Funnel.funnel(ev, col("u"), col("ts"), col("t"),
         Seq("view", "view"))
     }
+  }
+
+  test("StatefulFunnel batch mode agrees with the one-shuffle fold; streaming emits completions and idle timeouts") {
+    import graft.streaming.{FunnelEvent, StatefulFunnel}
+    val baseUs = 1700000000000000L
+    def fe(u: Long, offUs: Long, step: Int) = FunnelEvent(u,
+      new java.sql.Timestamp((baseUs + offUs) / 1000), baseUs + offUs, step)
+    // u1 completes; u2 stalls after step 1; u3 has out-of-order steps
+    val evs = Seq(
+      fe(1, 0, 0), fe(1, 10, 1), fe(1, 20, 2),
+      fe(2, 0, 0), fe(2, 5, 2),
+      fe(3, 0, 1), fe(3, 10, 0), fe(3, 20, 1), fe(3, 30, 2))
+    import spark.implicits._
+    val batch = StatefulFunnel.track(evs.toDS(), k = 3, streaming = false)
+      .collect().map(p => p.user_id -> ((p.steps_completed, p.step_ts, p.complete)))
+      .toMap
+    assert(batch(1L) === ((3, Seq(baseUs, baseUs + 10, baseUs + 20), true)))
+    assert(batch(2L) === ((1, Seq(baseUs, -1L, -1L), false)))
+    assert(batch(3L) === ((3, Seq(baseUs + 10, baseUs + 20, baseUs + 30), true)))
+    // agreement with the declarative fold on the same rows
+    val df = evs.map(e => (e.user_id, e.ts_us,
+      Seq("a", "b", "c")(e.step))).toDF("u", "ts", "t")
+    val fold = graft.operators.Funnel.funnel(df, col("u"), col("ts"), col("t"),
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(fold === batch.map { case (u, (d, _, _)) => u -> d })
+
+    // streaming: completion emits immediately; the stalled user emits
+    // partial progress once the watermark passes the idle horizon
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toFile
+    val ms = MemoryStream[FunnelEvent]
+    val q = StatefulFunnel.track(
+        ms.toDS().withWatermark("ts2", "2 seconds").as[FunnelEvent],
+        k = 3, idleUs = 1000000L, streaming = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_funnel_stream")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    ms.addData(fe(1, 0, 0), fe(1, 10, 1), fe(2, 0, 0))
+    q.processAllAvailable()
+    ms.addData(fe(1, 20, 2)) // u1 completes here
+    q.processAllAvailable()
+    // sentinel far in the future: watermark passes u2's idle horizon
+    ms.addData(fe(99, 100000000L, 0))
+    q.processAllAvailable()
+    ms.addData(fe(98, 200000000L, 0))
+    q.processAllAvailable()
+    val rows = spark.table("graft_funnel_stream").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(3)))).toMap
+    q.stop()
+    assert(rows(1L) === ((3, true)))
+    assert(rows(2L) === ((1, false))) // idle-timeout partial emission
   }
 
   // ------------------------------------------------------- k-anonymity
