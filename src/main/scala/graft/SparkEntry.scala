@@ -2280,6 +2280,29 @@ object SparkEntry {
           |FROM r ORDER BY doc_id""".stripMargin
       }),
 
+    Q("sample_folds",
+      // deterministic k-fold CV assignment: equal-width ring cut,
+      // replayed with DuckDB integer division
+      (s, dir) => Sampling.assignFolds(T(s, dir, "documents"),
+          col("doc_id"), k = 5, seed = 11)
+        .select(col("doc_id"), col("fold")).orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ${Sampling.foldLabelSql("doc_id", 5, 11)} AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("sample_epochs",
+      // deterministic epoch-repetition realization ("2.5 epochs of
+      // this source"): whole copies + a ring-decided fractional copy,
+      // every (row, copy) pair replayed
+      (s, dir) => Sampling.repeatByFactor(T(s, dir, "documents"),
+          col("doc_id"), lit(0.5) + pmod(col("doc_id"), lit(4)), seed = 3)
+        .select(col("doc_id"), col("copy"))
+        .orderBy(col("doc_id"), col("copy")),
+      Some(s"""WITH n AS (SELECT doc_id,
+        |  ${Sampling.repeatCountSql("doc_id", "0.5 + doc_id % 4", 3)} AS n
+        | FROM documents)
+        |SELECT doc_id, unnest(generate_series(0, n - 1)) AS copy
+        |FROM n WHERE n > 0 ORDER BY doc_id, copy""".stripMargin)),
+
     Q("pipeline_quality_dedup",
       // composed END-TO-END pipeline gated against one DuckDB replay:
       // quality filter → prefix-filtered exact near-dup removal

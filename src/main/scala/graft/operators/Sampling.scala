@@ -330,6 +330,74 @@ object Sampling {
       s"CAST(floor(least(greatest(coalesce(CAST($weightE AS DOUBLE), 0.0), " +
       s"0.0), 1.0) * ${PortableHash.P}.0) AS BIGINT))"
 
+  /** Deterministic k-fold assignment (cross-validation folds): fold
+    * label in [0, k) as an equal-width cut of the id's ring position.
+    * Same guarantees as [[assignSplits]]: disjoint, exhaustive,
+    * partition/retry/engine independent, stable as data grows, and a
+    * pure map-side projection. A row's validation fold in any CV
+    * round is a pure function of its id and the seed.
+    */
+  def assignFolds(df: DataFrame, id: Column, k: Int, seed: Long = 0L,
+      out: String = "fold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn(out, foldLabel(id, k, seed))
+  }
+
+  /** [[assignFolds]]'s label as a standalone Column. */
+  def foldLabel(id: Column, k: Int, seed: Long = 0L): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // equal-width ring cut ⌊ring·k/P⌋ via the exact-division trick
+    // (Spark's `/` on longs is DOUBLE division; subtracting the
+    // remainder first makes the quotient integral and the cast
+    // lossless — the Joins.rangeJoin fdiv pattern)
+    val rk = ringPosition(id, seed) * k
+    ((rk - pmod(rk, lit(PortableHash.P))) / lit(PortableHash.P)).cast("int")
+  }
+
+  /** DuckDB rendering of [[foldLabel]] — keep in lockstep. */
+  def foldLabelSql(idE: String, k: Int, seed: Long): String =
+    s"CAST((${ringPositionSql(idE, seed)} * $k) // ${PortableHash.P} AS INT)"
+
+  /** Deterministic repetition-factor realization — "epochs per
+    * source" as row duplication: each row appears
+    * `⌊factor⌋ + (ring < frac(factor)·P ? 1 : 0)` times, with a
+    * `copy` index column (0-based) distinguishing the duplicates, so
+    * a mixture spec like "2.5 epochs of wiki, 0.3 of CC" realizes
+    * EXACTLY in expectation and deterministically per row — the same
+    * row always gets the same copy count on any partitioning, engine,
+    * or retry, and raising a factor only ever ADDS copies (nesting,
+    * like every ring op). Null/negative factors yield zero copies
+    * (the row drops — a 0-epoch source).
+    *
+    * Distributed shape: a row-local `explode(sequence(...))` — zero
+    * shuffle, output volume = Σ factors. The standard next stage is
+    * [[Sampling.shuffleShards]]-style reordering so duplicates
+    * scatter across the training stream.
+    */
+  def repeatByFactor(df: DataFrame, id: Column, factor: Column,
+      seed: Long = 0L, out: String = "copy"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists — pick another name")
+    val f = greatest(coalesce(factor.cast("double"), lit(0.0)), lit(0.0))
+    val whole = floor(f).cast("long")
+    val extra = (ringPosition(id, seed) <
+      floor((f - floor(f)) * lit(PortableHash.P.toDouble)).cast("long"))
+      .cast("long")
+    val n = whole + extra
+    df.withColumn(out,
+        explode(when(n > 0, sequence(lit(0L), n - 1)).otherwise(array())))
+  }
+
+  /** DuckDB rendering of [[repeatByFactor]]'s copy count — keep in
+    * lockstep (the oracle unnests `generate_series(0, n-1)`).
+    */
+  def repeatCountSql(idE: String, factorE: String, seed: Long): String = {
+    val f = s"greatest(coalesce(CAST($factorE AS DOUBLE), 0.0), 0.0)"
+    s"(CAST(floor($f) AS BIGINT) + CASE WHEN ${ringPositionSql(idE, seed)} < " +
+      s"CAST(floor(($f - floor($f)) * ${PortableHash.P}.0) AS BIGINT) " +
+      s"THEN 1 ELSE 0 END)"
+  }
+
   /** Deterministic sequence packing: assign each document to a
     * training pack of at most `maxTokens` tokens (greedy first-fit in
     * a fixed order — the standard pretraining batch-construction

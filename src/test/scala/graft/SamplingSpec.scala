@@ -376,4 +376,52 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(scrambled)
   }
+
+  test("assignFolds: disjoint, exhaustive, roughly equal, growth-stable, partition-independent") {
+    import spark.implicits._
+    val d = (0L until 2000L).toDF("id")
+    val folds = Sampling.assignFolds(d, col("id"), k = 5, seed = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.size === 5 && sizes.values.forall(s => s > 300 && s < 500))
+    // stability: a row's fold doesn't change when the corpus grows
+    val more = Sampling.assignFolds((0L until 4000L).toDF("id"),
+        col("id"), k = 5, seed = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folds.forall { case (id, f) => more(id) == f })
+    // partition independence
+    val rep = Sampling.assignFolds(d.repartition(7), col("id"), k = 5, seed = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rep === folds)
+    intercept[IllegalArgumentException] {
+      Sampling.assignFolds(d, col("id"), k = 1)
+    }
+  }
+
+  test("repeatByFactor: exact whole copies, ring-decided fractional copy, nesting, null/zero drop") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, i % 5 match {
+      case 0 => Some(2.0); case 1 => Some(0.0); case 2 => Some(2.5)
+      case 3 => None; case _ => Some(0.5)
+    })).toDF("id", "f")
+    val out = Sampling.repeatByFactor(d, col("id"), col("f"), seed = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val counts = out.groupBy(_._1).view.mapValues(_.size).toMap
+    // factor 2.0 → exactly 2 copies with indices 0,1
+    assert((0L until 1000L by 5).forall(counts(_) == 2))
+    assert(out.filter(_._1 == 0L).map(_._2).sorted.toSeq === Seq(0L, 1L))
+    // factor 0 / null → absent
+    assert((1L until 1000L by 5).forall(!counts.contains(_)))
+    assert((3L until 1000L by 5).forall(!counts.contains(_)))
+    // factor 2.5 → 2 or 3; the fractional share lands near half
+    val c25 = (2L until 1000L by 5).map(counts(_))
+    assert(c25.forall(c => c == 2 || c == 3))
+    assert(c25.count(_ == 3) > 60 && c25.count(_ == 3) < 140)
+    // nesting: every copy at factor f exists at factor f + 0.3
+    val bigger = Sampling.repeatByFactor(d, col("id"),
+        col("f") + 0.3, seed = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(out.toSet.subsetOf(bigger))
+  }
 }
