@@ -577,8 +577,15 @@ object Dedup {
       centroids: Seq[(Int, Seq[Double])], threshold: Double,
       exact: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
+    // persisted like minHashPairs' signature table: the k-centroid
+    // argmax is the most expensive expression here and `assigned`
+    // feeds three consumers (both pair sides + the verdict join) —
+    // uncached it would be re-evaluated per consumer, and the cost
+    // grows with the centroid count (which scales with the corpus
+    // under the SemDeDup recipe)
     val assigned = df.select(id.as("doc_id"), ord.as("__ord"), vec.as("v"))
       .withColumn("cid", Similarity.assignCentroid(col("v"), centroids, exact))
+      .persist()
     val a = assigned.select(col("cid"), col("doc_id").as("ida"),
       col("__ord").as("orda"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("doc_id").as("idb"),

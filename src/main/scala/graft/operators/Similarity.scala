@@ -377,9 +377,18 @@ object Similarity {
       .map { case (v, i) => (i, v) }
       .toSeq
     for (_ <- 1 to iters) {
-      centroids = c
-        .select(nearestCid(col("nv"), centroids, exact).as("cid"),
-          posexplode(col("nv")).as(Seq("pos", "x")))
+      // materialize the assignment BEFORE the positional explode:
+      // CollapseProject would otherwise merge the k-centroid argmax
+      // into the post-Generate projection and re-evaluate it once per
+      // EXPLODED element — a dim× blowup of the most expensive
+      // expression in the loop (observed as a ~64× slowdown at
+      // k = 160). The persisted frame is (cid, vector) — corpus-sized
+      // but narrow — and is dropped right after the mean aggregation.
+      val assigned = c
+        .select(nearestCid(col("nv"), centroids, exact).as("cid"), col("nv"))
+        .persist()
+      centroids = assigned
+        .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         // decimal-exact mean: double avg is accumulation-order- (hence
         // partitioning-) dependent, which would make the trained
@@ -393,6 +402,7 @@ object Similarity {
         .map { case (cid, xs) => (cid, xs.sortBy(_._2).map(_._3).toSeq) }
         .toSeq
         .sortBy(_._1)
+      assigned.unpersist()
     }
     centroids
   }
