@@ -14,7 +14,8 @@ object Funnel {
   /** Earliest completion time of each funnel step per entity, where
     * step i+1 must occur at-or-after step i's completion (ties at the
     * same timestamp resolve in step order), optionally within
-    * `maxGap` time units of it. Returns one row per entity that has
+    * `maxGap` time units of it (`ts` units; a TimestampType ts is
+    * converted to integer MICROSECONDS, so maxGap is micros there). Returns one row per entity that has
     * at least one step-type event:
     * `(entity, step_1_ts … step_k_ts, steps_completed)` — incomplete
     * steps are null, `steps_completed` counts the filled prefix.
@@ -45,7 +46,14 @@ object Funnel {
     val stepIdx = steps.zipWithIndex.foldLeft(lit(-1)) {
       case (acc, (s, i)) => when(eventType === s, lit(i)).otherwise(acc)
     }
-    val ev = df.select(entity.as("entity"), ts.cast("long").as("__ts"),
+    // a timestamp cast to long is SECONDS in Spark — a silent
+    // precision loss; convert via unix_micros instead, so timestamp
+    // callers get microsecond ordering like every numeric caller
+    val tsL = df.select(ts.as("__t")).schema.head.dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(ts)
+      case _ => ts.cast("long")
+    }
+    val ev = df.select(entity.as("entity"), tsL.as("__ts"),
         stepIdx.as("__si"))
       .filter(col("__si") >= 0 && col("__ts").isNotNull)
     val sorted = sort_array(F.collect_list(struct(col("__ts"), col("__si"))))

@@ -375,10 +375,17 @@ object Sampling {
     * scatter across the training stream.
     */
   def repeatByFactor(df: DataFrame, id: Column, factor: Column,
-      seed: Long = 0L, out: String = "copy"): DataFrame = {
+      seed: Long = 0L, out: String = "copy",
+      maxFactor: Double = 1000.0): DataFrame = {
     require(!df.columns.contains(out),
       s"output column '$out' already exists — pick another name")
-    val f = greatest(coalesce(factor.cast("double"), lit(0.0)), lit(0.0))
+    require(maxFactor >= 1.0, s"maxFactor must be >= 1, got $maxFactor")
+    // a corrupt factor column must not OOM an executor through a
+    // billion-element sequence: factors beyond the cap fail loudly
+    val f0 = greatest(coalesce(factor.cast("double"), lit(0.0)), lit(0.0))
+    val f = when(f0 > maxFactor, raise_error(concat(
+        lit(s"graft: repeatByFactor factor exceeds maxFactor=$maxFactor: "),
+        f0.cast("string")))).otherwise(f0)
     val whole = floor(f).cast("long")
     val extra = (ringPosition(id, seed) <
       floor((f - floor(f)) * lit(PortableHash.P.toDouble)).cast("long"))
