@@ -911,8 +911,13 @@ object Dedup {
         // signature) — mirror the aggregation form, which never
         // emits a row for them
         .filter(F.size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
-    val tSig = sigOf(train, trainId, trainText, "doc_id")
-    val eSig = sigOf(eval, evalId, evalText, "eval_id")
+    // persisted like minHashPairs' signature table: each side's
+    // k-element signature expression feeds BOTH the band explode
+    // (which would otherwise collapse the projection and re-evaluate
+    // the signature once PER BAND) and the verification re-join —
+    // uncached this op measured ~bands× slower than the exact screen
+    val tSig = sigOf(train, trainId, trainText, "doc_id").persist()
+    val eSig = sigOf(eval, evalId, evalText, "eval_id").persist()
     val tB = bandBuckets(tSig.select(col("doc_id"), col("sig")), bands)
     val eB = bandBuckets(eSig.select(col("eval_id"), col("sig")), bands)
     val probe = if (broadcastEval) F.broadcast(eB) else eB

@@ -384,10 +384,16 @@ object Joins {
       .filter(col("__graft_rk").isNotNull)
       .withColumn("__graft_pfx", blockKey(col("__graft_rk")))
       .withColumn("__graft_bin", bin(col("__graft_rk")))
+    // thresholded levenshtein (Spark 3.5+): banded DP that abandons a
+    // pair the moment its distance must exceed maxDist — O(len·maxDist)
+    // per verification instead of O(len²), the decisive constant on
+    // low-prefix-diversity corpora where blocks are large. Returns -1
+    // beyond the threshold, so the admissible range is [0, maxDist].
+    val d = levenshtein(col("__graft_lk"), col("__graft_rk"), maxDist)
     l.join(r, Seq("__graft_pfx", "__graft_bin"))
-      .filter(levenshtein(col("__graft_lk"), col("__graft_rk")) <= maxDist)
+      .filter(d >= 0 && d <= maxDist)
       .select(col("left_id"), col("right_id"),
         col("__graft_lk").as("left_key"), col("__graft_rk").as("right_key"),
-        levenshtein(col("__graft_lk"), col("__graft_rk")).as("dist"))
+        d.as("dist"))
   }
 }

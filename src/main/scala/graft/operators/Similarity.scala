@@ -320,10 +320,22 @@ object Similarity {
         lit("cid"), lit(cid))
     }: _*)
 
-  /** cid of the max-cosine centroid (ties → larger cid, a fixed rule). */
+  /** cid of the max-cosine centroid (ties → larger cid, a fixed rule).
+    *
+    * The production (`exact = false`) path runs the native
+    * [[org.apache.spark.sql.graft.NearestCentroid]] expression — one
+    * fused loop whose generated code is O(1) in the centroid count,
+    * with per-score arithmetic bit-identical to the declarative
+    * k-way [[centroidScores]] argmax it replaces (which grew the
+    * expression tree ∝ k and fell out of codegen past a few dozen
+    * centroids — the SemDeDup recipe scales k WITH the corpus, so
+    * that shape was superlinear on the bench). The decimal-exact
+    * oracle path keeps the declarative form.
+    */
   private def nearestCid(v: Column, centroids: Seq[(Int, Seq[Double])],
       exact: Boolean): Column =
-    array_max(centroidScores(v, centroids, exact)).getField("cid")
+    if (exact) array_max(centroidScores(v, centroids, exact)).getField("cid")
+    else org.apache.spark.sql.graft.VectorExpressions.nearestCentroid(v, centroids)
 
   /** Public form of the nearest-centroid assignment — the map-side
     * cluster label [[graft.operators.Dedup.semDedup]] partitions on

@@ -281,6 +281,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ivf recall $recall over ${bf.size} pairs")
   }
 
+  test("native NearestCentroid matches the declarative k-way argmax (incl. ties) in codegen and interpreted modes") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors + centroids, plus exact-tie
+    // rows (a vector EQUAL to a centroid that appears twice under two
+    // cids — the tie must go to the larger cid)
+    def vec(seed: Int, dim: Int): Seq[Float] =
+      (0 until dim).map(j => (((seed * 31 + j) * 2654435761L % 1000) / 500.0f - 1f))
+    val dim = 16
+    val cents: Seq[(Int, Seq[Double])] =
+      (0 until 40).map(i => i -> vec(i + 100, dim).map(_.toDouble)) ++
+        Seq(77 -> vec(105, dim).map(_.toDouble)) // duplicate of cid 5 → tie
+    val rows = (0 until 300).map(i => (i.toLong, vec(i, dim))) :+
+      (999L, vec(105, dim)) // exactly centroid 5/77 → tie → cid 77
+    val df = rows.toDF("id", "v")
+    val native = df.select(col("id"),
+        org.apache.spark.sql.graft.VectorExpressions
+          .nearestCentroid(col("v"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val declarative = df.select(col("id"),
+        Similarity.assignCentroid(col("v"), cents, exact = false).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native === declarative)
+    assert(native(999L) === 77)
+    // interpreted mode agrees (the eval path, not just doGenCode)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(col("id"),
+          org.apache.spark.sql.graft.VectorExpressions
+            .nearestCentroid(col("v"), cents).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(interp === native)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    // null vector and zero-norm vector yield null
+    val edge = Seq((1L, Some(Seq.fill(dim)(0.0f))), (2L, None))
+      .toDF("id", "v")
+    val e = edge.select(org.apache.spark.sql.graft.VectorExpressions
+      .nearestCentroid(col("v"), cents)).collect()
+    assert(e.forall(_.isNullAt(0)))
+  }
+
   test("ivfCentroids enforces the driver-side centroid bound") {
     // the centroid table is collected to the driver and embedded as
     // literal expressions — the documented "≤ a few hundred" contract
