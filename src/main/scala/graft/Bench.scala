@@ -351,13 +351,33 @@ object Bench {
       // actions and vocab-sized rewrites are the op's honest cost
       "bpe_merges" -> (() => graft.operators.Vocab.learnBpeMerges(docs,
         col("text"), rounds = 6)),
-      // blocked fuzzy self-ER over part names + their 5th-char typos
+      // blocked fuzzy self-ER over part names + their 5th-char typos.
+      // DELIBERATE blocking-contract control: part names start with
+      // one of EIGHT colors, so the prefix block degenerates to ~8
+      // giant buckets — the worst case the contract documents. The
+      // _diverse row below is the production shape.
       "fuzzy_join" -> (() => {
         val p = spark.read.parquet(s"$sfDir/part.parquet")
         val l = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
         val r = p.select((col("p_partkey") + 1000000L).as("id"),
           concat(substring(col("p_name"), 1, 4), lit("x"),
             substring(col("p_name"), 6, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+          maxDist = 1)
+      }),
+      // the same op on prefix-DIVERSE names (hash-prefixed) at 10× the
+      // rows: realistic entity names block into small buckets, so the
+      // pair volume — and the cost — is a tiny fraction of the control
+      "fuzzy_join_diverse" -> (() => {
+        val n = 200000L
+        def names(off: Long) = spark.range(n).select(
+          (col("id") + off).as("id"),
+          concat(md5(col("id").cast("string")),
+            lit(" entity "), (col("id") % 97).cast("string")).as("name"))
+        val l = names(0)
+        val r = names(0).select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 6), lit("x"),
+            substring(col("name"), 8, 100000)).as("name"))
         Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
           maxDist = 1)
       }),

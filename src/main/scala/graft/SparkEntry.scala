@@ -1174,6 +1174,27 @@ object SparkEntry {
         | ROUND(sd0 / sqrt(CAST(nq AS DOUBLE)), 4) AS sem0_qty
         |FROM a ORDER BY 1, 2""".stripMargin)),
 
+    Q("gb_describe",
+      // pandas describe in ONE aggregation pass: count/mean/std/min/
+      // quartiles/max; mean decimal-exact, std + the sort-derived
+      // quantiles rounded like the var/std family
+      (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys)
+        .describe(col("l_extendedprice"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("count"),
+          col("mean"), round(col("std"), 4).as("std"), col("min"),
+          round(col("q25"), 4).as("q25"), round(col("q50"), 4).as("q50"),
+          round(col("q75"), 4).as("q75"), col("max"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        | COUNT(l_extendedprice) AS count, ${dmean("l_extendedprice")} AS mean,
+        | ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std,
+        | MIN(l_extendedprice) AS min,
+        | ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        | ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+        | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75,
+        | MAX(l_extendedprice) AS max
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("gb_scale",
       // per-group z-score + min-max transforms: bounded moment agg →
       // BROADCAST stats join-back, data rows never shuffle (the

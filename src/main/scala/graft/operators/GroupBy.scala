@@ -732,6 +732,24 @@ final class GroupBy(
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
     one("last", values, mask, transform, Margins.None, observedOnly, ord = Some(ord))
 
+  /** pandas `GroupBy.describe` for one numeric column: count, mean,
+    * std, min, 25%/50%/75% exact quantiles, max — ONE aggregation
+    * pass (the quantiles share the per-group sort), decimal-exact
+    * mean.
+    */
+  def describe(value: Column, mask: Option[Column] = None,
+      observedOnly: Boolean = true): DataFrame =
+    aggregate(Seq(
+      AggSpec("count", value, "count"),
+      AggSpec("mean", value, "mean", exact = true),
+      AggSpec("std", value, "std"),
+      AggSpec("min", value, "min"),
+      AggSpec("quantile", value, "q25", param = Some(0.25)),
+      AggSpec("median", value, "q50"),
+      AggSpec("quantile", value, "q75", param = Some(0.75)),
+      AggSpec("max", value, "max")),
+      mask, transform = false, Margins.None, observedOnly)
+
   /** pandas `GroupBy.prod` (skipna; empty/all-null group → 1.0). */
   def prod(values: Seq[Column], mask: Option[Column] = None,
       transform: Boolean = false, observedOnly: Boolean = true): DataFrame =
