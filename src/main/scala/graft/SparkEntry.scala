@@ -1276,9 +1276,13 @@ object SparkEntry {
         val r4 = g(r3).rank(col("value"), "average", out = "rank_avg")
         val r5 = g(r4).rank(col("value"), "average", pct = true,
           out = "rank_pct")
-        r5.select(col("event_id"), col("user_id"), col("rank_min"),
+        // dense+pct divides by the DISTINCT non-null count, not the
+        // non-null row count (pandas GH#15630) — round-7 advice item
+        val r6 = g(r5).rank(col("value"), "dense", pct = true,
+          out = "rank_dense_pct")
+        r6.select(col("event_id"), col("user_id"), col("rank_min"),
             col("rank_dense"), col("rank_first"), col("rank_avg"),
-            col("rank_pct"))
+            col("rank_pct"), col("rank_dense_pct"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id, user_id,
@@ -1289,7 +1293,9 @@ object SparkEntry {
         |   + (CAST(COUNT(value) OVER wt AS DOUBLE) - 1) / 2.0 END AS rank_avg,
         | CASE WHEN value IS NOT NULL THEN (CAST(RANK() OVER w AS DOUBLE)
         |   + (CAST(COUNT(value) OVER wt AS DOUBLE) - 1) / 2.0)
-        |   / CAST(COUNT(value) OVER wu AS DOUBLE) END AS rank_pct
+        |   / CAST(COUNT(value) OVER wu AS DOUBLE) END AS rank_pct,
+        | CASE WHEN value IS NOT NULL THEN CAST(DENSE_RANK() OVER w AS DOUBLE)
+        |   / CAST(COUNT(DISTINCT value) OVER wu AS DOUBLE) END AS rank_dense_pct
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC NULLS LAST),
         |  w2 AS (PARTITION BY user_id ORDER BY value ASC NULLS LAST, event_id),
@@ -2507,29 +2513,50 @@ object SparkEntry {
 
     Q("profile_docs",
       // one-pass column profiling (counts, null fraction, exact
-      // distinct for the oracle, min/max as strings) melted to
-      // per-column rows; the oracle recomputes every statistic
+      // distinct for the oracle, min/max as strings, and — round-7
+      // verdict item 5 — exact quantiles per numeric column in the
+      // SAME aggregation pass) melted to per-column rows; the array
+      // column projects to q25/q50/q75 scalars for the harness
+      // (the vocab_encode lesson) and rounds like gb_quantile
+      // (interpolation is float-op-order-sensitive at the last ulp);
+      // the oracle recomputes every statistic
       (s, dir) => graft.operators.Profile.profile(T(s, dir, "documents"),
-          Seq("doc_id", "lang", "n_chars"), exactDistinct = true)
+          Seq("doc_id", "lang", "n_chars"), exactDistinct = true,
+          exactQuantiles = true)
         .withColumn("col_id", col("col_id").cast("long"))
+        .select(col("col_id"), col("col_name"), col("n_nonnull"),
+          col("n_null"), col("null_frac"), col("n_distinct"),
+          col("min"), col("max"),
+          round(element_at(col("quantiles"), 1), 4).as("q25"),
+          round(element_at(col("quantiles"), 2), 4).as("q50"),
+          round(element_at(col("quantiles"), 3), 4).as("q75"))
         .orderBy(col("col_id")),
       Some("""WITH t AS (SELECT COUNT(*) AS n,
         |  COUNT(doc_id) AS nn0, COUNT(DISTINCT doc_id) AS nd0,
         |  CAST(MIN(doc_id) AS VARCHAR) AS mn0, CAST(MAX(doc_id) AS VARCHAR) AS mx0,
+        |  ROUND(quantile_cont(doc_id, 0.25), 4) AS q025,
+        |  ROUND(quantile_cont(doc_id, 0.5), 4) AS q050,
+        |  ROUND(quantile_cont(doc_id, 0.75), 4) AS q075,
         |  COUNT(lang) AS nn1, COUNT(DISTINCT lang) AS nd1,
         |  CAST(MIN(lang) AS VARCHAR) AS mn1, CAST(MAX(lang) AS VARCHAR) AS mx1,
         |  COUNT(n_chars) AS nn2, COUNT(DISTINCT n_chars) AS nd2,
-        |  CAST(MIN(n_chars) AS VARCHAR) AS mn2, CAST(MAX(n_chars) AS VARCHAR) AS mx2
+        |  CAST(MIN(n_chars) AS VARCHAR) AS mn2, CAST(MAX(n_chars) AS VARCHAR) AS mx2,
+        |  ROUND(quantile_cont(n_chars, 0.25), 4) AS q225,
+        |  ROUND(quantile_cont(n_chars, 0.5), 4) AS q250,
+        |  ROUND(quantile_cont(n_chars, 0.75), 4) AS q275
         |  FROM documents)
         |SELECT * FROM (
         |  SELECT CAST(0 AS BIGINT) AS col_id, 'doc_id' AS col_name,
         |    nn0 AS n_nonnull, n - nn0 AS n_null,
         |    CAST(n - nn0 AS DOUBLE) / CAST(n AS DOUBLE) AS null_frac,
-        |    nd0 AS n_distinct, mn0 AS min, mx0 AS max FROM t
+        |    nd0 AS n_distinct, mn0 AS min, mx0 AS max,
+        |    q025 AS q25, q050 AS q50, q075 AS q75 FROM t
         |  UNION ALL SELECT 1, 'lang', nn1, n - nn1,
-        |    CAST(n - nn1 AS DOUBLE) / CAST(n AS DOUBLE), nd1, mn1, mx1 FROM t
+        |    CAST(n - nn1 AS DOUBLE) / CAST(n AS DOUBLE), nd1, mn1, mx1,
+        |    NULL, NULL, NULL FROM t
         |  UNION ALL SELECT 2, 'n_chars', nn2, n - nn2,
-        |    CAST(n - nn2 AS DOUBLE) / CAST(n AS DOUBLE), nd2, mn2, mx2 FROM t)
+        |    CAST(n - nn2 AS DOUBLE) / CAST(n AS DOUBLE), nd2, mn2, mx2,
+        |    q225, q250, q275 FROM t)
         |ORDER BY col_id""".stripMargin)),
 
     Q("bm25_topk",
@@ -3417,10 +3444,17 @@ object SparkEntry {
         .stripMargin)),
 
     Q("vocab_encode",
+      // The ids column is an ARRAY<BIGINT>; the driver harness's
+      // pandas comparison cannot sort/hash array cells, so the gate
+      // projects it through array_join to a space-joined scalar
+      // string — same information, hash-comparable (round-7 verdict
+      // item 1).
       (s, dir) => {
         val d = T(s, dir, "documents")
         Vocab.encodeTokens(d, col("doc_id"), col("text"),
             Vocab.buildVocab(d, col("text"), maxSize = 150, minCount = 2))
+          .select(col("doc_id"),
+            array_join(col("ids"), " ").as("ids_str"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH ${vocabCtes(150, 2)},
@@ -3429,7 +3463,8 @@ object SparkEntry {
         |  FROM documents),
         |enc AS (SELECT doc_id, pos, COALESCE(v.token_id, 0) AS tid
         |  FROM toks LEFT JOIN v ON toks.tok = v.token)
-        |SELECT doc_id, list(tid ORDER BY pos) AS ids
+        |SELECT doc_id,
+        |  array_to_string(list(tid ORDER BY pos), ' ') AS ids_str
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("vocab_oov",
@@ -3661,7 +3696,138 @@ object SparkEntry {
         |SELECT n_tokens_p, n_types_p,
         |  ROUND(srel / n_tokens_p - ln(CAST(n_tokens_p AS DOUBLE))
         |    + ln(CAST((SELECT t FROM qt) AS DOUBLE)), 4) AS kl_nats
-        |FROM s""".stripMargin))
+        |FROM s""".stripMargin)),
+
+    Q("lm_score_bigram",
+      // bigram LM with stupid backoff (Brants 2007) under the even-id
+      // reference half: every ln argument is an integer count, the
+      // backoff constant ln(alpha) is interpolated from the SAME
+      // Scala double into both engines, per-doc terms decimal-sum;
+      // mean_logp rounds like every log-derived output
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val ref = d.filter(col("doc_id") % 2 === 0)
+        val uni = LangModel.unigramCounts(ref, col("text"))
+        val bi = LangModel.bigramCounts(ref, col("text"))
+        val total = LangModel.totalTokens(uni)
+        LangModel.scoreByBigram(d, col("doc_id"), col("text"), bi, uni,
+            total, alpha = 0.4)
+          .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+            round(col("mean_logp"), 4).as("mean_logp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH rows0 AS (SELECT doc_id,
+        |   list_filter(string_split(text, ' '), w -> w <> '') AS arr
+        |   FROM documents),
+        | r AS (SELECT doc_id, arr[i] AS token,
+        |   CASE WHEN i = 1 THEN NULL ELSE arr[i-1] END AS prev
+        |   FROM rows0, unnest(generate_series(1, len(arr))) t(i)),
+        | uni AS (SELECT token, COUNT(*) AS cnt FROM r
+        |   WHERE doc_id % 2 = 0 GROUP BY 1),
+        | bi AS (SELECT prev AS w1, token AS w2, COUNT(*) AS cnt FROM r
+        |   WHERE doc_id % 2 = 0 AND prev IS NOT NULL GROUP BY 1, 2),
+        | tot AS (SELECT SUM(cnt) AS t FROM uni),
+        | j AS (SELECT r.doc_id, r.prev, b.cnt AS bcnt, u.cnt AS ucnt,
+        |     p.cnt AS pcnt
+        |   FROM r LEFT JOIN bi b ON r.prev = b.w1 AND r.token = b.w2
+        |   LEFT JOIN uni u ON r.token = u.token
+        |   LEFT JOIN uni p ON r.prev = p.token),
+        | terms AS (SELECT doc_id,
+        |   CASE
+        |     WHEN prev IS NULL THEN ln(CAST(COALESCE(ucnt, 1) AS DOUBLE))
+        |       - ln(CAST((SELECT t FROM tot) AS DOUBLE))
+        |     WHEN bcnt IS NOT NULL AND pcnt IS NOT NULL THEN
+        |       ln(CAST(bcnt AS DOUBLE)) - ln(CAST(pcnt AS DOUBLE))
+        |     ELSE ${math.log(0.4)} + (ln(CAST(COALESCE(ucnt, 1) AS DOUBLE))
+        |       - ln(CAST((SELECT t FROM tot) AS DOUBLE)))
+        |   END AS logp,
+        |   CASE WHEN prev IS NOT NULL AND (bcnt IS NULL OR pcnt IS NULL)
+        |     THEN 1 ELSE 0 END AS backoff
+        |   FROM j)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+        |  ROUND(CAST(SUM(CAST(logp AS DECIMAL(38,8))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS mean_logp
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("quality_train",
+      // quality-classifier TRAINING (round-7 verdict item 3): 3
+      // full-batch GD rounds of the softsign-link linear model over
+      // hashed 1+2-gram term frequencies, label = (lang = 'en'). The
+      // oracle replays the unrolled iterations as CTEs (the
+      // pageRank/BPE pattern) with identical decimal-cast sums and
+      // IEEE update arithmetic — weights compare UNROUNDED.
+      (s, dir) => graft.operators.QualityModel.trainQuality(
+          T(s, dir, "documents"), col("doc_id"), col("text"),
+          col("lang") === "en", dim = 64, iters = 3, lr = 0.5)
+        .orderBy(col("bucket")),
+      Some(graft.operators.QualityModel.trainQualitySql(
+        "lang = 'en'", dim = 64, iters = 3, lr = 0.5))),
+
+    Q("mm_phash_pairs",
+      // image content near-dup via the REAL pixel pipeline (round-7
+      // verdict item 4): Spark synthesizes genuine binary PGM (P5)
+      // rasters 18x16 with pixels p(i) = (base*7 + (base div 251)*29
+      // + i*13 + base*i*i + bump) mod 256 — the quadratic base*i*i
+      // term gives every base its own gradient PATTERN (a linear-only
+      // formula differs between docs by a constant brightness shift,
+      // which dHash is invariant to by design) and the div-251 term
+      // breaks the mod-256 period in base; every 10th doc pair shares
+      // `base`, differing only in a +1 bump on i % 97 = 0 pixels (a
+      // near-identical image, ≤ 6 bit flips by construction).
+      // GrayCodec parses the bytes BACK, box-resizes to the 9x8 dHash
+      // grid, and the pigeonhole hamming join finds the pairs. The
+      // oracle replays the pixel/cell/bit arithmetic (HUGEINT-packed
+      // to the same signed 64-bit hash) and the pair predicate — a
+      // decode bug (header offset, raster index, resize bounds, bit
+      // order) breaks the round trip.
+      (s, dir) => {
+        val d = T(s, dir, "documents").filter(col("doc_id") < 2000)
+        val base = col("doc_id") -
+          when(pmod(col("doc_id"), lit(10)) === 1, 1).otherwise(0)
+        val raster = array_join(transform(sequence(lit(0), lit(287)),
+          i => lpad(hex(pmod(base * 7 +
+            floor(base / lit(251)).cast("long") * 29 + i * 13 +
+            base * i * i +
+            when(pmod(col("doc_id"), lit(10)) === 1 && i % 97 === 0, 1)
+              .otherwise(0), lit(256))), 2, "0")), "")
+        val bin = d.select(col("doc_id"),
+          concat(encode(lit("P5\n18 16\n255\n"), "US-ASCII"),
+            unhex(raster)).as("bytes"))
+        val hashed = Multimodal.imageDHash(bin, col("doc_id"),
+          col("bytes")).toDF()
+        Dedup.hammingPairs(hashed.filter(col("valid")), col("id"),
+            col("dhash"), maxDistance = 6)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("ida"), col("idb"))
+      },
+      Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+        | b AS (SELECT doc_id,
+        |   doc_id - CASE WHEN doc_id % 10 = 1 THEN 1 ELSE 0 END AS base
+        |   FROM d),
+        | px AS (SELECT doc_id, i,
+        |   (base * 7 + (base // 251) * 29 + i * 13 + base * i * i
+        |     + CASE WHEN doc_id % 10 = 1 AND i % 97 = 0 THEN 1 ELSE 0 END)
+        |     % 256 AS p
+        |   FROM b, unnest(generate_series(0, 287)) t(i)),
+        | cell AS (SELECT doc_id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+        |   SUM(p) // 4 AS v FROM px GROUP BY 1, 2, 3),
+        | bits AS (SELECT a.doc_id, a.r * 8 + a.c AS b
+        |   FROM cell a JOIN cell n ON a.doc_id = n.doc_id
+        |     AND n.r = a.r AND n.c = a.c + 1
+        |   WHERE a.c < 8 AND n.v > a.v),
+        | dh AS (SELECT d.doc_id, CAST(CASE
+        |     WHEN COALESCE(q.s, 0) >= 9223372036854775808
+        |       THEN COALESCE(q.s, 0) - 18446744073709551616
+        |     ELSE COALESCE(q.s, 0) END AS BIGINT) AS dhash
+        |   FROM d LEFT JOIN (SELECT doc_id,
+        |     SUM(CAST(1 AS HUGEINT) << b) AS s FROM bits GROUP BY 1) q
+        |     USING (doc_id))
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+        |ORDER BY ida, idb""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

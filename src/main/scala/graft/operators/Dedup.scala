@@ -572,10 +572,29 @@ object Dedup {
     * replays bit-identically in any engine given the same centroid
     * literals — the gate mode. Default accumulates doubles
     * (codegen-friendly, the production mode).
+    *
+    * `cacheAssignments` (default on) persists the centroid-assignment
+    * table (the minHashPairs pattern); the entry is released by the
+    * ContextCleaner once the plan is unreachable. A long-lived
+    * session issuing many runs should use [[semDedupWithState]] and
+    * `unpersist()` the returned handle deterministically.
     */
   def semDedup(df: DataFrame, id: Column, vec: Column, ord: Column,
       centroids: Seq[(Int, Seq[Double])], threshold: Double,
-      exact: Boolean = false): DataFrame = {
+      exact: Boolean = false, cacheAssignments: Boolean = true): DataFrame =
+    semDedupWithState(df, id, vec, ord, centroids, threshold, exact,
+      cacheAssignments)._1
+
+  /** [[semDedup]] variant that also returns the (persisted, when
+    * `cacheAssignments`) centroid-assignment table, so callers can
+    * `unpersist()` it deterministically after materializing the
+    * verdicts — the same state-handle contract as
+    * [[minHashPairsWithSignatures]].
+    */
+  def semDedupWithState(df: DataFrame, id: Column, vec: Column, ord: Column,
+      centroids: Seq[(Int, Seq[Double])], threshold: Double,
+      exact: Boolean = false,
+      cacheAssignments: Boolean = true): (DataFrame, DataFrame) = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     // persisted like minHashPairs' signature table: the k-centroid
     // argmax is the most expensive expression here and `assigned`
@@ -583,9 +602,12 @@ object Dedup {
     // uncached it would be re-evaluated per consumer, and the cost
     // grows with the centroid count (which scales with the corpus
     // under the SemDeDup recipe)
-    val assigned = df.select(id.as("doc_id"), ord.as("__ord"), vec.as("v"))
+    val assigned0 = df.select(id.as("doc_id"), ord.as("__ord"), vec.as("v"))
       .withColumn("cid", Similarity.assignCentroid(col("v"), centroids, exact))
-      .persist()
+    val assigned =
+      if (cacheAssignments)
+        assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
     val a = assigned.select(col("cid"), col("doc_id").as("ida"),
       col("__ord").as("orda"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("doc_id").as("idb"),
@@ -621,9 +643,10 @@ object Dedup {
     val dropped = scored.filter(col("cos") >= threshold)
       .select(col("idb").as("doc_id")).distinct()
       .withColumn("__graft_dup", lit(true))
-    assigned.join(dropped, Seq("doc_id"), "left")
+    val verdicts = assigned.join(dropped, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cid"),
         coalesce(!col("__graft_dup"), lit(true)).as("kept"))
+    (verdicts, assigned)
   }
 
   /** 64-bit SimHash per document: each word hash votes ±1 on its bit
@@ -656,30 +679,47 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, id: Column, text: Column,
       maxDistance: Int = 3,
-      wordHash: Column => Column = xxhash64(_)): DataFrame = {
+      wordHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs(simHash(df, id, text, wordHash), col("doc_id"),
+      col("simhash"), maxDistance)
+
+  /** Near-dup candidate pairs of ANY 64-bit signature column with
+    * Hamming distance ≤ `maxDistance` — the blocking engine behind
+    * [[simHashPairs]], shared by the image dHash pipeline
+    * ([[Multimodal.imageDHash]]) and any caller-supplied 64-bit
+    * fingerprint. Candidates block on disjoint bit blocks of the hash
+    * (pigeonhole: distance ≤ d ⇒ one of d+1 blocks matches exactly),
+    * so the join key is selective at scale; the exact popcount filter
+    * runs only on blocked pairs. Returns `(ida, idb, hamming)` with
+    * `ida < idb`.
+    */
+  def hammingPairs(hashed: DataFrame, id: Column, hash: Column,
+      maxDistance: Int): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 64,
       s"maxDistance must be in [0, 63], got $maxDistance")
-    val hashed = simHash(df, id, text, wordHash)
     // pigeonhole: distance <= d means at least one of d+1 disjoint
     // bit blocks matches exactly, so blocking stays complete up to
     // d = 63 (block count adapts; width = 64 / (d+1), remainder
     // widens the last block)
     val nb = math.min(maxDistance + 1, 64)
     val w = 64 / nb
+    val base = hashed.select(id.as("doc_id"), hash.as("__graft_hash"))
     val blockCols = (0 until nb).map { q =>
       val width = if (q == nb - 1) 64 - q * w else w
       val mask = if (width >= 64) -1L else (1L << width) - 1
-      shiftright(col("simhash"), q * w).bitwiseAND(lit(mask))
+      shiftright(col("__graft_hash"), q * w).bitwiseAND(lit(mask))
     }
-    val blocks = hashed.select(col("doc_id"), col("simhash"),
+    val blocks = base.select(col("doc_id"), col("__graft_hash"),
       posexplode(array(blockCols: _*)))
-      .select(col("doc_id"), col("simhash"), col("pos").as("q"), col("col").as("block"))
+      .select(col("doc_id"), col("__graft_hash"), col("pos").as("q"),
+        col("col").as("block"))
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        bit_count(col("a.__graft_hash").bitwiseXOR(col("b.__graft_hash")))
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }
@@ -900,31 +940,56 @@ object Dedup {
       evalText: Column, n: Int = 2, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5, seed: Long = 42L,
       baseHash: Column => Column = xxhash64(_),
-      broadcastEval: Boolean = true, sep: String = " "): DataFrame = {
+      broadcastEval: Boolean = true, sep: String = " ",
+      cacheSignatures: Boolean = true): DataFrame =
+    contaminationFuzzyWithSignatures(train, trainId, trainText, eval,
+      evalId, evalText, n, k, bands, threshold, seed, baseHash,
+      broadcastEval, sep, cacheSignatures)._1
+
+  /** [[contaminationFuzzy]] variant that also returns the two
+    * (persisted, when `cacheSignatures`) signature tables — train and
+    * eval — so a long-lived session can `unpersist()` them
+    * deterministically after materializing the flags, or reuse the
+    * eval signatures across many training batches (the standing-
+    * pipeline shape). Same state-handle contract as
+    * [[minHashPairsWithSignatures]].
+    */
+  def contaminationFuzzyWithSignatures(train: DataFrame, trainId: Column,
+      trainText: Column, eval: DataFrame, evalId: Column,
+      evalText: Column, n: Int = 2, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42L,
+      baseHash: Column => Column = xxhash64(_),
+      broadcastEval: Boolean = true, sep: String = " ",
+      cacheSignatures: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
     require(bands >= 1 && bands <= k,
       s"bands must be in [1, k=$k], got $bands")
-    def sigOf(df: DataFrame, id: Column, text: Column, outId: String) =
-      withMinHashSignature(df.select(id.as(outId), text.as("__graft_t")),
-        col("__graft_t"), "sig", n, k, seed, baseHash, sep)
-        .drop("__graft_t")
-        // sub-n-word documents have no shingle signal (all-null
-        // signature) — mirror the aggregation form, which never
-        // emits a row for them
-        .filter(F.size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
-    // persisted like minHashPairs' signature table: each side's
-    // k-element signature expression feeds BOTH the band explode
-    // (which would otherwise collapse the projection and re-evaluate
-    // the signature once PER BAND) and the verification re-join —
-    // uncached this op measured ~bands× slower than the exact screen
-    val tSig = sigOf(train, trainId, trainText, "doc_id").persist()
-    val eSig = sigOf(eval, evalId, evalText, "eval_id").persist()
+    def sigOf(df: DataFrame, id: Column, text: Column, outId: String) = {
+      val sig =
+        withMinHashSignature(df.select(id.as(outId), text.as("__graft_t")),
+          col("__graft_t"), "sig", n, k, seed, baseHash, sep)
+          .drop("__graft_t")
+          // sub-n-word documents have no shingle signal (all-null
+          // signature) — mirror the aggregation form, which never
+          // emits a row for them
+          .filter(F.size(col("sig")) > 0 && col("sig").getItem(0).isNotNull)
+      // persisted like minHashPairs' signature table: each side's
+      // k-element signature expression feeds BOTH the band explode
+      // (which would otherwise collapse the projection and re-evaluate
+      // the signature once PER BAND) and the verification re-join —
+      // uncached this op measured ~bands× slower than the exact screen
+      if (cacheSignatures)
+        sig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sig
+    }
+    val tSig = sigOf(train, trainId, trainText, "doc_id")
+    val eSig = sigOf(eval, evalId, evalText, "eval_id")
     val tB = bandBuckets(tSig.select(col("doc_id"), col("sig")), bands)
     val eB = bandBuckets(eSig.select(col("eval_id"), col("sig")), bands)
     val probe = if (broadcastEval) F.broadcast(eB) else eB
     val hits = tB.join(probe, Seq("band", "bucket"))
       .select(col("doc_id"), col("eval_id")).distinct()
     val ePairSig = eSig.select(col("eval_id"), col("sig").as("__esig"))
-    hits
+    val flags = hits
       .join(tSig.select(col("doc_id"), col("sig").as("__tsig")), "doc_id")
       .join(if (broadcastEval) F.broadcast(ePairSig) else ePairSig, "eval_id")
       .withColumn("est",
@@ -933,6 +998,7 @@ object Dedup {
       .filter(col("est") >= threshold)
       .groupBy(col("doc_id"))
       .agg(F.count(lit(1)).as("n_eval_matches"), F.max(col("est")).as("max_est"))
+    (flags, tSig, eSig)
   }
 
   /** Connected components of a near-duplicate pair graph: every vertex

@@ -43,13 +43,24 @@ object GraphOps {
     * precomputed totals). For large K pass `checkpointEvery` to cut
     * lineage with a localCheckpoint every that-many rounds (the
     * dedup-clusters pattern); 0 = off.
+    *
+    * `tol > 0` adds a convergence early-exit: after each round the L1
+    * delta `Σ|rank' − rank|` (one one-row decimal-exact aggregate) is
+    * checked and iteration stops once it falls below `tol` — callers
+    * that over-provision `iterations` pay only the rounds the graph
+    * needs. The check is a per-round driver action, so in this mode
+    * each round's ranks are localCheckpoint'ed (previous round's
+    * blocks released, the BPE/connectedComponents pattern) to keep
+    * lineage flat across the repeated actions. `tol = 0` (default) is
+    * the fully-lazy fixed-count plan, bit-identical to before.
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, numVertices: Option[Long] = None,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, tol: Double = 0.0): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0, 1], got $damping")
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
     val e = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -63,7 +74,9 @@ object GraphOps {
       .agg(F.count(lit(1)).as("__graft_deg"))
 
     var ranks = verts.withColumn("rank", lit(1.0 / nD))
-    for (i <- 1 to iterations) {
+    if (tol > 0) ranks = ranks.localCheckpoint()
+    var converged = false
+    for (i <- 1 to iterations if !converged) {
       val withDeg = ranks.join(outd, Seq("node"), "left")
       // nodes with no out-edges: their rank mass redistributes
       // uniformly (one-row decimal-exact aggregate, broadcast back)
@@ -75,14 +88,35 @@ object GraphOps {
         .groupBy(col("dst").as("node"))
         .agg(F.sum((col("rank") / col("__graft_deg").cast(DoubleType))
           .cast(Num.DotDec)).cast(DoubleType).as("__graft_contrib"))
-      ranks = verts.join(contribs, Seq("node"), "left")
+      val next = verts.join(contribs, Seq("node"), "left")
         .crossJoin(F.broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / nD) + lit(damping) *
             (coalesce(col("__graft_contrib"), lit(0.0)) +
               col("__graft_dmass") / lit(nD))).as("rank"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+      if (tol > 0) {
+        // convergence check: one-row L1 delta vs the previous round.
+        // Both tables carry exactly the `verts` node set, so the
+        // delta equijoin co-partitions on the node key; the new
+        // round is checkpointed BEFORE the action so the delta scan
+        // and the next round both read the materialized blocks, and
+        // the previous round's blocks are released (BPE pattern)
+        val prev = ranks
+        val cur = next.localCheckpoint()
+        val delta = cur
+          .join(prev.select(col("node"), col("rank").as("__graft_prev")),
+            Seq("node"))
+          .agg(coalesce(F.sum(abs(col("rank") - col("__graft_prev"))
+            .cast(Num.DotDec)), lit(0).cast(Num.DotDec)).cast(DoubleType))
+          .head().getDouble(0)
+        prev.unpersist()
+        ranks = cur
+        if (delta < tol) converged = true
+      } else {
+        ranks = next
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
+          ranks = ranks.localCheckpoint()
+      }
     }
     ranks
   }

@@ -509,7 +509,9 @@ final class GroupBy(
     *     physical-order stand-in), `"average"` (mean rank of ties,
     *     the pandas default).
     *   - `ascending` flips the direction; `pct` divides by the
-    *     group's non-null count (pandas pct=True).
+    *     group's non-null count (pandas pct=True) — except
+    *     method="dense", where pandas divides by the number of
+    *     DISTINCT non-null values (GH#15630).
     *   - Null values rank as null and don't shift other ranks
     *     (pandas NaN semantics): nulls sort to the END of the rank
     *     window, so every non-null rank is unaffected, and the
@@ -545,10 +547,27 @@ final class GroupBy(
         F.rank().over(w).cast(DoubleType) +
           (F.count(value).over(ties).cast(DoubleType) - 1) / 2.0
     }
-    val nonNull = F.count(value)
-      .over(Window.partitionBy(keyCols: _*)).cast(DoubleType)
-    val r0 = if (pct) raw / nonNull else raw
-    base.withColumn(out, when(value.isNotNull, r0))
+    if (pct && method == "dense") {
+      // pandas divides DENSE ranks by the number of DISTINCT non-null
+      // values in the group, not the non-null row count (pandas
+      // GH#15630) — otherwise dense+pct could never reach 1.0 when
+      // ties exist. Distinct count = max dense rank over the group's
+      // non-null rows (nulls sort last, so excluding them drops only
+      // the trailing null band); computed as a second window over the
+      // SAME key partitioning — no collect_set buffer, the sort is
+      // reused, hot keys cost nothing extra.
+      val rawName = "__graft_rank_raw"
+      val denom = F.max(when(value.isNotNull, col(rawName)))
+        .over(Window.partitionBy(keyCols: _*))
+      base.withColumn(rawName, raw)
+        .withColumn(out, when(value.isNotNull, col(rawName) / denom))
+        .drop(rawName)
+    } else {
+      val nonNull = F.count(value)
+        .over(Window.partitionBy(keyCols: _*)).cast(DoubleType)
+      val r0 = if (pct) raw / nonNull else raw
+      base.withColumn(out, when(value.isNotNull, r0))
+    }
   }
 
   /** Shared single-pass pair-moment aggregation behind [[cov]] /

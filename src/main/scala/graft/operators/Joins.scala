@@ -347,12 +347,15 @@ object Joins {
     *
     * '''Blocking contract (recall, not completeness):''' candidate
     * pairs must share the `prefixLen`-char normalized prefix and sit
-    * within ±1 adjacent `lenBand`-sized length bins. The length-bin
-    * expansion (each left row probes bins b−1, b, b+1) makes the
-    * length dimension complete for `maxDist <= lenBand`; the prefix
-    * block is the standard recall/cost dial — a typo inside the first
-    * `prefixLen` chars is missed, by design. Pass `prefixLen = 0` to
-    * block on length alone (complete for `maxDist <= lenBand`, at
+    * within `±ceil(maxDist / lenBand)` adjacent `lenBand`-sized
+    * length bins. The probe width auto-widens with `maxDist` (a pair
+    * within edit distance d differs in length by at most d, which
+    * straddles at most `ceil(d / lenBand)` bin boundaries), so the
+    * length dimension is complete for EVERY (maxDist, lenBand)
+    * combination — no silent recall loss when maxDist > lenBand. The
+    * prefix block is the standard recall/cost dial — a typo inside
+    * the first `prefixLen` chars is missed, by design. Pass
+    * `prefixLen = 0` to block on length alone (complete, at
     * quadratic-within-bin cost).
     *
     * Distributed shape: a plain hash equi-join on the (prefix, bin)
@@ -374,12 +377,18 @@ object Joins {
     def bin(c: Column): Column = (length(c) / lenBand).cast("int")
     def blockKey(c: Column): Column =
       if (prefixLen == 0) lit("") else substring(c, 1, prefixLen)
+    // probe width ceil(maxDist/lenBand): a length difference of
+    // maxDist straddles at most that many bin boundaries, so the
+    // length dimension stays complete for ANY maxDist — previously a
+    // fixed ±1 silently missed pairs when maxDist > lenBand (round-7
+    // advice item). Floor of 1 keeps the historical ±1 probe for the
+    // common maxDist <= lenBand case.
+    val binW = math.max(1, (maxDist + lenBand - 1) / lenBand)
     val l = left.select(leftId.as("left_id"), norm(leftKey).as("__graft_lk"))
       .filter(col("__graft_lk").isNotNull)
       .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
-      .withColumn("__graft_bin", explode(array(
-        bin(col("__graft_lk")) - 1, bin(col("__graft_lk")),
-        bin(col("__graft_lk")) + 1)))
+      .withColumn("__graft_bin", explode(sequence(
+        bin(col("__graft_lk")) - binW, bin(col("__graft_lk")) + binW)))
     val r = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
       .filter(col("__graft_rk").isNotNull)
       .withColumn("__graft_pfx", blockKey(col("__graft_rk")))

@@ -90,6 +90,101 @@ object LangModel {
           .as("mean_freq"))
   }
 
+  /** Bigram counts of a reference corpus: `(w1, w2, cnt)` over
+    * adjacent whitespace-token pairs (empty tokens dropped BEFORE
+    * pairing, so consecutive separators collapse — the
+    * [[unigramCounts]] token stream). Pairs form ROW-LOCALLY (zip of
+    * the token array with its own shift — no positional self-join, no
+    * window), then one shuffle on the pair key; the table is
+    * bigram-vocabulary-sized.
+    */
+  def bigramCounts(ref: DataFrame, text: Column,
+      sep: String = " "): DataFrame = {
+    val toks = F.filter(split(text, java.util.regex.Pattern.quote(sep)),
+      w => w =!= "")
+    ref.select(explode(F.zip_with(
+        F.slice(toks, lit(1), F.size(toks) - 1),
+        F.slice(toks, lit(2), F.size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(F.count(lit(1)).as("cnt"))
+  }
+
+  /** Score every document under a BIGRAM LM with stupid backoff
+    * (Brants et al., "Large Language Models in Machine Translation",
+    * EMNLP 2007 — the web-scale recipe: no normalized discounting,
+    * just a fixed backoff factor): per token position,
+    *
+    *  - first token (no history): `ln(cnt_w / total)` under the
+    *    unigram model (OOV floors at `smoothing`),
+    *  - seen bigram: `ln(cnt_{w1 w2} / cnt_{w1})`,
+    *  - unseen bigram: `ln(alpha) + ln(cnt_w / total)` — the backoff.
+    *
+    * Returns `(doc_id, n_tokens, n_backoff, mean_logp)`; higher
+    * mean_logp = more reference-like, and n_backoff/n_tokens is the
+    * "novel continuations" fraction — a useful quality signal on its
+    * own. A material upgrade over [[scoreByUnigram]] toward the CCNet
+    * 5-gram-KenLM recipe while keeping the everything-replayable
+    * contract: every `ln` argument is an integer count (the same
+    * double in any correctly-rounding engine) except the two
+    * constants, and per-document accumulation decimal-sums.
+    *
+    * Distributed shape: bigrams form row-locally (no self-join), then
+    * THREE broadcast lookups against the two vocabulary-sized count
+    * tables (bigram on the pair, unigram on the token and on its
+    * predecessor) and one groupBy(doc). The corpus never shuffles for
+    * the lookups; the per-doc aggregation is the single data shuffle.
+    */
+  def scoreByBigram(df: DataFrame, id: Column, text: Column,
+      bigrams: DataFrame, unigrams: DataFrame, total: Long,
+      alpha: Double = 0.4, smoothing: Long = 1L,
+      sep: String = " "): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    require(smoothing >= 1, s"smoothing must be >= 1, got $smoothing")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    val toks = F.filter(split(text, java.util.regex.Pattern.quote(sep)),
+      w => w =!= "")
+    // (prev, token) rows with prev = null at position 1 — the shifted
+    // zip again, so history attaches row-locally
+    val prevArr = F.concat(array(lit(null).cast("string")),
+      F.slice(toks, lit(1), greatest(F.size(toks) - 1, lit(0))))
+    val rows = df.select(id.as("doc_id"),
+        explode(F.zip_with(prevArr, toks,
+          (p, t) => struct(p.as("prev"), t.as("token")))).as("r"))
+      .select(col("doc_id"), col("r.prev").as("prev"),
+        col("r.token").as("token"))
+    val lnTotal = F.log(lit(total.toDouble))
+    val lnAlpha = lit(math.log(alpha))
+    val scored = rows
+      .join(F.broadcast(bigrams.select(col("w1"), col("w2"),
+          col("cnt").as("__bcnt"))),
+        col("prev") === col("w1") && col("token") === col("w2"), "left")
+      .join(F.broadcast(unigrams.select(col("token"),
+        col("cnt").as("__ucnt"))), Seq("token"), "left")
+      .join(F.broadcast(unigrams.select(col("token").as("prev"),
+        col("cnt").as("__pcnt"))), Seq("prev"), "left")
+    val uni = F.log(coalesce(col("__ucnt"), lit(smoothing))
+      .cast(DoubleType)) - lnTotal
+    val logp = when(col("prev").isNull, uni)
+      .when(col("__bcnt").isNotNull && col("__pcnt").isNotNull,
+        F.log(col("__bcnt").cast(DoubleType)) -
+          F.log(col("__pcnt").cast(DoubleType)))
+      .otherwise(lnAlpha + uni)
+    val backoff = when(col("prev").isNotNull &&
+      (col("__bcnt").isNull || col("__pcnt").isNull), 1L).otherwise(0L)
+    scored
+      .groupBy("doc_id")
+      .agg(
+        F.count(lit(1)).as("n_tokens"),
+        F.sum(backoff).as("n_backoff"),
+        F.sum(logp.cast(graft.functions.Num.DotDec))
+          .cast(DoubleType).as("__graft_sumln"))
+      .select(col("doc_id"), col("n_tokens"), col("n_backoff"),
+        (col("__graft_sumln") / col("n_tokens").cast(DoubleType))
+          .as("mean_logp"))
+  }
+
   /** Kullback–Leibler divergence KL(P ‖ Q) between two corpora's
     * unigram distributions — the standard corpus-drift probe run when
     * a new crawl snapshot lands ("did the token distribution move?").

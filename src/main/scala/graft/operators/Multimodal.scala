@@ -367,6 +367,140 @@ object Multimodal {
       }
   }
 
+  /** One per-image perceptual hash row (`valid=false` rows carry
+    * zeros): `dhash` is the 64-bit difference hash, width/height the
+    * parsed raster dimensions.
+    */
+  case class ImageHash(id: Long, dhash: Long, width: Int, height: Int,
+      valid: Boolean)
+
+  /** REAL pixel decode of binary PGM (netpbm "P5") grayscale images —
+    * pure JVM, public format (netpbm pgm(5) spec): ASCII header
+    * `P5 <width> <height> <maxval>` (whitespace-separated, `#`
+    * comments legal), one whitespace byte, then the raster as
+    * `width*height` bytes (maxval ≤ 255 single-byte samples; 2-byte
+    * rasters are out of header-only scope). This is the library's one
+    * CONTENT codec: unlike [[HeaderCodec]] the raster itself is
+    * parsed, so content signatures (the dHash below) are computed
+    * from real pixels, not metadata.
+    */
+  object GrayCodec {
+    def decodePgm(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      if (bytes == null || bytes.length < 8 ||
+        bytes(0) != 'P' || bytes(1) != '5') return None
+      // header tokenizer: skip whitespace and '#'-to-EOL comments,
+      // read 3 unsigned decimal tokens (w, h, maxval)
+      var i = 2
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3 && i < bytes.length) {
+        var c = bytes(i) & 0xff
+        while (i < bytes.length &&
+            (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '#')) {
+          if (c == '#') while (i < bytes.length && (bytes(i) & 0xff) != '\n') i += 1
+          else i += 1
+          if (i < bytes.length) c = bytes(i) & 0xff
+        }
+        var x = -1L
+        while (i < bytes.length && (bytes(i) & 0xff) >= '0' &&
+            (bytes(i) & 0xff) <= '9') {
+          x = math.max(x, 0) * 10 + ((bytes(i) & 0xff) - '0')
+          i += 1
+          if (x > Int.MaxValue) return None
+        }
+        if (x < 0) return None
+        vals(v) = x.toInt; v += 1
+      }
+      if (v < 3 || i >= bytes.length) return None
+      i += 1 // the single whitespace byte after maxval
+      val w = vals(0); val h = vals(1); val maxval = vals(2)
+      if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+      if (bytes.length - i < w.toLong * h) return None
+      val px = new Array[Int](w * h)
+      var j = 0
+      while (j < px.length) { px(j) = bytes(i + j) & 0xff; j += 1 }
+      Some((w, h, px))
+    }
+  }
+
+  /** Box-average downscale of a grayscale raster to `tw`×`th`: cell
+    * (r, c) averages the pixel block rows `[r·h/th, (r+1)·h/th)` ×
+    * cols `[c·w/tw, (c+1)·w/tw)` (integer sums, one floor division
+    * per cell — deterministic in any engine, no float resampling).
+    * Requires w ≥ tw and h ≥ th (a raster smaller than the grid has
+    * no content signature at this resolution).
+    */
+  private[graft] def boxResize(px: Array[Int], w: Int, h: Int,
+      tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var r = 0
+    while (r < th) {
+      val r0 = r * h / th; val r1 = (r + 1) * h / th
+      var c = 0
+      while (c < tw) {
+        val c0 = c * w / tw; val c1 = (c + 1) * w / tw
+        var sum = 0L; var n = 0L
+        var y = r0
+        while (y < r1) {
+          var x = c0
+          while (x < c1) { sum += px(y * w + x); n += 1; x += 1 }
+          y += 1
+        }
+        out(r * tw + c) = (sum / n).toInt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash; the standard perceptual-hash
+    * recipe popularized by Krawetz, "Kind of Like That", 2013): the
+    * raster box-resizes to a 9×8 grayscale grid and bit `r·8+c` is
+    * set iff `cell(r, c+1) > cell(r, c)` — brightness gradients, so
+    * the signature survives uniform brightness shifts and small
+    * edits. Integer arithmetic end to end: bit-identical replay.
+    */
+  private[graft] def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val g = boxResize(px, w, h, 9, 8)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c + 1) > g(r * 9 + c)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Batched PGM-decode + dHash — same per-partition iterator shape as
+    * [[decodeHeaders]] (the justified codec form): a projection over
+    * binary payloads, zero shuffle. Rasters smaller than the 9×8 grid
+    * decode but report `valid=false` (no signature at hash
+    * resolution). Feed the result to
+    * [[graft.operators.Dedup.hammingPairs]] for content near-dup
+    * pairs — the image twin of the text SimHash pipeline.
+    */
+  def imageDHash(df: DataFrame, id: Column, bytes: Column): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast(LongType), bytes).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (rowId, payload) =>
+          GrayCodec.decodePgm(payload) match {
+            case Some((w, h, px)) if w >= 9 && h >= 8 =>
+              ImageHash(rowId, dHash64(px, w, h), w, h, valid = true)
+            case Some((w, h, _)) =>
+              ImageHash(rowId, 0L, w, h, valid = false)
+            case None => ImageHash(rowId, 0L, 0, 0, valid = false)
+          }
+        }
+      }
+  }
+
   /** Expression-level twin of the stub decode (pure Catalyst, used by
     * the SQL oracle): same md5-derived dimensions.
     */

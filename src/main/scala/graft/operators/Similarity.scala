@@ -334,7 +334,19 @@ object Similarity {
     */
   private def nearestCid(v: Column, centroids: Seq[(Int, Seq[Double])],
       exact: Boolean): Column =
-    if (exact) array_max(centroidScores(v, centroids, exact)).getField("cid")
+    if (exact) {
+      // drop unscorable entries (null cos from zero-norm/dimension-
+      // mismatched vectors, NaN cos from NaN components) BEFORE the
+      // argmax, so a vector with no scorable centroid yields a null
+      // cid — the same verdict the native NearestCentroid production
+      // path returns for degenerate vectors. Without the filter the
+      // struct argmax would resolve all-null scores to the largest
+      // cid (nulls-smallest struct ordering) and NaN scores to a NaN
+      // winner, silently diverging from production.
+      val scorable = F.filter(centroidScores(v, centroids, exact),
+        s => s.getField("cos").isNotNull && !F.isnan(s.getField("cos")))
+      when(F.size(scorable) > 0, array_max(scorable).getField("cid"))
+    }
     else org.apache.spark.sql.graft.VectorExpressions.nearestCentroid(v, centroids)
 
   /** Public form of the nearest-centroid assignment — the map-side

@@ -139,8 +139,16 @@ object Vocab {
         val a = pairTop.head.getAs[String]("a")
         val b = pairTop.head.getAs[String]("b")
         merges += ((r, a, b, a + b, pairTop.head.getAs[Long]("pf")))
+        // release the PREVIOUS round's checkpoint blocks once the new
+        // round's checkpoint has materialized (the eager
+        // localCheckpoint cuts lineage, so the old blocks are dead) —
+        // otherwise checkpointed partitions accumulate linearly with
+        // merge rounds, material at realistic BPE vocab sizes
+        // (thousands of merges); the connectedComponents pattern
+        val prev = cur
         cur = cur.withColumn("syms", mergePair(col("syms"), a, b))
           .localCheckpoint()
+        prev.unpersist()
       }
     }
     merges.toSeq.toDF("merge_rank", "left", "right", "merged", "pair_freq")

@@ -167,9 +167,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * cosine with left-to-right double accumulation (‖c‖ precomputed
   * with the same summation order, so each score is bit-identical to
   * [[CosineSimilarity]]'s), ties prefer the LARGER cid (the
-  * (cos, cid) struct-max rule), dimension mismatches and zero norms
-  * score as null candidates, and a vector with no scorable centroid —
-  * or a null vector — yields null.
+  * (cos, cid) struct-max rule), dimension mismatches, zero norms,
+  * and NaN cosines (NaN vector components) score as null candidates,
+  * and a vector with no scorable centroid — or a null vector —
+  * yields null.
   */
 case class NearestCentroid(child: Expression, cids: Array[Int],
     centroids: Array[Array[Double]])
@@ -223,8 +224,14 @@ case class NearestCentroid(child: Expression, cids: Array[Int],
         }
         val cos = dot / (nxr * norms(k))
         // struct-max tie rule: strictly greater cos, or equal cos
-        // with a larger cid
-        if (!found || cos > bestCos || (cos == bestCos && cids(k) > bestCid)) {
+        // with a larger cid. NaN scores (NaN vector components) are
+        // UNSCORABLE, not winners — without the explicit check the
+        // !found branch would latch the first centroid with a NaN
+        // cos, diverging from the exact path's filtered argmax
+        // (round-7 advice item: both forms yield null for vectors
+        // with no scorable centroid)
+        if (!java.lang.Double.isNaN(cos) &&
+            (!found || cos > bestCos || (cos == bestCos && cids(k) > bestCid))) {
           found = true; bestCos = cos; bestCid = cids(k)
         }
       }

@@ -155,6 +155,112 @@ class CurationSpec extends AnyFunSuite {
     val e = Seq("a" -> "b").toDF("src", "dst")
     intercept[IllegalArgumentException] { GraphOps.pageRank(e, iterations = 0) }
     intercept[IllegalArgumentException] { GraphOps.pageRank(e, damping = 1.5) }
+    intercept[IllegalArgumentException] { GraphOps.pageRank(e, tol = -1.0) }
+  }
+
+  test("pageRank tol: early-exit stops iteration; tol = 0 is bit-identical to fixed-count") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val e = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+      .toDF("src", "dst")
+    // a huge tol trips the exit after the FIRST round on this
+    // not-yet-converged graph: the result must equal iterations = 1,
+    // not iterations = 10 (which differs — asserted below)
+    val one = ranks(GraphOps.pageRank(e, iterations = 1))
+    val ten = ranks(GraphOps.pageRank(e, iterations = 10))
+    assert(one !== ten, "fixture must not converge in one round")
+    assert(ranks(GraphOps.pageRank(e, iterations = 10, tol = 100.0)) === one)
+    // tol = 0 (default path) is the fully-lazy fixed-count plan
+    assert(ranks(GraphOps.pageRank(e, iterations = 5, tol = 0.0)) ===
+      ranks(GraphOps.pageRank(e, iterations = 5)))
+    // a converged fixture (symmetric 2-cycle: exact fixpoint 0.5/0.5
+    // after round one) exits early WITHOUT changing the answer
+    val cyc = Seq("x" -> "y", "y" -> "x").toDF("src", "dst")
+    val got = ranks(GraphOps.pageRank(cyc, iterations = 50, tol = 1e-15))
+    assert(got === Map("x" -> 0.5, "y" -> 0.5))
+  }
+
+  // ------------------------------------------------- quality classifier
+
+  test("quality trainer: separable fixture → scoring reproduces the labels; intercept learned") {
+    import graft.operators.QualityModel
+    val docs = Seq(
+      (1L, "great excellent wonderful", true),
+      (2L, "awesome great excellent", true),
+      (3L, "terrible awful bad", false),
+      (4L, "bad horrid awful", false),
+      (5L, "great wonderful awesome excellent", true),
+      (6L, "awful terrible horrid bad", false)).toDF("doc_id", "text", "y")
+    val w = QualityModel.trainQuality(docs, col("doc_id"), col("text"),
+      col("y"), dim = 256, iters = 20, lr = 4.0)
+    // weight table: observed buckets + the intercept row at -1
+    assert(w.filter(col("bucket") === -1L).count() === 1)
+    val scored = QualityModel.scoreQuality(docs, col("doc_id"), col("text"),
+        w, dim = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("score")) > 0.5)).toMap
+    assert(scored === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> false))
+    // balanced classes + disjoint vocab: symmetric gradients keep the
+    // intercept near zero while feature weights split by sign
+    val wi = w.filter(col("bucket") === -1L).head().getDouble(1)
+    assert(math.abs(wi) < 0.2, s"intercept $wi")
+    intercept[IllegalArgumentException] {
+      QualityModel.trainQuality(docs, col("doc_id"), col("text"), col("y"),
+        dim = 256, iters = 0, lr = 1.0)
+    }
+  }
+
+  test("quality scorer: featureless docs score 0.5, unmatched buckets weigh 0") {
+    import graft.operators.QualityModel
+    val train = Seq((1L, "good stuff", true), (2L, "bad junk", false))
+      .toDF("doc_id", "text", "y")
+    val w = QualityModel.trainQuality(train, col("doc_id"), col("text"),
+      col("y"), dim = 128, iters = 5, lr = 2.0)
+    // "novel words" hit no trained bucket: only the intercept fires
+    val out = QualityModel.scoreQuality(
+        Seq((9L, "zzz qqq")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), w, dim = 128)
+      .head()
+    assert(out.getLong(out.fieldIndex("n_features")) === 3) // 2 uni + 1 bi
+    // margin = intercept weight only (x = 1); score strictly between
+    // 0 and 1
+    val s = out.getDouble(out.fieldIndex("score"))
+    assert(s > 0.0 && s < 1.0)
+  }
+
+  // ------------------------------------------------------ bigram LM
+
+  test("bigram LM with stupid backoff: seen-bigram docs outscore shuffled ones; hand-checked value") {
+    import graft.operators.LangModel
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(ref, col("text"))
+    val bi = LangModel.bigramCounts(ref, col("text"))
+    val total = LangModel.totalTokens(uni) // 4
+    assert(total === 4L)
+    // bigram table: (a,b) x2, (b,a) x1
+    val biM = bi.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getLong(2)).toMap
+    assert(biM === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    val docs = Seq((1L, "a b"), (2L, "b b"), (3L, "zzz")).toDF("doc_id", "text")
+    val out = LangModel.scoreByBigram(docs, col("doc_id"), col("text"),
+        bi, uni, total, alpha = 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: pos1 ln(2/4), pos2 seen (a,b): ln(2/2) = 0 → mean = ln(.5)/2
+    assert(out(1L)._2 === 0L)
+    // DotDec per-term rounding resolves at 1e-8 — compare at 1e-7
+    assert(math.abs(out(1L)._3 - math.log(0.5) / 2) < 1e-7)
+    // doc 2: pos2 bigram (b,b) unseen → backoff ln(.4) + ln(2/4)
+    assert(out(2L)._2 === 1L)
+    assert(math.abs(out(2L)._3 -
+      (math.log(0.5) + (math.log(0.4) + math.log(0.5))) / 2) < 1e-7)
+    // doc 3: single OOV token → unigram smoothing ln(1/4), no backoff
+    // (position 1 has no history)
+    assert(out(3L) === ((1L, 0L,
+      out(3L)._3)) && math.abs(out(3L)._3 - math.log(0.25)) < 1e-7)
+    // the in-order doc outscores its shuffle
+    assert(out(1L)._3 > out(2L)._3)
   }
 
   // ----------------------------------------------------------- fuzzy join
@@ -187,6 +293,22 @@ class CurationSpec extends AnyFunSuite {
       Seq((1L, "xbcdefg")).toDF("id", "name"), col("id"), col("name"),
       r, col("id"), col("name"), maxDist = 2, prefixLen = 0)
     assert(p0.count() === 1)
+  }
+
+  test("fuzzyJoin maxDist > lenBand: probe width auto-widens, length-diff-maxDist pairs found") {
+    // lengths 3 and 8 (diff 5 = maxDist): bins 0 and 2 at lenBand 4 —
+    // a ±2 probe is required, and the old fixed ±1 silently missed
+    // exactly this shape (round-7 advice item). lengths 3 vs 9
+    // (dist 6 > maxDist=5) must still NOT match.
+    val l = Seq((1L, "abc")).toDF("id", "name")  // len 3, bin 0
+    val r = Seq((2L, "abcdefgh"),                // len 8, bin 2, dist 5
+      (3L, "abcdefghi")                          // len 9, dist 6 > maxDist
+    ).toDF("id", "name")
+    val out = graft.operators.Joins.fuzzyJoin(
+        l, col("id"), col("name"), r, col("id"), col("name"),
+        maxDist = 5, prefixLen = 0)
+      .select("right_id").as[Long].collect().toSet
+    assert(out === Set(2L))
   }
 
   // ----------------------------------------------------------------- BPE

@@ -521,6 +521,11 @@ class GroupBySpec extends AnyFunSuite {
     // descending: 30 ranks 1
     assert(ranks("min", asc = false) === Map(0 -> 4.0, 1 -> 2.0, 2 -> 2.0,
       3 -> null, 4 -> 1.0, 5 -> 1.0))
+    // dense+pct divides by the DISTINCT non-null count (3 in g, not
+    // the 4 non-null rows — pandas GH#15630), so the top value
+    // reaches exactly 1.0 despite the tie
+    assert(ranks("dense", pct = true) === Map(0 -> (1.0 / 3), 1 -> (2.0 / 3),
+      2 -> (2.0 / 3), 3 -> null, 4 -> 1.0, 5 -> 1.0))
     intercept[IllegalArgumentException] { g.rank(col("v"), "median") }
   }
 }

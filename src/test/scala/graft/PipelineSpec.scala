@@ -1356,4 +1356,139 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(1))
     assert(hs.forall(h => (h >>> 62) === 0L))
   }
+
+  // ------------------------------------------------- image perceptual hash
+
+  /** Hand-built P5 payload: header + raw raster bytes. */
+  private def pgm(w: Int, h: Int, px: Seq[Int],
+      header: String = null): Array[Byte] = {
+    val hdr = Option(header).getOrElse(s"P5\n$w $h\n255\n")
+    hdr.getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+  }
+
+  test("GrayCodec.decodePgm: header forms, comments, truncation, maxval bounds") {
+    val px = (0 until 6).map(i => i * 10)
+    val ok = Multimodal.GrayCodec.decodePgm(pgm(3, 2, px))
+    assert(ok.exists { case (w, h, p) => w == 3 && h == 2 && p.toSeq == px })
+    // comments + multi-whitespace header
+    val commented = Multimodal.GrayCodec.decodePgm(
+      pgm(3, 2, px, header = "P5 # a comment\n 3\t2 # dims\n255\n"))
+    assert(commented.exists { case (w, h, p) => w == 3 && h == 2 && p.toSeq == px })
+    // truncated raster, wrong magic, 2-byte maxval all rejected
+    assert(Multimodal.GrayCodec.decodePgm(pgm(3, 2, px.take(4))) === None)
+    assert(Multimodal.GrayCodec.decodePgm(
+      pgm(3, 2, px, header = "P6\n3 2\n255\n")) === None)
+    assert(Multimodal.GrayCodec.decodePgm(
+      pgm(3, 2, px, header = "P5\n3 2\n65535\n")) === None)
+    assert(Multimodal.GrayCodec.decodePgm(null) === None)
+  }
+
+  test("boxResize: hand-computed 4x4 -> 2x2 box averages (floor division)") {
+    // quadrant sums: [0+1+4+5, 2+3+6+7, 8+9+12+13, 10+11+14+15] / 4
+    val px = (0 until 16).toArray
+    assert(Multimodal.boxResize(px, 4, 4, 2, 2).toSeq === Seq(2, 4, 10, 12))
+    // non-divisible: 3 wide -> 2 cells get 1 and 2 columns
+    val px2 = Array(10, 20, 30)
+    assert(Multimodal.boxResize(px2, 3, 1, 2, 1).toSeq === Seq(10, 25))
+  }
+
+  test("dHash64: horizontal-gradient raster sets every bit; flat raster none; brightness-shift invariant") {
+    // 9x8 exact grid: pixel = column index -> every right neighbor is
+    // brighter -> all 64 bits set
+    val grad = Array.tabulate(72)(i => i % 9)
+    assert(Multimodal.dHash64(grad, 9, 8) === -1L)
+    val flat = Array.fill(72)(7)
+    assert(Multimodal.dHash64(flat, 9, 8) === 0L)
+    // dHash is a gradient signature: uniform +50 brightness leaves it
+    // unchanged
+    val bright = grad.map(_ + 50)
+    assert(Multimodal.dHash64(bright, 9, 8) === Multimodal.dHash64(grad, 9, 8))
+  }
+
+  test("imageDHash + hammingPairs: near-identical rasters pair, unrelated don't; invalid payloads flagged") {
+    // quadratic seed term: different seeds give different gradient
+    // PATTERNS (a linear-only difference is a constant brightness
+    // shift, which dHash ignores by design)
+    def raster(seed: Int, bump: Boolean): Seq[Int] =
+      (0 until 72).map(i => ((seed * 7 + i * 13 + seed * i * i +
+        (if (bump && i % 31 == 0) 1 else 0)) % 256 + 256) % 256)
+    val rows = Seq[(Long, Array[Byte])](
+      (1L, pgm(9, 8, raster(1, bump = false))),
+      (2L, pgm(9, 8, raster(1, bump = true))),   // near-dup of 1
+      (3L, pgm(9, 8, raster(77, bump = false))), // unrelated
+      (4L, "not an image".getBytes("US-ASCII")), // invalid
+      (5L, pgm(4, 3, Seq.fill(12)(9)))           // smaller than the grid
+    ).toDF("id", "bytes")
+    val hashed = Multimodal.imageDHash(rows, col("id"), col("bytes")).toDF()
+    val valid = hashed.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(valid === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false))
+    val pairs = Dedup.hammingPairs(hashed.filter(col("valid")), col("id"),
+        col("dhash"), maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  // --------------------------------------- persist handles (advice items)
+
+  test("semDedupWithState / contaminationFuzzyWithSignatures expose persisted handles; cache flags opt out") {
+    val cents = Similarity.ivfCentroids(embs, col("vec_id"), col("embedding"),
+      nCentroids = 4, iters = 1)
+    val (verdicts, assigned) = Dedup.semDedupWithState(embs, col("vec_id"),
+      col("embedding"), col("vec_id"), cents, threshold = 0.4)
+    verdicts.count()
+    assert(assigned.storageLevel.useMemory, "assignment table not persisted")
+    assigned.unpersist(blocking = true)
+    assert(!assigned.storageLevel.useMemory)
+    // opt-out leaves nothing cached
+    val (_, a2) = Dedup.semDedupWithState(embs, col("vec_id"),
+      col("embedding"), col("vec_id"), cents, threshold = 0.4,
+      cacheAssignments = false)
+    assert(!a2.storageLevel.useMemory)
+    val (flags, tSig, eSig) = Dedup.contaminationFuzzyWithSignatures(
+      docs, col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 20 === 0), col("doc_id"), col("text"))
+    flags.count()
+    assert(tSig.storageLevel.useMemory && eSig.storageLevel.useMemory)
+    tSig.unpersist(blocking = true); eSig.unpersist(blocking = true)
+    assert(!tSig.storageLevel.useMemory && !eSig.storageLevel.useMemory)
+  }
+
+  // ------------------------------------ degenerate-vector centroid parity
+
+  test("assignCentroid: exact and production modes agree (null) on degenerate vectors") {
+    val cents = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.0f)),          // zero norm -> unscorable
+      (2L, Seq(Float.NaN, 1.0f)),     // NaN component
+      (3L, Seq(1.0f)),                // dimension mismatch
+      (4L, Seq(0.6f, 0.8f))           // healthy
+    ).toDF("id", "v")
+    def cids(exact: Boolean): Map[Long, Any] = rows
+      .select(col("id"),
+        Similarity.assignCentroid(col("v"), cents, exact).as("cid"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    val e = cids(exact = true); val p = cids(exact = false)
+    assert(e === p, s"exact $e vs production $p")
+    assert(e(1L) === null && e(2L) === null && e(3L) === null)
+    assert(e(4L) === 1)
+  }
+
+  // -------------------------------------------------- profile quantiles
+
+  test("profile quantiles: exact interpolated percentiles per numeric column, null for non-numeric, single-pass") {
+    import graft.operators.Profile
+    val d = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "x", 30.0),
+      (4L, "z", 40.0)).toDF("id", "s", "v")
+    val out = Profile.profile(d, exactDistinct = true, exactQuantiles = true)
+      .collect().map(r => r.getString(1) ->
+        (if (r.isNullAt(8)) null else r.getSeq[Double](8))).toMap
+    // v: sorted [10,20,30,40]; q25 = 17.5, q50 = 25, q75 = 32.5
+    assert(out("v") === Seq(17.5, 25.0, 32.5))
+    assert(out("id") === Seq(1.75, 2.5, 3.25))
+    assert(out("s") === null)
+    // quantiles = Nil drops the column (and the schema position)
+    assert(!Profile.profile(d, quantiles = Nil).columns.contains("quantiles"))
+  }
 }
