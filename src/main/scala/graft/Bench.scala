@@ -679,7 +679,21 @@ object Bench {
       System.err.println(s"bench: could not write $outPath: $e")
       println(fullJson)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"flagged":$flaggedJson,"sf":"$sfDir","detail":"$outPath"}""")
+    // final stdout line budget: the driver captures a bounded tail
+    // (~2,000 chars) and must parse THIS line, so it is compressed
+    // hard — 3-decimal values, flagged as a count, basename paths —
+    // and if the row set still outgrows the budget, the x10 scaling
+    // rows drop from the line first (they live in the file artifact
+    // with their raw samples either way)
+    def compactLine(ms: Seq[Meas]): String = {
+      def fmt3(d: Double): String = ((d * 1000).round / 1000.0).toString
+      val q = ms.map(m => "\"" + m.name + "\":" + fmt3(m.value))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$q,"flagged_n":${all.count(_.flagged)},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
+    }
+    val line0 = compactLine(all)
+    println(if (line0.length <= 1900) line0
+            else compactLine(all.filterNot(_.name.endsWith(xs))))
     spark.stop()
   }
 }

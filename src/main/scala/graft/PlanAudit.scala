@@ -271,6 +271,34 @@ object PlanAudit {
         graft.operators.Privacy.suppressRare(
           docs.select(col("doc_id"), col("lang"), col("source")),
           Seq(col("lang"), col("source")), k = 3),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("quality-classifier scoring (broadcast weight table; doc-keyed feature aggs — equijoins only)",
+        graft.operators.QualityModel.scoreQuality(docs, col("doc_id"),
+          col("text"),
+          graft.functions.TextFunctions.pseudoWeights(spark, dim = 256)
+            .withColumnRenamed("weight", "w")
+            .select(col("bucket"), col("w").cast("double").as("weight")),
+          dim = 256),
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("bigram LM scoring (three BROADCAST vocab lookups — corpus never shuffles for the joins)",
+        {
+          val ref = docs.where(col("doc_id") % 2 === 0)
+          graft.operators.LangModel.scoreByBigram(docs, col("doc_id"),
+            col("text"),
+            graft.operators.LangModel.bigramCounts(ref, col("text")),
+            graft.operators.LangModel.unigramCounts(ref, col("text")),
+            total = 100000L)
+        },
+        noSinglePartition = true, broadcastProbe = true),
+      Audited("image dHash hamming pairs (pigeonhole bit-block equijoin — never all-pairs)",
+        {
+          val bin = docs.select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("bytes"))
+          val hashed = graft.operators.Multimodal.imageDHash(bin,
+            col("doc_id"), col("bytes")).toDF()
+          Dedup.hammingPairs(hashed.where(col("valid")), col("id"),
+            col("dhash"), maxDistance = 6)
+        },
         noSinglePartition = true, equiJoinOnly = true)
     )
   }

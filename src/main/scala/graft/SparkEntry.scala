@@ -2287,6 +2287,41 @@ object SparkEntry {
         |WHERE ${Sampling.ringPositionSql("d.doc_id", seed = 7)} < thr.th
         |ORDER BY d.doc_id""".stripMargin)),
 
+    Q("sample_temperature",
+      // temperature-scaled source mixture (Arivazhagan 2019; the
+      // mT5/XLM-R recipe): per-source target weights ∝ p^(1/tau) over
+      // token totals, then the mixtureFractions keep-fraction plan.
+      // tau = 2 → exponent 0.5; outputs round at 1e-10 (pow/sqrt are
+      // only faithfully rounded per engine; everything else is exact)
+      (s, dir) => {
+        import s.implicits._
+        val d = T(s, dir, "documents")
+        val totals = d.groupBy(col("lang"))
+          .agg(sum(TextFunctions.tokenCountWs(col("text"))).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val targets = Sampling.temperatureTargets(totals, tau = 2.0)
+        val fracs = Sampling.mixtureFractions(totals, targets)
+        targets.toSeq.sortBy(_._1)
+          .map { case (k, w) => (k, w, fracs(k)) }
+          .toDF("lang", "weight", "fraction")
+          .select(col("lang"), round(col("weight"), 10).as("weight"),
+            round(col("fraction"), 10).as("fraction"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tk AS (SELECT lang,
+        |   len(string_split(text, ' ')) AS nt FROM documents),
+        | cnt AS (SELECT lang, CAST(SUM(nt) AS DOUBLE) AS c
+        |   FROM tk GROUP BY 1),
+        | tot AS (SELECT SUM(c) AS tc FROM cnt),
+        | q AS (SELECT lang, c,
+        |   power(c / (SELECT tc FROM tot), 0.5) AS qv FROM cnt),
+        | qs AS (SELECT SUM(qv) AS s FROM q),
+        | w AS (SELECT lang, c, qv / (SELECT s FROM qs) AS wt FROM q),
+        | t AS (SELECT MIN(c / wt) AS T FROM w)
+        |SELECT lang, ROUND(wt, 10) AS weight,
+        |  ROUND(LEAST(1.0, (wt * (SELECT T FROM t)) / c), 10) AS fraction
+        |FROM w ORDER BY lang""".stripMargin)),
+
     Q("sample_splits",
       // deterministic holdout assignment: the oracle embeds the same
       // driver-computed ring cuts, so every row's split label replays
@@ -3827,7 +3862,173 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
-        |ORDER BY ida, idb""".stripMargin))
+        |ORDER BY ida, idb""".stripMargin)),
+
+    Q("text_url_canon",
+      // URL canonicalization (RFC 3986 §6 syntax rules + tracking-
+      // param strip): synthesized URLs exercise mixed-case authority,
+      // default ports, tracking-param runs, fragments, and trailing
+      // slashes; the oracle replays the same lookaround-free regex
+      // chain (RE2 'g' flags, \\1 backreferences) — hash-exact
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val u = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://Example.COM:443"))
+            .otherwise(lit("http://Site.ORG:80")),
+          lit("/Path"), (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=x&utm_campaign="), col("doc_id").cast("string"),
+          lit("&id="), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+          lit("#frag"))
+        d.select(col("doc_id"), u.as("url"),
+            TextFunctions.canonicalizeUrl(u).as("canon"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443'
+        |     ELSE 'http://Site.ORG:80' END
+        |   || '/Path' || CAST(doc_id % 7 AS VARCHAR)
+        |   || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |   || '?utm_source=x&utm_campaign=' || CAST(doc_id AS VARCHAR)
+        |   || '&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |   || CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc' ELSE '' END
+        |   || '#frag' AS url FROM documents),
+        | s1 AS (SELECT doc_id, url,
+        |   regexp_replace(url, '#.*$', '', 'g') AS t FROM b),
+        | s2 AS (SELECT doc_id, url, regexp_replace(regexp_replace(
+        |   regexp_replace(regexp_replace(t,
+        |     '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*&?', '\1', 'g'),
+        |     '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*&?', '\1', 'g'),
+        |     '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*&?', '\1', 'g'),
+        |     '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*&?', '\1', 'g')
+        |   AS t FROM s1),
+        | s3 AS (SELECT doc_id, url,
+        |   regexp_replace(t, '[?&]+$', '', 'g') AS t FROM s2),
+        | s4 AS (SELECT doc_id, url,
+        |   lower(regexp_extract(t, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+        |   || regexp_replace(t, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+        |   AS t FROM s3),
+        | s5 AS (SELECT doc_id, url, regexp_replace(regexp_replace(t,
+        |     '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2'),
+        |     '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS t FROM s4)
+        |SELECT doc_id, url, regexp_replace(t, '/$', '') AS canon
+        |FROM s5 ORDER BY doc_id""".stripMargin)),
+
+    Q("text_gopher_flags",
+      // Gopher MassiveWeb quality rules (Rae et al. 2021 Table A1) as
+      // one row-local projection; every signal is a single exact
+      // division of integer counts, so the row compares unrounded
+      (s, dir) => T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.gopherQualityFlags(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.symbol_ratio").as("symbol_ratio"),
+          col("g.alpha_word_frac").as("alpha_word_frac"),
+          col("g.n_required_stops").as("n_required_stops"),
+          col("g.pass_word_count").as("pass_word_count"),
+          col("g.pass_mean_word_len").as("pass_mean_word_len"),
+          col("g.pass_stopwords").as("pass_stopwords"),
+          col("g.pass").as("pass"))
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, text,
+        |   list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |   FROM documents),
+        | sig AS (SELECT doc_id,
+        |   CAST(len(words) AS BIGINT) AS n_words,
+        |   CASE WHEN len(words) > 0 THEN
+        |     CAST(list_aggregate(list_transform(words, x -> strlen(x)), 'sum')
+        |       AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+        |   CASE WHEN len(words) > 0 THEN
+        |     CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |       / CAST(len(words) AS DOUBLE) END AS symbol_ratio,
+        |   CASE WHEN len(words) > 0 THEN
+        |     CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+        |       AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS alpha_word_frac,
+        |   CAST(list_contains(words, 'the') AS BIGINT)
+        |     + CAST(list_contains(words, 'be') AS BIGINT)
+        |     + CAST(list_contains(words, 'to') AS BIGINT)
+        |     + CAST(list_contains(words, 'of') AS BIGINT)
+        |     + CAST(list_contains(words, 'and') AS BIGINT)
+        |     + CAST(list_contains(words, 'that') AS BIGINT)
+        |     + CAST(list_contains(words, 'have') AS BIGINT)
+        |     + CAST(list_contains(words, 'with') AS BIGINT) AS n_required_stops,
+        |   CAST(len(list_filter(string_split(text, chr(10)), l ->
+        |       starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |     / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bullet_frac,
+        |   CAST(len(list_filter(string_split(text, chr(10)), l ->
+        |       ends_with(l, '...'))) AS DOUBLE)
+        |     / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS ellipsis_frac
+        |   FROM w)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  alpha_word_frac, n_required_stops,
+        |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+        |  COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        |    AS pass_mean_word_len,
+        |  (n_required_stops >= 2) AS pass_stopwords,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        |    AND COALESCE(symbol_ratio <= 0.1, FALSE)
+        |    AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+        |    AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+        |    AND n_required_stops >= 2) AS pass
+        |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    Q("text_c4_filter",
+      // C4 line/document cleaning (Raffel et al. 2020 §2.2). The
+      // synthetic documents are single-line and punctuation-free, so
+      // the gate SYNTHESIZES line-structured pages from them (the mm
+      // gate pattern): the raw text line (dropped — no terminal
+      // punctuation), a kept sentence, a too-short line, and a
+      // per-doc tail that alternates a javascript mention (dropped)
+      // with a kept closer — both engines build the same page, so
+      // retention, the word floor, and the javascript rule all carry
+      // signal; flags and kept text compare hash-exact
+      (s, dir) => {
+        val page = concat_ws("\n",
+          col("text"),
+          lit("This line has enough words to pass."),
+          lit("Too short."),
+          when(col("doc_id") % 3 === 0,
+            lit("Except some docs mention javascript libraries, sadly."))
+            .otherwise(lit("A perfectly good closing sentence right here!")))
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.c4FilteredText(page).as("kept_text"),
+            TextFunctions.c4DocFlags(page).as("f"))
+          .select(col("doc_id"), col("kept_text"),
+            col("f.n_sentences").as("n_sentences"),
+            col("f.has_brace").as("has_brace"),
+            col("f.has_lorem_ipsum").as("has_lorem_ipsum"),
+            col("f.n_kept_lines").as("n_kept_lines"),
+            col("f.pass").as("pass"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH pg AS (SELECT doc_id,
+        |   text || chr(10) || 'This line has enough words to pass.'
+        |     || chr(10) || 'Too short.' || chr(10) ||
+        |     CASE WHEN doc_id % 3 = 0
+        |       THEN 'Except some docs mention javascript libraries, sadly.'
+        |       ELSE 'A perfectly good closing sentence right here!'
+        |     END AS t
+        |   FROM documents),
+        | k AS (SELECT doc_id, t,
+        |   list_filter(string_split(t, chr(10)), l ->
+        |     right(rtrim(l), 1) IN ('.', '!', '?', '"')
+        |     AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |     AND NOT contains(lower(l), 'javascript')) AS kept
+        |   FROM pg)
+        |SELECT doc_id,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+        |  CAST(len(regexp_extract_all(t, '[.!?]')) AS BIGINT) AS n_sentences,
+        |  contains(t, '{') AS has_brace,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+        |  CAST(len(list_filter(kept, l -> l <> '')) AS BIGINT) AS n_kept_lines,
+        |  (len(regexp_extract_all(t, '[.!?]')) >= 3
+        |    AND NOT contains(t, '{')
+        |    AND NOT contains(lower(t), 'lorem ipsum')) AS pass
+        |FROM k ORDER BY doc_id""".stripMargin))
   )
 
   // ----------------------------------------------------------- contract

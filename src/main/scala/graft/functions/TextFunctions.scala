@@ -306,6 +306,46 @@ object TextFunctions {
   def textDomains(text: Column): Column =
     array_distinct(F.transform(extractUrls(text), u => urlDomain(u)))
 
+  /** Canonical URL for URL-level dedup and crawl-frontier collapsing —
+    * the standard normalizations every crawl pipeline applies before
+    * keying on a URL (RFC 3986 §6 syntax-based normalization plus the
+    * tracking-parameter strip):
+    *
+    *  1. drop the fragment (`#...` — never sent to the server),
+    *  2. drop tracking query parameters (`utm_*`, `fbclid`, `gclid`,
+    *     `msclkid`, `ref`) — a run of up to four consecutive tracking
+    *     params collapses per pass and the pass is applied to a fixed
+    *     point for realistic URLs (4 rounds) — then tidy a trailing
+    *     `?`/`&`,
+    *  3. lowercase the scheme and authority (case-insensitive per the
+    *     RFC; the path stays case-sensitive),
+    *  4. drop default ports (`:80` on http, `:443` on https),
+    *  5. drop a single trailing `/` (collapsing `host/` with `host`).
+    *
+    * Pure row-local regexes, lookaround-free so they stay in the
+    * Java ∩ RE2 subset — a projection over the scan, replayable in
+    * any engine. Compose with [[graft.operators.Dedup.exact]] keyed on
+    * the result for URL-level dedup, or [[urlDomain]] downstream
+    * (unchanged by these rules).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // each pass eats one tracking param per separator position (the
+    // consumed [?&] keeps an immediately following param alive for
+    // the next pass); 4 passes fix realistic runs
+    val noTrack = (1 to 4).foldLeft(noFrag)((u, _) => regexp_replace(u,
+      "([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&]*&?", "$1"))
+    val tidy = regexp_replace(noTrack, "[?&]+$", "")
+    // lowercase scheme+authority, leave path/query as-is
+    val lowered = concat(
+      lower(regexp_extract(tidy, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+      regexp_replace(tidy, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2"),
+      "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    regexp_replace(noPort, "/$", "")
+  }
+
   // ------------------------------------------------- chunking / funnel
 
   /** Split each document into sliding token windows of `size` tokens
@@ -539,5 +579,127 @@ object TextFunctions {
           acc :+ regexp_count(t, lit(pat)).cast(LongType).as(s"n_$cat"))
     }
     struct(fields: _*)
+  }
+
+  // --------------------------------------- published curation rule sets
+  // The two most-cited web-corpus filter recipes as row-local structs:
+  // Gopher's MassiveWeb quality rules (Rae et al. 2021, "Scaling
+  // Language Models: Methods, Analysis & Insights from Training
+  // Gopher", Table A1) and C4's line/document cleaning (Raffel et al.
+  // 2020, "Exploring the Limits of Transfer Learning with a Unified
+  // Text-to-Text Transformer", §2.2). Both are pure projections — ONE
+  // whole-stage-codegen'd corpus scan at 100 TB, no shuffle, nothing
+  // to tune — and every predicate stays in the Java ∩ RE2 regex subset
+  // plus list folds, so any engine replays them identically.
+
+  /** The Gopher "required stop words" (Table A1): a document must
+    * contain at least two of these for the stop-word rule to pass.
+    */
+  val GopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def wsWords(text: Column): Column =
+    F.filter(split(text, " "), w => w =!= "")
+
+  /** Gopher document-quality rules as one struct: the raw signals,
+    * per-rule booleans, and the composite `pass` (AND of all rules).
+    * Published thresholds as defaults:
+    *
+    *  - word count in [50, 100000],
+    *  - mean word length in [3, 10] chars,
+    *  - symbol-to-word ratio (`#` or `...`) ≤ 0.1,
+    *  - < 90% of lines start with a bullet, < 30% end with "...",
+    *  - ≥ 80% of words contain at least one alphabetic character,
+    *  - ≥ 2 of the [[GopherRequiredStops]] present.
+    *
+    * (The repetition rules of the same table — duplicate line/char
+    * fractions, top-n-gram coverage — ship separately as
+    * [[duplicateSegmentFraction]]/[[duplicateSegmentCharFraction]]/
+    * [[topNgramStats]] so callers tune them per corpus.)
+    */
+  def gopherQualityFlags(text: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      requiredStops: Seq[String] = GopherRequiredStops,
+      minStops: Int = 2): Column = {
+    val words = wsWords(text)
+    val nWords = F.size(words).cast(LongType)
+    val meanLen = Num.safeDiv(
+      F.aggregate(words, lit(0L), (a, w) => a + length(w).cast(LongType))
+        .cast(DoubleType),
+      nWords.cast(DoubleType))
+    val symbolRatio = Num.safeDiv(
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+        .cast(DoubleType),
+      nWords.cast(DoubleType))
+    val alphaFrac = Num.safeDiv(
+      F.size(F.filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType),
+      nWords.cast(DoubleType))
+    val nStops = requiredStops.map(sw =>
+      when(array_contains(words, sw), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val bulletFrac = coalesce(bulletSegmentFraction(text), lit(0.0))
+    val ellipsisFrac = coalesce(ellipsisSegmentFraction(text), lit(0.0))
+    val passWords = nWords >= minWords && nWords <= maxWords
+    val passMeanLen = coalesce(
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen, lit(false))
+    val passSymbol = coalesce(symbolRatio <= maxSymbolRatio, lit(false))
+    val passBullet = bulletFrac < maxBulletFrac
+    val passEllipsis = ellipsisFrac < maxEllipsisFrac
+    val passAlpha = coalesce(alphaFrac >= minAlphaWordFrac, lit(false))
+    val passStops = nStops >= minStops
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_word_frac"),
+      nStops.as("n_required_stops"),
+      passWords.as("pass_word_count"), passMeanLen.as("pass_mean_word_len"),
+      passSymbol.as("pass_symbol_ratio"), passBullet.as("pass_bullets"),
+      passEllipsis.as("pass_ellipsis"), passAlpha.as("pass_alpha_words"),
+      passStops.as("pass_stopwords"),
+      (passWords && passMeanLen && passSymbol && passBullet &&
+        passEllipsis && passAlpha && passStops).as("pass"))
+  }
+
+  /** C4's LINE filter: keep lines that end in terminal punctuation
+    * (".", "!", "?", or a closing double quote, after right-trim),
+    * carry at least `minLineWords` words, and do not contain the word
+    * "javascript" (case-insensitive) — §2.2's retained-line rule.
+    * Returns the kept lines re-joined with "\n" (empty string when no
+    * line survives).
+    */
+  def c4FilteredText(text: Column, minLineWords: Int = 5): Column = {
+    val lines = split(text, "\n")
+    val kept = F.filter(lines, l => {
+      val t = rtrim(l)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        F.size(F.filter(split(l, " "), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    })
+    array_join(kept, "\n")
+  }
+
+  /** C4's DOCUMENT flags as one struct: curly-brace presence (code),
+    * "lorem ipsum" placeholder text (case-insensitive), the
+    * sentence count (terminal-punctuation occurrences — the published
+    * proxy), the count of lines the line filter keeps, and the
+    * composite `pass` (≥ `minSentences` sentences, no brace, no lorem
+    * ipsum — §2.2's page-level drops).
+    */
+  def c4DocFlags(text: Column, minSentences: Int = 3,
+      minLineWords: Int = 5): Column = {
+    val nSentences = size(regexp_extract_all(text, lit("[.!?]"), lit(0)))
+      .cast(LongType)
+    val hasBrace = text.contains("{")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val keptLines = F.size(F.filter(split(c4FilteredText(text, minLineWords),
+      "\n"), l => l =!= "")).cast(LongType)
+    struct(
+      nSentences.as("n_sentences"), hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem_ipsum"), keptLines.as("n_kept_lines"),
+      (nSentences >= minSentences && !hasBrace && !hasLorem).as("pass"))
   }
 }

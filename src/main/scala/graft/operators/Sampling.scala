@@ -103,6 +103,37 @@ object Sampling {
     w.map { case (k, wk) => k -> math.min(1.0, (wk * t) / counts(k)) }
   }
 
+  /** Temperature-scaled source-mixture targets (Arivazhagan et al.
+    * 2019, "Massively Multilingual Neural Machine Translation in the
+    * Wild", §4.2 — the sampling recipe mT5/XLM-R popularized for
+    * multi-source pretraining): target weight ∝ p_s^(1/tau) where
+    * p_s = count_s / Σ count. `tau = 1` reproduces natural
+    * proportions, larger tau flattens toward uniform (up-sampling
+    * tail sources), tau < 1 sharpens toward head sources. Pure
+    * driver-side arithmetic over the bounded per-stratum count map —
+    * feed the result to [[mixtureFractions]] / [[rebalanceMixture]] /
+    * [[takeTokenMixture]] as `targets`.
+    *
+    * Determinism: the normalization sum folds in SORTED key order, so
+    * the same map yields the same doubles on any JVM; any SQL replay
+    * should round outputs (pow is only faithfully rounded
+    * per-engine).
+    */
+  def temperatureTargets(counts: Map[String, Long],
+      tau: Double): Map[String, Double] = {
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    require(counts.nonEmpty, "counts must be non-empty")
+    val bad = counts.filter(_._2 <= 0)
+    require(bad.isEmpty,
+      s"strata must have positive counts, got ${bad.keySet.toSeq.sorted}")
+    val total = counts.values.sum.toDouble
+    val q = counts.map { case (k, c) =>
+      k -> math.pow(c.toDouble / total, 1.0 / tau)
+    }
+    val qSum = q.toSeq.sortBy(_._1).map(_._2).sum
+    q.map { case (k, v) => k -> v / qSum }
+  }
+
   /** Deterministic train/val/test assignment: the ring [0, P) is cut
     * at the normalized cumulative weights and each row's id lands in
     * exactly one segment — splits are DISJOINT and EXHAUSTIVE by

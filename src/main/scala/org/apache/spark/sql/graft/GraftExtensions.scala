@@ -108,6 +108,18 @@ object GraftFunctions {
     entry("graft_normalize",
       viaColumns("graft_normalize", 1)(c => TextFunctions.normalizeForDedup(c(0))),
       "graft_normalize(text) - dedup normalization: lowercase, strip non-alphanumerics, collapse whitespace"),
+    entry("graft_url_canon",
+      viaColumns("graft_url_canon", 1)(c => TextFunctions.canonicalizeUrl(c(0))),
+      "graft_url_canon(url) - canonical URL (fragment/tracking-param strip, lowercase scheme+authority, default ports, trailing slash) - the URL-dedup key"),
+    entry("graft_gopher_flags",
+      viaColumns("graft_gopher_flags", 1)(c => TextFunctions.gopherQualityFlags(c(0))),
+      "graft_gopher_flags(text) - struct of Gopher (Rae 2021) quality signals, per-rule booleans, and the composite pass"),
+    entry("graft_c4_filter",
+      viaColumns("graft_c4_filter", 1)(c => TextFunctions.c4FilteredText(c(0))),
+      "graft_c4_filter(text) - text after C4's (Raffel 2020) line retention: terminal punctuation, >= 5 words, no javascript"),
+    entry("graft_c4_flags",
+      viaColumns("graft_c4_flags", 1)(c => TextFunctions.c4DocFlags(c(0))),
+      "graft_c4_flags(text) - struct of C4 page-level drop signals (sentences, curly brace, lorem ipsum) and the composite pass"),
     entry("graft_redact_pii",
       viaColumns("graft_redact_pii", 1)(c => TextFunctions.redactPii(c(0))),
       "graft_redact_pii(text) - text with emails/IPs/SSNs/phone numbers replaced by category tokens"),

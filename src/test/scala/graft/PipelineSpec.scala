@@ -1429,6 +1429,112 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("canonicalizeUrl: fragments, tracking runs, case, default ports, trailing slash") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      "HTTPS://Example.COM:443/Path/Sub?id=1#frag" ->
+        "https://example.com/Path/Sub?id=1",
+      "http://Site.ORG:80/" -> "http://site.org",
+      // three consecutive tracking params then a real one
+      "https://a.com/p?utm_source=x&utm_medium=y&fbclid=z&id=9" ->
+        "https://a.com/p?id=9",
+      // tracking-only query collapses entirely
+      "https://a.com/p?utm_campaign=c" -> "https://a.com/p",
+      // ref strips, refresh (not a tracking name) survives
+      "https://a.com/p?ref=tw&refresh=1" -> "https://a.com/p?refresh=1",
+      // path case preserved; non-default port preserved
+      "https://A.com:8443/CaseY/" -> "https://a.com:8443/CaseY",
+      "not a url" -> "not a url")
+    val out = cases.zipWithIndex
+      .map { case ((u, _), i) => (i.toLong, u) }.toDF("i", "u")
+      .select(col("i"), TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (((_, want), i) <- cases.zipWithIndex)
+      assert(out(i.toLong) === want, s"case $i: ${cases(i)._1}")
+  }
+
+  // ---------------------------------------------- streaming ingest dedup
+
+  test("streaming dedup within watermark: first arrival kept, normalization variants dropped across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamDedup.dedupTextWithinWatermark(
+      ms.toDS().toDF("id", "ts", "text"), col("text"), "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("graft_stream_dedup").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      ms.addData((1L, t(0), "Hello, World!"), (2L, t(1), "hello world"),
+        (3L, t(2), "fresh content"))
+      q.processAllAvailable()
+      // batch 2, still inside the horizon: the HELLO variant of row 1
+      // is state-dropped; genuinely new text passes
+      ms.addData((4L, t(3), "HELLO  world"), (5L, t(4), "brand new"))
+      q.processAllAvailable()
+      val ids = spark.table("graft_stream_dedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  // ------------------------------------ published curation rule sets
+
+  test("gopherQualityFlags: hand-checked signals and per-rule verdicts") {
+    // 65 words, mean length 205/65 ≈ 3.15, six required stops, all
+    // alphabetic -> every rule passes
+    val good = Seq.fill(5)(
+      "the time of day and all that we have with us here now").mkString(" ")
+    val short = "too few words here"               // word-count rule fails
+    val symbols = Seq.fill(60)("### ...").mkString(" ") // symbol + alpha + stops fail
+    val d = Seq((1L, good), (2L, short), (3L, symbols)).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        graft.functions.TextFunctions.gopherQualityFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val g = out(1L)
+    assert(g.getLong(g.fieldIndex("n_words")) === 65)
+    assert(math.abs(g.getDouble(g.fieldIndex("mean_word_len")) - 205.0 / 65) < 1e-12)
+    assert(g.getLong(g.fieldIndex("n_required_stops")) === 6)
+    assert(g.getBoolean(g.fieldIndex("pass")))
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("pass_word_count")))
+    val s = out(3L)
+    assert(!s.getBoolean(s.fieldIndex("pass_symbol_ratio")))
+    assert(!s.getBoolean(s.fieldIndex("pass_alpha_words")))
+    assert(!s.getBoolean(s.fieldIndex("pass")))
+  }
+
+  test("c4FilteredText + c4DocFlags: line retention and page-level drops") {
+    import graft.functions.TextFunctions
+    val text = Seq(
+      "This is a good sentence with plenty of words.",  // kept
+      "Too short.",                                     // < 5 words
+      "no terminal punctuation on this line at all",    // no punct
+      "Uses JavaScript for everything it renders, really.", // javascript
+      "Another proper sentence that ends with a bang!"  // kept
+    ).mkString("\n")
+    val d = Seq((1L, text), (2L, "short. text. here."),
+      (3L, "function f() { return 1; } and more prose. ok. fine.")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextFunctions.c4FilteredText(col("text")).as("kept"),
+        TextFunctions.c4DocFlags(col("text")).as("f"))
+      .select(col("doc_id"), col("kept"), col("f.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val k = out(1L)
+    assert(k.getString(1) ===
+      "This is a good sentence with plenty of words.\n" +
+      "Another proper sentence that ends with a bang!")
+    assert(k.getLong(k.fieldIndex("n_kept_lines")) === 2)
+    assert(k.getBoolean(k.fieldIndex("pass"))) // 2 sentences? '.' + '!' + '.'(Too short.) + '.'(really.) = 4 >= 3
+    // doc 2: three sentences but every line fails the 5-word rule
+    assert(out(2L).getString(1) === "")
+    assert(out(2L).getBoolean(out(2L).fieldIndex("pass")))
+    // doc 3: curly brace -> page dropped
+    val b = out(3L)
+    assert(b.getBoolean(b.fieldIndex("has_brace")))
+    assert(!b.getBoolean(b.fieldIndex("pass")))
+  }
+
   // --------------------------------------- persist handles (advice items)
 
   test("semDedupWithState / contaminationFuzzyWithSignatures expose persisted handles; cache flags opt out") {

@@ -424,4 +424,33 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(out.toSet.subsetOf(bigger))
   }
+
+  test("temperatureTargets: tau=1 is natural proportions, large tau flattens, guards") {
+    import graft.operators.Sampling
+    val counts = Map("a" -> 800L, "b" -> 150L, "c" -> 50L)
+    // tau = 1: weights are exactly the natural proportions
+    val nat = Sampling.temperatureTargets(counts, tau = 1.0)
+    assert(math.abs(nat("a") - 0.8) < 1e-12)
+    assert(math.abs(nat("b") - 0.15) < 1e-12)
+    assert(math.abs(nat("c") - 0.05) < 1e-12)
+    // large tau approaches uniform
+    val flat = Sampling.temperatureTargets(counts, tau = 1000.0)
+    assert(flat.values.forall(v => math.abs(v - 1.0 / 3) < 1e-3))
+    // tau = 2 sits between: tail source up-weighted, head down-weighted
+    val mid = Sampling.temperatureTargets(counts, tau = 2.0)
+    assert(mid("c") > nat("c") && mid("c") < flat("c") + 1e-3)
+    assert(mid("a") < nat("a") && mid("a") > flat("a") - 1e-3)
+    // weights always normalize to 1
+    assert(math.abs(mid.values.sum - 1.0) < 1e-12)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTargets(counts, tau = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTargets(Map("a" -> 0L), tau = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureTargets(Map.empty[String, Long], tau = 1.0)
+    }
+  }
 }

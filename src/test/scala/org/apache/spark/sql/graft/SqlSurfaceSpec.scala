@@ -56,6 +56,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql === viaApi)
   }
 
+  test("registered curation rule sets + url canon match the Column API bit-for-bit") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_docs3")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_url_canon(concat('HTTPS://Ex.COM:443/P', text, '?utm_source=a&id=1#f')) AS cu,
+        |  graft_gopher_flags(text) AS gf,
+        |  graft_c4_filter(text) AS c4t,
+        |  graft_c4_flags(text) AS c4f
+        |FROM sqlspec_docs3 ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = docs.select(col("doc_id"),
+      TextFunctions.canonicalizeUrl(
+        concat(lit("HTTPS://Ex.COM:443/P"), col("text"),
+          lit("?utm_source=a&id=1#f"))).as("cu"),
+      TextFunctions.gopherQualityFlags(col("text")).as("gf"),
+      TextFunctions.c4FilteredText(col("text")).as("c4t"),
+      TextFunctions.c4DocFlags(col("text")).as("c4f"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql === viaApi)
+  }
+
   test("registered native vector expressions match the Column API bit-for-bit") {
     GraftFunctions.register(spark)
     embs.createOrReplaceTempView("sqlspec_embs")
