@@ -111,6 +111,11 @@ object Bench {
       "cumsum" -> (() => evOps.cumsum(col("value"), col("ts"))),
       "cummax" -> (() => evOps.cummax(col("value"), col("ts"))),
       "gb_corr" -> (() => liGb.corr(col("l_quantity"), col("l_extendedprice"))),
+      // the order-sensitive double-sum twin: measures what the
+      // determinism contract costs on the pair-moment family (the
+      // decimal casts are the one non-codegen-friendly expression)
+      "gb_corr_fast" -> (() => liGb.corr(col("l_quantity"),
+        col("l_extendedprice"), exact = false)),
       "rolling_var" -> (() => evOps.rollingVar(col("value"), col("ts"), 50,
         minPeriods = Some(1))),
       "crosstab" -> (() => Reshape.crosstab(orders, Seq(col("o_orderstatus")),

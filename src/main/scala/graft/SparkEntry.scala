@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, Dsir, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
+import graft.operators.{AggSpec, Dedup, Dsir, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -584,7 +584,46 @@ object SparkEntry {
 
   private def all: Seq[Q] =
     coreAgg ++ windowOps ++ reshapeOps ++ nanAndFit ++ pipelineOps ++
-      joinOps ++ corpusOps ++ curationOps
+      joinOps ++ corpusOps ++ curationOps ++ mlOps
+
+  /** Round-8 ML wave: distributed PCA (one-pass decimal moments +
+    * deterministic driver-side power iteration), replayed in DuckDB
+    * as unrolled matvec CTEs — fit loadings/eigenvalues and the
+    * row-local projection both bit-exact, unrounded.
+    */
+  private def mlOps: Seq[Q] = {
+    val pcaCorpusSql = "SELECT vec_id AS rid, embedding AS v FROM embeddings"
+    val (pcaK, pcaIters, pcaDim) = (2, 8, 64)
+    Seq(
+      Q("pca_fit",
+        // 2 components, 8 power rounds over the dim-64 covariance;
+        // the oracle replays the moments pass, every matvec/normalize
+        // round, the Rayleigh eigenvalue, sign flip, and deflation
+        (s, dir) => {
+          import s.implicits._
+          val m = Pca.fit(T(s, dir, "embeddings"), col("embedding"),
+            k = pcaK, iters = pcaIters, dim = Some(pcaDim))
+          m.components.zipWithIndex.flatMap { case (c, ci) =>
+            c.zipWithIndex.map { case (l, i) => (ci, i, l, m.eigenvalues(ci)) }
+          }.toDF("component", "i", "loading", "eigenvalue")
+            .orderBy(col("component"), col("i"))
+        },
+        Some(Pca.fitSql(pcaCorpusSql, pcaDim, pcaK, pcaIters))),
+
+      Q("pca_project",
+        // the same fit, then every vector's centered decimal dot with
+        // each component — row-local, zero shuffle on the corpus side
+        (s, dir) => {
+          val embs = T(s, dir, "embeddings")
+          val m = Pca.fit(embs, col("embedding"),
+            k = pcaK, iters = pcaIters, dim = Some(pcaDim))
+          Pca.project(embs, col("embedding"), m)
+            .select(col("vec_id").as("rid"), col("pc0"), col("pc1"))
+            .orderBy(col("rid"))
+        },
+        Some(Pca.projectSql(pcaCorpusSql, pcaDim, pcaK, pcaIters)))
+    )
+  }
 
   /** Round-10 curation wave: DSIR importance weighting, domain-graph
     * PageRank, k-anonymity suppression — the published data-selection

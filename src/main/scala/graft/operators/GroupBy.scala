@@ -478,8 +478,9 @@ final class GroupBy(
     * partial/final like every algebraic agg, no second pass.
     */
   def cov(x: Column, y: Column, ddof: Int = 1, mask: Option[Column] = None,
-      out: String = "cov", observedOnly: Boolean = true): DataFrame =
-    pairMoment(x, y, mask, observedOnly) { (n, sx, sy, sxy, _, _) =>
+      out: String = "cov", observedOnly: Boolean = true,
+      exact: Boolean = true): DataFrame =
+    pairMoment(x, y, mask, observedOnly, exact) { (n, sx, sy, sxy, _, _) =>
       when(n > ddof, (sxy - sx * sy / n) / (n - lit(ddof.toDouble)))
         .otherwise(lit(null).cast(DoubleType)).as(out)
     }
@@ -492,8 +493,9 @@ final class GroupBy(
     * ratio, so there is no ddof knob — same as pandas.
     */
   def corr(x: Column, y: Column, mask: Option[Column] = None,
-      out: String = "corr", observedOnly: Boolean = true): DataFrame =
-    pairMoment(x, y, mask, observedOnly) { (n, sx, sy, sxy, sxx, syy) =>
+      out: String = "corr", observedOnly: Boolean = true,
+      exact: Boolean = true): DataFrame =
+    pairMoment(x, y, mask, observedOnly, exact) { (n, sx, sy, sxy, sxx, syy) =>
       val cxy = sxy - sx * sy / n
       val cxx = sxx - sx * sx / n
       val cyy = syy - sy * sy / n
@@ -577,11 +579,20 @@ final class GroupBy(
     * Σx², Σy²)` finishes row-locally in double.
     */
   private def pairMoment(x: Column, y: Column, mask: Option[Column],
-      observedOnly: Boolean)(
+      observedOnly: Boolean, exact: Boolean = true)(
       f: (Column, Column, Column, Column, Column, Column) => Column): DataFrame = {
     val both = masked(mask, when(x.isNotNull && y.isNotNull, lit(1)))
+    // exact=false: plain double partial sums — stays inside
+    // whole-stage codegen (the decimal casts are the one expensive
+    // expression in this aggregation, measured ~7x on the bench's
+    // gb_corr row), at the cost of accumulation-order sensitivity in
+    // the last ulps. The default keeps the library-wide determinism
+    // contract; flip it for throughput-critical production scans
+    // where a partitioning-dependent final ulp is acceptable.
     def s(c: Column, dec: org.apache.spark.sql.types.DecimalType) =
-      F.sum(when(both.isNotNull, c.cast(DoubleType)).cast(dec)).cast(DoubleType)
+      if (exact)
+        F.sum(when(both.isNotNull, c.cast(DoubleType)).cast(dec)).cast(DoubleType)
+      else F.sum(when(both.isNotNull, c.cast(DoubleType)))
     val xd = x.cast(DoubleType); val yd = y.cast(DoubleType)
     val n = F.count(both).cast(DoubleType)
     val stat = f(n, s(xd, Num.SumDec), s(yd, Num.SumDec),

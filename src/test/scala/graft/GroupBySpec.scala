@@ -444,6 +444,15 @@ class GroupBySpec extends AnyFunSuite {
     // mask composes: only 'a' rows with x >= 2 → n=2 per pair
     val cm = m(g.cov(col("x"), col("y"), mask = Some(col("x") >= 2.0)), "cov")
     assert(cm("a") === 1.0 && !cm.contains("c")) // fully-masked group drops
+
+    // exact=false (plain double sums, codegen-friendly production
+    // twin): same values on this well-conditioned fixture, same null
+    // semantics on the degenerate groups
+    val cf = m(g.corr(col("x"), col("y"), exact = false), "corr")
+    assert(cf("a") === 1.0 && cf("b") === -1.0 && cf("c") == null &&
+      cf("d") == null)
+    val cvf = m(g.cov(col("x"), col("y"), exact = false), "cov")
+    assert(math.abs(cvf("a").asInstanceOf[Double] - 2.0) < 1e-12)
   }
 
   test("prod: sign parity, zero latch, empty-group identity, null skip; sem = std/sqrt(n)") {

@@ -1478,6 +1478,57 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FineWeb-style curation recipe composes end to end: each stage only removes, survivors satisfy every filter") {
+    import graft.functions.TextFunctions
+    import graft.operators.{Dedup, Sampling}
+    // stage 0: corpus with per-doc page structure so the line filter
+    // has signal (the synthetic docs are single-line)
+    // terminate the doc's own distinct line so the C4 line filter
+    // keeps it (docs stay distinct through minhash) and the page's
+    // sentence count reaches minSentences=3
+    val corpus = docs.select(col("doc_id"),
+      concat_ws("\n", concat(col("text"), lit(".")),
+        lit("This is a good retained sentence with words."),
+        lit("Short.")).as("text"))
+    val n0 = corpus.count()
+    // stage 1: C4 line filter + page flags
+    val c4 = corpus
+      .select(col("doc_id"), TextFunctions.c4FilteredText(col("text")).as("text"),
+        TextFunctions.c4DocFlags(col("text")).as("f"))
+      .filter(col("f.pass")).drop("f")
+      .filter(col("text") =!= "")
+    val n1 = c4.count()
+    // stage 2: Gopher quality rules (thresholds loosened to the
+    // synthetic corpus's short docs — the recipe shape is the test)
+    val gop = c4.filter(TextFunctions.gopherQualityFlags(col("text"),
+      minWords = 5, minMeanWordLen = 2.0, minStops = 0).getField("pass"))
+    val n2 = gop.count()
+    // stage 3: near-dup removal (minhash keep verdicts)
+    val kept = gop.join(
+      Dedup.minHashKeep(gop, col("doc_id"), col("text"), ord = col("doc_id"))
+        .filter(col("kept")).select("doc_id"),
+      Seq("doc_id"))
+    val n3 = kept.count()
+    // stage 4: decontamination screen against a fake eval set
+    val eval = docs.filter(col("doc_id") % 31 === 0)
+    val contaminated = Dedup.contamination(kept, col("doc_id"), col("text"),
+      eval, col("text"), n = 5).select(col("doc_id"))
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val n4 = clean.count()
+    // stage 5: deterministic subsample
+    val sampled = Sampling.deterministicSample(clean, col("doc_id"), 0.5, seed = 3)
+    val n5 = sampled.count()
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3 && n3 >= n4 && n4 >= n5,
+      s"stages must only remove: $n0 -> $n1 -> $n2 -> $n3 -> $n4 -> $n5")
+    assert(n5 > 0, s"the recipe must keep something: $n0 -> $n1 -> $n2 -> $n3 -> $n4 -> $n5")
+    // survivors satisfy every stage's predicate
+    val survivors = sampled.select(col("doc_id"), col("text"))
+    assert(survivors.filter(!TextFunctions.gopherQualityFlags(col("text"),
+      minWords = 5, minMeanWordLen = 2.0, minStops = 0)
+      .getField("pass")).count() === 0)
+    assert(survivors.join(contaminated, Seq("doc_id")).count() === 0)
+  }
+
   // ------------------------------------ published curation rule sets
 
   test("gopherQualityFlags: hand-checked signals and per-rule verdicts") {
