@@ -118,6 +118,10 @@ object Bench {
         col("l_extendedprice"), exact = false)),
       "rolling_var" -> (() => evOps.rollingVar(col("value"), col("ts"), 50,
         minPeriods = Some(1))),
+      "ffill" -> (() => evOps.ffill(col("value"), col("ts"))),
+      // ewm is the one per-key SEQUENTIAL op (linear recurrence →
+      // sorted fold, not a window): this row prices that shape
+      "ewm_mean" -> (() => evOps.ewmMean(col("value"), col("ts"), 0.25)),
       "crosstab" -> (() => Reshape.crosstab(orders, Seq(col("o_orderstatus")),
         col("o_orderpriority"), margins = Margins.All, fillZero = true)),
       // LLM-pipeline extension ops — the surface where the real 100 TB

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, Dsir, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
+import graft.operators.{AggSpec, Dedup, Dsir, Ewm, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1810,8 +1810,74 @@ object SparkEntry {
         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
         |      OVER (PARTITION BY user_id ORDER BY ts) > 43200000000 THEN 1 ELSE 0 END AS flag
         |  FROM events)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    Q("fill_ffill_bfill",
+      // pandas GroupBy.ffill/bfill over the null-injected value:
+      // plain forward fill, backward fill, and a limit=2 forward fill
+      // (propagation distance bounded by row count since the last
+      // valid value) — all in one window stage each, no joins
+      (s, dir) => {
+        val d1 = new RollingOps(evGb(s, dir)).ffill(nullableValue, col("ts"))
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .bfill(nullableValue, col("ts"))
+        val d3 = new RollingOps(new GroupBy(d2, Seq(col("user_id"))))
+          .ffill(nullableValue, col("ts"), limit = Some(2), name = "ffill_lim")
+        evOut(d3, "ffill", "bfill", "ffill_lim")
+      },
+      Some(s"""WITH ev AS (
+        |  SELECT event_id, user_id, ts, $nullableValueSql AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        | f AS (
+        |  SELECT event_id, user_id, v, rn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf,
+        |    MAX(CASE WHEN v IS NOT NULL THEN rn END) OVER
+        |      (PARTITION BY user_id ORDER BY ts
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastv
+        |  FROM ev)
+        |SELECT event_id, user_id, ff AS ffill, bf AS bfill,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN rn - lastv <= 2 THEN ff END AS ffill_lim
+        |FROM f ORDER BY event_id""".stripMargin)),
+
+    Q("ewm_mean_adj",
+      // pandas ewm(alpha=0.25, adjust=true, ignore_na=false).mean()
+      // over the null-injected value — the weighted-history form; the
+      // oracle replays the identical seed / stepwise-decay / blend
+      // recurrence as a linear RECURSIVE CTE (the pack_sequences
+      // pattern), bit-exact (0.25 and 0.75 are dyadic)
+      (s, dir) => new RollingOps(evGb(s, dir))
+        .ewmMean(nullableValue, col("ts"), 0.25)
+        .select(col("event_id").as("rid"), col("ewm_mean"))
+        .orderBy(col("rid")),
+      Some("SELECT rid, ewm_mean FROM (" +
+        Ewm.meanSql(ewmSrcSql, 0.25, adjust = true, ignoreNa = false) +
+        ") ORDER BY rid")),
+
+    Q("ewm_mean_rec",
+      // the recursive form with relative-position weights:
+      // adjust=false, ignore_na=true (nulls neither decay nor emit)
+      (s, dir) => new RollingOps(evGb(s, dir))
+        .ewmMean(nullableValue, col("ts"), 0.25, adjust = false,
+          ignoreNa = true)
+        .select(col("event_id").as("rid"), col("ewm_mean"))
+        .orderBy(col("rid")),
+      Some("SELECT rid, ewm_mean FROM (" +
+        Ewm.meanSql(ewmSrcSql, 0.25, adjust = false, ignoreNa = true) +
+        ") ORDER BY rid"))
   )
+
+  /** (k, rid, o, v) source for the ewm oracle: events keyed by user,
+    * ordered by ts ((user_id, ts) unique), null-injected value.
+    */
+  private val ewmSrcSql =
+    s"SELECT user_id AS k, event_id AS rid, ts AS o, $nullableValueSql AS v FROM events"
 
   private def ordersOrd = Seq(col("o_orderdate"), col("o_orderkey"))
   private val ordersOrdSql = "o_orderdate, o_orderkey"

@@ -674,6 +674,63 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
       .drop("__ord")
   }
 
+  // ------------------------------------------------------------------ fill
+
+  /** Forward-fill nulls within each group — pandas `GroupBy.ffill`:
+    * each null row takes the most recent non-null value at or before
+    * it in `ord` order; rows before the first valid value stay null.
+    * `limit` bounds how far a value propagates (a null more than
+    * `limit` rows past the last valid row stays null — pandas limit
+    * semantics). ONE window pass (`last(ignoreNulls)` over the
+    * cumulative frame; `limit` adds a row-number distance check in
+    * the same window stage) — no joins, no second shuffle, and the
+    * hot-key story is the ordinary window-exchange one: rows hash by
+    * key, each key sorts once.
+    */
+  def ffill(value: Column, ord: Column, limit: Option[Int] = None,
+      name: String = "ffill"): DataFrame =
+    fill(value, ord, limit, name, forward = true)
+
+  /** Backward-fill — pandas `GroupBy.bfill`: the mirror of [[ffill]]
+    * (next non-null at or after the row; `limit` counts rows forward
+    * to that value).
+    */
+  def bfill(value: Column, ord: Column, limit: Option[Int] = None,
+      name: String = "bfill"): DataFrame =
+    fill(value, ord, limit, name, forward = false)
+
+  private def fill(value: Column, ord: Column, limit: Option[Int],
+      name: String, forward: Boolean): DataFrame = {
+    require(limit.forall(_ >= 1), s"limit must be >= 1, got $limit")
+    val ordered = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+    val w =
+      if (forward) ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled =
+      if (forward) F.last(value, ignoreNulls = true).over(w)
+      else F.first(value, ignoreNulls = true).over(w)
+    val out = limit match {
+      case None => filled
+      case Some(l) =>
+        val rn = row_number().over(ordered)
+        val validRn = when(value.isNotNull, rn)
+        val dist =
+          if (forward) rn - F.max(validRn).over(w)
+          else F.min(validRn).over(w) - rn
+        when(value.isNotNull, value).when(dist <= l, filled)
+    }
+    gb.dfWithKeys.withColumn(name, when(keysOk, out))
+  }
+
+  /** Exponentially weighted mean — pandas `ewm(alpha).mean()`, full
+    * `adjust` × `ignore_na` parity; see [[Ewm.mean]] (a linear
+    * recurrence, so the funnel-pattern sorted fold, not a window).
+    */
+  def ewmMean(value: Column, ord: Column, alpha: Double,
+      adjust: Boolean = true, ignoreNa: Boolean = false,
+      name: String = "ewm_mean"): DataFrame =
+    Ewm.mean(gb, value, ord, alpha, adjust, ignoreNa, name)
+
   // -------------------------------------------------------- sessionization
 
   /** Split each group into sub-groups wherever the gap between

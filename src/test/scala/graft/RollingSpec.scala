@@ -409,4 +409,104 @@ class RollingSpec extends AnyFunSuite {
       .cumsum(col("value"), col("ord"))
     assert(vals(out, "cumsum") === Seq(1.0, null))
   }
+
+  // -------------------------------------------------------------- fill
+
+  test("ffill/bfill: hand-checked fills, leading/trailing nulls stay null, groups isolated") {
+    val d = df((0, 0, None, true), (1, 0, Some(1.0), true), (2, 0, None, true),
+      (3, 0, None, true), (4, 0, Some(4.0), true), (5, 0, None, true),
+      (6, 1, Some(7.0), true), (7, 1, None, true))
+    assert(vals(ops(d).ffill(col("value"), col("ord")), "ffill") ===
+      Seq(null, 1.0, 1.0, 1.0, 4.0, 4.0, 7.0, 7.0))
+    assert(vals(ops(d).bfill(col("value"), col("ord")), "bfill") ===
+      Seq(1.0, 1.0, 4.0, 4.0, 4.0, null, 7.0, null))
+  }
+
+  test("ffill/bfill limit bounds propagation distance (pandas limit semantics)") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, None, true), (2, 0, None, true),
+      (3, 0, None, true), (4, 0, Some(5.0), true))
+    assert(vals(ops(d).ffill(col("value"), col("ord"), limit = Some(2)), "ffill") ===
+      Seq(1.0, 1.0, 1.0, null, 5.0))
+    assert(vals(ops(d).bfill(col("value"), col("ord"), limit = Some(1)), "bfill") ===
+      Seq(1.0, null, null, 5.0, 5.0))
+    assertThrows[IllegalArgumentException] {
+      ops(d).ffill(col("value"), col("ord"), limit = Some(0))
+    }
+  }
+
+  test("ffill: null-key rows emit null") {
+    val d = Seq((0, Some(1), Option.empty[Double]), (1, Some(1), Some(2.0)),
+      (2, None, Some(9.0)))
+      .toDF("ord", "key", "value")
+    val out = new RollingOps(new GroupBy(d, Seq(col("key"))))
+      .ffill(col("value"), col("ord"))
+    assert(vals(out, "ffill") === Seq(null, 2.0, null))
+  }
+
+  // --------------------------------------------------------------- ewm
+
+  /** pandas 2.2.2 `Series.ewm(alpha=0.25, ...).mean()` over
+    * [3, nan, 1, nan, nan, 5, 5, nan, 2] — all four adjust×ignore_na
+    * modes, values pinned to the exact doubles pandas emits (the
+    * stepwise decay reproduces pandas' pow-decay bit-for-bit here).
+    */
+  val ewmIn: Seq[Option[Double]] = Seq(Some(3.0), None, Some(1.0), None, None,
+    Some(5.0), Some(5.0), None, Some(2.0))
+
+  def ewmDf: DataFrame = df(ewmIn.zipWithIndex.map {
+    case (v, i) => (i, 0, v, true) }: _*)
+
+  def ewmCheck(adjust: Boolean, ignoreNa: Boolean, exp: Seq[Double]): Unit = {
+    val got = vals(ops(ewmDf).ewmMean(col("value"), col("ord"), 0.25,
+      adjust = adjust, ignoreNa = ignoreNa), "ewm_mean")
+    assert(got === exp, s"adjust=$adjust ignoreNa=$ignoreNa")
+  }
+
+  test("ewm mean adjust=true ignore_na=false matches pandas bit-for-bit") {
+    ewmCheck(adjust = true, ignoreNa = false, Seq(3.0, 3.0, 1.72, 1.72, 1.72,
+      3.6968805179517363, 4.277493745240944, 4.277493745240944,
+      3.2708517396963708))
+  }
+
+  test("ewm mean adjust=true ignore_na=true matches pandas bit-for-bit") {
+    ewmCheck(adjust = true, ignoreNa = true, Seq(3.0, 3.0, 1.8571428571428572,
+      1.8571428571428572, 1.8571428571428572, 3.2162162162162162,
+      3.8685714285714288, 3.8685714285714288, 3.2560819462227912))
+  }
+
+  test("ewm mean adjust=false ignore_na=false matches pandas bit-for-bit") {
+    ewmCheck(adjust = false, ignoreNa = false, Seq(3.0, 3.0, 2.3846153846153846,
+      2.3846153846153846, 2.3846153846153846, 3.3577817531305905,
+      3.768336314847943, 3.768336314847943, 3.224232833356268))
+  }
+
+  test("ewm mean adjust=false ignore_na=true matches pandas bit-for-bit") {
+    ewmCheck(adjust = false, ignoreNa = true, Seq(3.0, 3.0, 2.5, 2.5, 2.5,
+      3.125, 3.59375, 3.59375, 3.1953125))
+  }
+
+  test("ewm mean: leading nulls stay null until the seed; groups isolated; null keys null") {
+    val d = Seq((0, Some(0), Option.empty[Double]), (1, Some(0), Some(2.0)),
+      (2, Some(0), Some(4.0)), (3, Some(1), Some(9.0)), (4, None, Some(7.0)))
+      .toDF("ord", "key", "value")
+    val out = new RollingOps(new GroupBy(d, Seq(col("key"))))
+      .ewmMean(col("value"), col("ord"), 0.5)
+    // adjust=true: [null, 2, (0.5*2+4)/1.5=10/3] ; key 1 seeds at 9
+    assert(vals(out, "ewm_mean") === Seq(null, 2.0, 10.0 / 3.0, 9.0, null))
+  }
+
+  test("ewm mean: alpha=1 forgets instantly; invalid alpha and null ord raise") {
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(5.0), true))
+    assert(vals(ops(d).ewmMean(col("value"), col("ord"), 1.0), "ewm_mean") ===
+      Seq(1.0, 5.0))
+    assertThrows[IllegalArgumentException] {
+      ops(d).ewmMean(col("value"), col("ord"), 0.0)
+    }
+    val dn = Seq((Option.empty[Int], 0, 1.0)).toDF("ord", "key", "value")
+    val ex = intercept[Exception] {
+      new RollingOps(new GroupBy(dn, Seq(col("key"))))
+        .ewmMean(col("value"), col("ord"), 0.5).collect()
+    }
+    assert(ex.getMessage.contains("non-null ord"))
+  }
 }
