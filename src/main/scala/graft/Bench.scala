@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, GroupBy, Joins, Margins, Reshape, RollingOps, Sampling, SelectionOps, Similarity}
+import graft.operators.{Dedup, GroupBy, Joins, Margins, Pq, Reshape, RollingOps, Sampling, SelectionOps, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,14 @@ object Bench {
       "lsh_topk" -> (() => Similarity.lshTopK(embs,
         embs.filter(col("vec_id") < 100), col("vec_id"), col("embedding"),
         10, planes = 10, nProbe = 4)),
+      // PQ at production shape (8 subspaces x 16 codes): fit is
+      // 2 fused Lloyd passes, ADC is the coded full scan
+      "pq_adc_topk" -> (() => {
+        val model = Pq.fit(embs, col("vec_id"), col("embedding"),
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        Pq.adcTopK(embs, embs.filter(col("vec_id") < 100),
+          col("vec_id"), col("embedding"), 10, model)
+      }),
       "join_asof" -> (() => Joins.asof(
         ev.filter(col("event_type") =!= "purchase")
           .select(col("user_id"), col("ts"), col("event_id")),

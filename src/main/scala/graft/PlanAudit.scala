@@ -35,6 +35,11 @@ object PlanAudit {
     *    SortMergeJoin — set on the decontamination screen, whose point
     *    is that the training-corpus scan is probed map-side and never
     *    shuffled for the join.
+    *  - `broadcastScan`: the plan's one join is a deliberate all-pairs
+    *    scan against a BROADCAST side (BroadcastNestedLoopJoin, never
+    *    SortMergeJoin/CartesianProduct) — the ADC shape: every corpus
+    *    row meets every query, queries are the small side, the corpus
+    *    never shuffles.
     */
   final case class Audited(
       name: String,
@@ -45,7 +50,8 @@ object PlanAudit {
       noShuffle: Boolean = false,
       broadcastProbe: Boolean = false,
       windowGroupLimit: Boolean = false,
-      takeOrdered: Boolean = false)
+      takeOrdered: Boolean = false,
+      broadcastScan: Boolean = false)
 
   def plans(spark: SparkSession, dir: String): Seq[Audited] = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -299,7 +305,29 @@ object PlanAudit {
           Dedup.hammingPairs(hashed.where(col("valid")), col("id"),
             col("dhash"), maxDistance = 6)
         },
-        noSinglePartition = true, equiJoinOnly = true)
+        noSinglePartition = true, equiJoinOnly = true),
+      Audited("PCA projection (centered dots against literal components — pure projection)",
+        {
+          val m = graft.operators.Pca.fit(embs, col("embedding"), k = 2,
+            iters = 2, dim = Some(64))
+          graft.operators.Pca.project(embs, col("embedding"), m)
+        },
+        noSinglePartition = true, noShuffle = true),
+      Audited("PQ encode (argmin against literal codebooks — pure projection)",
+        {
+          val m = graft.operators.Pq.fit(embs, col("vec_id"),
+            col("embedding"), dim = 64, m = 4, ksub = 4, iters = 1)
+          graft.operators.Pq.encode(embs, col("embedding"), m)
+        },
+        noSinglePartition = true, noShuffle = true),
+      Audited("PQ ADC top-k (coded corpus scan, queries BROADCAST — corpus never shuffles for the join)",
+        {
+          val m = graft.operators.Pq.fit(embs, col("vec_id"),
+            col("embedding"), dim = 64, m = 4, ksub = 4, iters = 1)
+          graft.operators.Pq.adcTopK(embs, embs.filter(col("vec_id") < 3),
+            col("vec_id"), col("embedding"), k = 5, m)
+        },
+        noSinglePartition = true, broadcastScan = true)
     )
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, Dsir, Ewm, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
+import graft.operators.{AggSpec, Dedup, Dsir, Ewm, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Pq, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -621,8 +621,135 @@ object SparkEntry {
             .select(col("vec_id").as("rid"), col("pc0"), col("pc1"))
             .orderBy(col("rid"))
         },
-        Some(Pca.projectSql(pcaCorpusSql, pcaDim, pcaK, pcaIters)))
+        Some(Pca.projectSql(pcaCorpusSql, pcaDim, pcaK, pcaIters))),
+
+      Q("pq_encode",
+        // product quantization: 2 subspaces × 4 codes, 2 L2 Lloyd
+        // rounds (portable seed hash, decimal-exact distances and
+        // means), every row's codes — the oracle unrolls both
+        // subspaces' full training and replays the assignment
+        (s, dir) => {
+          val embs = T(s, dir, "embeddings")
+          val model = Pq.fit(embs, col("vec_id"), col("embedding"),
+            dim = pqDim, m = pqM, ksub = pqKsub, iters = pqIters,
+            seedHash = graft.functions.PortableHash.intHash(_))
+          Pq.encode(embs.select(col("vec_id").as("rid"), col("embedding")),
+              col("embedding"), model)
+            .select(col("rid"), col("code0"), col("code1"))
+            .orderBy(col("rid"))
+        },
+        Some(pqEncodeSql(pqM, pqKsub, pqIters, pqDim))),
+
+      Q("pq_adc_topk",
+        // the same fit + encode, then asymmetric-distance top-5 for 5
+        // query vectors: Σ per-subspace ‖q_sub − codebook[code]‖²
+        // (exact query, coded corpus), rank by (distance, nid)
+        (s, dir) => {
+          val embs = T(s, dir, "embeddings")
+          val model = Pq.fit(embs, col("vec_id"), col("embedding"),
+            dim = pqDim, m = pqM, ksub = pqKsub, iters = pqIters,
+            seedHash = graft.functions.PortableHash.intHash(_))
+          Pq.adcTopK(embs, embs.filter(col("vec_id") < 5),
+              col("vec_id"), col("embedding"), k = 5, model)
+            .withColumn("rank", col("rank").cast("long"))
+            .orderBy(col("qid"), col("rank"))
+        },
+        Some(pqAdcSql(pqM, pqKsub, pqIters, pqDim, k = 5)))
     )
+  }
+
+  private val (pqM, pqKsub, pqIters, pqDim) = (2, 4, 2, 64)
+
+  /** Decimal-exact squared-L2 between subspace `j` of embedding
+    * expression `e` (1-based full-vector indexing) and a centroid
+    * list `c` (1-based sub-indexing) — the SQL twin of Pq.l2sq:
+    * scale-8 terms, exact sum, back to double.
+    */
+  private def pqL2Sql(e: String, c: String, j: Int, dsub: Int): String = {
+    val off = j * dsub
+    s"CAST(list_sum(list_transform(generate_series(1, $dsub), " +
+      s"ii -> CAST((CAST($e[ii + $off] AS DOUBLE) - $c[ii]) * " +
+      s"(CAST($e[ii + $off] AS DOUBLE) - $c[ii]) AS DECIMAL(38,8)))) AS DOUBLE)"
+  }
+
+  /** Shared CTE prefix of the PQ oracles: seeds by the portable hash,
+    * `iters` unrolled Lloyd rounds PER SUBSPACE (argmin assignment →
+    * decimal-exact sub-centroid means, empty codes keeping the
+    * previous centroid), and the final per-vector assignment
+    * `f{j}(vec_id, code)` — exactly [[graft.operators.Pq.fit]] +
+    * `encode`.
+    */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    import graft.functions.PortableHash
+    val dsub = dim / m
+    def assign(name: String, prev: String, j: Int): String =
+      s"""$name AS (SELECT d.vec_id,
+         |  (MIN(struct_pack(d := ${pqL2Sql("d.embedding", "p.cv", j, dsub)},
+         |    c := p.code))).c AS code
+         |  FROM e d CROSS JOIN $prev p GROUP BY d.vec_id)""".stripMargin
+    val subCtes = (0 until m).map { j =>
+      val off = j * dsub
+      val seed =
+        s"""c${j}_0 AS (SELECT rn - 1 AS code,
+           |  list_transform(generate_series(1, $dsub),
+           |    ii -> CAST(embedding[ii + $off] AS DOUBLE)) AS cv
+           |  FROM sd WHERE rn <= $ksub)""".stripMargin
+      val rounds = (1 to iters).map { it =>
+        s"""${assign(s"a${j}_$it", s"c${j}_${it - 1}", j)},
+           |n${j}_$it AS (SELECT a.code, t.ii AS pos,
+           |  CAST(SUM(CAST(CAST(eb.embedding[t.ii + $off] AS DOUBLE)
+           |    AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*) AS mn
+           |  FROM a${j}_$it a JOIN e eb USING (vec_id)
+           |  CROSS JOIN generate_series(1, $dsub) AS t(ii)
+           |  GROUP BY a.code, t.ii),
+           |g${j}_$it AS (SELECT code, list(mn ORDER BY pos) AS cv
+           |  FROM n${j}_$it GROUP BY code),
+           |c${j}_$it AS (SELECT p.code, COALESCE(g.cv, p.cv) AS cv
+           |  FROM c${j}_${it - 1} p LEFT JOIN g${j}_$it g USING (code))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"$seed,\n$rounds,\n${assign(s"f$j", s"c${j}_$iters", j)}"
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |sd AS (SELECT embedding, ROW_NUMBER() OVER (
+       |    ORDER BY ${PortableHash.intHashSql("vec_id")}, vec_id) AS rn FROM e),
+       |$subCtes""".stripMargin
+  }
+
+  /** DuckDB replay of Pq.fit + encode: `(rid, code0..code{m-1})`. */
+  private def pqEncodeSql(m: Int, ksub: Int, iters: Int, dim: Int): String = {
+    val joins = (0 until m).map(j => s"JOIN f$j USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(j => s"CAST(f$j.code AS INT) AS code$j")
+      .mkString(", ")
+    s"""WITH ${pqCtes(m, ksub, iters, dim)}
+       |SELECT e.vec_id AS rid, $codes
+       |FROM e $joins ORDER BY rid""".stripMargin
+  }
+
+  /** DuckDB replay of Pq.adcTopK: the fit + encode CTEs, each code
+    * joined back to its final sub-centroid, the asymmetric distance
+    * as an exact decimal sum of the per-subspace decimal distances,
+    * rank by (adist, nid) per query.
+    */
+  private def pqAdcSql(m: Int, ksub: Int, iters: Int, dim: Int,
+      k: Int): String = {
+    val dsub = dim / m
+    val joins = (0 until m).map(j =>
+      s"JOIN f$j USING (vec_id) JOIN c${j}_$iters b$j ON f$j.code = b$j.code")
+      .mkString(" ")
+    val adist = (0 until m).map(j =>
+      s"CAST(${pqL2Sql("q.qv", s"b$j.cv", j, dsub)} AS DECIMAL(38,8))")
+      .mkString(" + ")
+    s"""WITH ${pqCtes(m, ksub, iters, dim)},
+       |qe AS (SELECT vec_id AS qid, embedding AS qv FROM e WHERE vec_id < 5),
+       |cand AS (SELECT q.qid, d.vec_id AS nid,
+       |  CAST($adist AS DOUBLE) AS adist
+       |  FROM e d $joins CROSS JOIN qe q WHERE q.qid <> d.vec_id),
+       |rk AS (SELECT qid, nid, adist,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank
+       |  FROM cand)
+       |SELECT qid, nid, adist, rank FROM rk WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
   }
 
   /** Round-10 curation wave: DSIR importance weighting, domain-graph

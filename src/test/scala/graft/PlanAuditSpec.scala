@@ -67,6 +67,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast-scan plans stream the corpus against a broadcast side (ADC shape)") {
+    val flagged = audited.filter(_._1.broadcastScan)
+    assert(flagged.nonEmpty)
+    for ((a, plan) <- flagged) {
+      assert(plan.contains("BroadcastNestedLoopJoin"), s"${a.name}:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"${a.name}:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"${a.name}:\n$plan")
+    }
+  }
+
   test("bucketed candidate generators plan equijoins, not cartesian/nested-loop") {
     val flagged = audited.filter(_._1.equiJoinOnly)
     assert(flagged.nonEmpty)

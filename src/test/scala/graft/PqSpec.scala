@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.Pq
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for product quantization: codebook convergence on
+  * separable sub-clusters, encode verdicts for degenerate rows, ADC
+  * agreement with exact L2 on a lossless fixture, tie rules, empty-
+  * code carry, and the guard rails.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** dim=4, m=2: subspace 0 clusters at (0,0)/(8,8); subspace 1 at
+    * (4,4)/(-4,-4), deliberately crossed so sub-codes are independent.
+    */
+  def corpus: DataFrame = Seq(
+    (0L, Array(0f, 0f, 4f, 4f)),
+    (1L, Array(0.2f, 0f, 4f, 4.2f)),
+    (2L, Array(8f, 8f, -4f, -4f)),
+    (3L, Array(8f, 8.2f, -4.2f, -4f)),
+    (4L, Array(0f, 0.2f, -4f, -4.2f)),
+    (5L, Array(8.2f, 8f, 4.2f, 4f))
+  ).toDF("vec_id", "embedding")
+
+  def fitModel(ksub: Int = 2, iters: Int = 3): Pq.PqModel =
+    Pq.fit(corpus, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = ksub, iters = iters)
+
+  test("fit converges to the sub-cluster means; encode assigns the expected codes") {
+    val m = fitModel()
+    assert(m.m === 2 && m.dsub === 2 && m.ksub === 2)
+    // each subspace's codebook must hold both cluster means (order is
+    // seed-dependent): one centroid near 0, one near 8 (sub 0);
+    // one near 4, one near -4 (sub 1)
+    def sortedMeans(j: Int): Seq[Double] =
+      m.codebooks(j).map(_._2.sum / 2.0).sorted
+    assert(sortedMeans(0).zip(Seq(0.1, 8.1)).forall {
+      case (g, e) => math.abs(g - e) < 0.2 })
+    assert(sortedMeans(1).zip(Seq(-4.1, 4.05)).forall {
+      case (g, e) => math.abs(g - e) < 0.2 })
+    val codes = Pq.encode(corpus, col("embedding"), m)
+      .orderBy("vec_id").select("code0", "code1")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // rows in the same sub-cluster share a sub-code; crossed clusters
+    // get crossed code pairs
+    assert(codes(0)._1 === codes(1)._1 && codes(0)._1 === codes(4)._1)
+    assert(codes(2)._1 === codes(3)._1 && codes(2)._1 === codes(5)._1)
+    assert(codes(0)._1 !== codes(2)._1)
+    assert(codes(0)._2 === codes(1)._2 && codes(0)._2 === codes(5)._2)
+    assert(codes(2)._2 === codes(3)._2 && codes(2)._2 === codes(4)._2)
+    assert(codes(0)._2 !== codes(2)._2)
+  }
+
+  test("encode: null or dimension-mismatched vectors get null codes") {
+    val m = fitModel()
+    val bad = Seq((10L, Some(Array(1f, 2f, 3f))), (11L, None),
+      (12L, Some(Array(0f, 0f, 4f, 4f))))
+      .toDF("vec_id", "embedding")
+    val got = Pq.encode(bad, col("embedding"), m).orderBy("vec_id")
+      .select("code0", "code1").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.get(0),
+        if (r.isNullAt(1)) null else r.get(1))).toSeq
+    assert(got(0) === ((null, null)) && got(1) === ((null, null)))
+    assert(got(2)._1 != null && got(2)._2 != null)
+  }
+
+  test("adcTopK equals exact L2 ranking when vectors sit on their centroids (lossless fixture)") {
+    // two copies of each distinct point → centroids land exactly on
+    // the points → ADC distance IS the exact distance
+    val pts = Seq(
+      Array(0f, 0f, 4f, 4f), Array(8f, 8f, -4f, -4f),
+      Array(0f, 0f, -4f, -4f), Array(8f, 8f, 4f, 4f))
+    val c = pts.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i.toLong, p), (i + 100L, p)) }.toDF("vec_id", "embedding")
+    val model = Pq.fit(c, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 4, iters = 3)
+    val got = Pq.adcTopK(c, c.filter(col("vec_id") === 0L),
+        col("vec_id"), col("embedding"), k = 7, model)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val exp = pts.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i.toLong, l2(p, pts(0))), (i + 100L, l2(p, pts(0)))) }
+      .filter(_._1 != 0L).sortBy(t => (t._2, t._1))
+    assert(got === exp)
+  }
+
+  test("ADC distance ties rank by ascending nid; degenerate corpus rows are dropped") {
+    val pts = Seq((0L, Array(0f, 0f, 0f, 0f)), (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)), (3L, null.asInstanceOf[Array[Float]]))
+    val c = pts.toDF("vec_id", "embedding")
+    val model = Pq.fit(c, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 2, iters = 2)
+    val got = Pq.adcTopK(c, c.filter(col("vec_id") === 0L),
+        col("vec_id"), col("embedding"), k = 5, model)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    // rows 1 and 2 are identical (tie → smaller nid first); row 3 is
+    // null and must not appear
+    assert(got === Seq(1L, 2L))
+  }
+
+  test("an empty code keeps its previous centroid (no vanishing codebook entries)") {
+    // both seeds (first two rows by xxhash64 order) can coincide;
+    // force it: two identical vectors plus one far point, ksub=2 —
+    // whichever identical pair seeds, ties assign to the SMALLER
+    // code, so if both seeds are the duplicate the other code goes
+    // empty and must survive with its seed centroid
+    val c = Seq((0L, Array(1f, 1f, 1f, 1f)), (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val model = Pq.fit(c, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 2, iters = 2)
+    // all rows identical → every assignment ties to code 0; code 1
+    // keeps the seed vector's sub-slices
+    assert(model.codebooks.forall(_.size === 2))
+    assert(model.codebooks(0).map(_._2).forall(_ === Seq(1.0, 1.0)))
+  }
+
+  test("guards: dim not divisible, cell bound, empty corpus, bad k") {
+    assertThrows[IllegalArgumentException] {
+      Pq.fit(corpus, col("vec_id"), col("embedding"), dim = 4, m = 3)
+    }
+    assertThrows[IllegalArgumentException] {
+      Pq.fit(corpus, col("vec_id"), col("embedding"), dim = 4, m = 2,
+        ksub = 40000)
+    }
+    assertThrows[IllegalArgumentException] {
+      Pq.fit(corpus.filter(col("vec_id") < 1), col("vec_id"),
+        col("embedding"), dim = 4, m = 2, ksub = 2)
+    }
+    assertThrows[IllegalArgumentException] {
+      Pq.adcTopK(corpus, corpus, col("vec_id"), col("embedding"),
+        k = 0, fitModel())
+    }
+  }
+}
