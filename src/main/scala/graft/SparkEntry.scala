@@ -632,9 +632,9 @@ object SparkEntry {
           val embs = T(s, dir, "embeddings")
           val model = Pq.fit(embs, col("vec_id"), col("embedding"),
             dim = pqDim, m = pqM, ksub = pqKsub, iters = pqIters,
-            seedHash = graft.functions.PortableHash.intHash(_))
+            exact = true, seedHash = graft.functions.PortableHash.intHash(_))
           Pq.encode(embs.select(col("vec_id").as("rid"), col("embedding")),
-              col("embedding"), model)
+              col("embedding"), model, exact = true)
             .select(col("rid"), col("code0"), col("code1"))
             .orderBy(col("rid"))
         },
@@ -648,9 +648,9 @@ object SparkEntry {
           val embs = T(s, dir, "embeddings")
           val model = Pq.fit(embs, col("vec_id"), col("embedding"),
             dim = pqDim, m = pqM, ksub = pqKsub, iters = pqIters,
-            seedHash = graft.functions.PortableHash.intHash(_))
+            exact = true, seedHash = graft.functions.PortableHash.intHash(_))
           Pq.adcTopK(embs, embs.filter(col("vec_id") < 5),
-              col("vec_id"), col("embedding"), k = 5, model)
+              col("vec_id"), col("embedding"), k = 5, model, exact = true)
             .withColumn("rank", col("rank").cast("long"))
             .orderBy(col("qid"), col("rank"))
         },
@@ -1939,6 +1939,40 @@ object SparkEntry {
         |  FROM events)
         |ORDER BY event_id""".stripMargin)),
 
+    Q("roll_range",
+      // pandas offset windows (rolling("6h")): RANGE frames over the
+      // micros axis — exact-decimal sum, mean, and a masked sum over
+      // the filtered sub-stream, all (t−6h, t] closed='right'
+      (s, dir) => {
+        val span = 21600000000L
+        val d1 = new RollingOps(new GroupBy(eventsUs(s, dir),
+            Seq(col("user_id"))))
+          .rollingSumRange(col("value"), col("ts_us"), span, exact = true)
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .rollingMeanRange(col("value"), col("ts_us"), span, exact = true)
+        val d3 = new RollingOps(new GroupBy(d2, Seq(col("user_id"))))
+          .rollingSumRange(col("value"), col("ts_us"), span,
+            mask = Some(col("event_type") =!= "click"), exact = true,
+            name = "rolling_sum_m")
+        evOut(d3, "rolling_sum", "rolling_mean", "rolling_sum_m")
+      },
+      Some("""WITH ev AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
+        |SELECT event_id, user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS rolling_sum,
+        | CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |   / COUNT(value) OVER w AS rolling_mean,
+        | m.rolling_sum_m
+        |FROM ev LEFT JOIN (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER wm AS DOUBLE) AS rolling_sum_m
+        |  FROM ev WHERE event_type <> 'click'
+        |  WINDOW wm AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+        |) m USING (user_id, ts_us)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)),
+
     Q("fill_ffill_bfill",
       // pandas GroupBy.ffill/bfill over the null-injected value:
       // plain forward fill, backward fill, and a limit=2 forward fill
@@ -1997,6 +2031,19 @@ object SparkEntry {
         .orderBy(col("rid")),
       Some("SELECT rid, ewm_mean FROM (" +
         Ewm.meanSql(ewmSrcSql, 0.25, adjust = false, ignoreNa = true) +
+        ") ORDER BY rid")),
+
+    Q("ewm_var",
+      // pandas ewm(alpha).var(): the full six-field ewmcov state
+      // machine (decayed weight sums, blended mean, biased moment,
+      // final debias ratio) replayed as the same recursive CTE shape —
+      // bit-exact, unrounded
+      (s, dir) => new RollingOps(evGb(s, dir))
+        .ewmVar(nullableValue, col("ts"), 0.25)
+        .select(col("event_id").as("rid"), col("ewm_var"))
+        .orderBy(col("rid")),
+      Some("SELECT rid, ewm_var FROM (" +
+        Ewm.varianceSql(ewmSrcSql, 0.25, adjust = true, ignoreNa = false) +
         ") ORDER BY rid"))
   )
 

@@ -103,6 +103,179 @@ object Ewm {
       .drop("__ord")
   }
 
+  /** Exponentially weighted variance — pandas `ewm(alpha).var()`
+    * (`aggregations.pyx::ewmcov` with x = y), same `adjust` ×
+    * `ignore_na` parity and fold shape as [[mean]]. State per key is
+    * `(mean, cov, Σw, Σw², w_old, nobs)`; per non-null row the three
+    * weight sums decay stepwise, the mean blends (skipping the no-op
+    * blend like pandas), and the biased second moment updates as
+    *   cov' = (w·(cov + (m_old − m)²) + nw·(x − m)²) / (w + nw).
+    * Each row emits the debiased value `Σw² / (Σw² − Σw²ᵢ) · cov`
+    * (`bias = true` emits cov itself), null while fewer than
+    * `max(minPeriods, 1)` values have arrived or when the debias
+    * denominator is ≤ 0 (a single value has no spread). Same scale
+    * contract as [[mean]]: one groupBy shuffle, sorted fold,
+    * join-back; bit-exact replay via [[varianceSql]].
+    */
+  def variance(gb: GroupBy, value: Column, ord: Column, alpha: Double,
+      adjust: Boolean = true, ignoreNa: Boolean = false,
+      bias: Boolean = false, minPeriods: Int = 0,
+      name: String = "ewm_var"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
+    val f = 1.0 - alpha
+    val nw = if (adjust) 1.0 else alpha
+    val minp = math.max(minPeriods, 1)
+    val keyC = gb.keyNames.map(col)
+    val checkedOrd = when(ord.isNull, raise_error(lit(
+      "graft: ewm requires a non-null ord on every grouped row")))
+      .otherwise(ord)
+    val sub = gb.base
+      .select(keyC :+ checkedOrd.as("__ord") :+
+        value.cast(DoubleType).as("__v"): _*)
+    val init = struct(lit(null).cast(DoubleType).as("m"),
+      lit(0.0).as("cv"), lit(1.0).as("swt"), lit(1.0).as("swt2"),
+      lit(1.0).as("owt"), lit(0L).as("nobs"),
+      lit(Array.empty[Double]).cast(ArrayType(DoubleType)).as("outs"))
+    def outsOf(rows: Column): Column = F.aggregate(rows, init, (acc, e) => {
+      val m = acc.getField("m"); val cv = acc.getField("cv")
+      val swt = acc.getField("swt"); val swt2 = acc.getField("swt2")
+      val owt = acc.getField("owt"); val nobs = acc.getField("nobs")
+      val cur = e.getField("__v")
+      val isObs = cur.isNotNull
+      val decay = isObs || lit(!ignoreNa)
+      val swt1 = when(decay, swt * lit(f)).otherwise(swt)
+      val swt21 = when(decay, swt2 * (lit(f) * lit(f))).otherwise(swt2)
+      val owt1 = when(decay, owt * lit(f)).otherwise(owt)
+      val mNew = when(cur === m, m)
+        .otherwise((owt1 * m + lit(nw) * cur) / (owt1 + lit(nw)))
+      val dm = m - mNew
+      val dx = cur - mNew
+      val cvNew = (owt1 * (cv + dm * dm) + lit(nw) * (dx * dx)) /
+        (owt1 + lit(nw))
+      // post-observation weight sums (adjust keeps them growing;
+      // the recursive form renormalizes by the new old_wt)
+      val swtO = swt1 + lit(nw); val swt2O = swt21 + lit(nw) * lit(nw)
+      val owtO = owt1 + lit(nw)
+      val stepped =
+        if (adjust) struct(mNew.as("m"), cvNew.as("cv"), swtO.as("swt"),
+          swt2O.as("swt2"), owtO.as("owt"))
+        else struct(mNew.as("m"), cvNew.as("cv"), (swtO / owtO).as("swt"),
+          (swt2O / (owtO * owtO)).as("swt2"), lit(1.0).as("owt"))
+      val carried = struct(m.as("m"), cv.as("cv"), swt1.as("swt"),
+        swt21.as("swt2"), owt1.as("owt"))
+      val fresh = struct(cur.as("m"), lit(0.0).as("cv"), swt.as("swt"),
+        swt2.as("swt2"), owt.as("owt"))
+      val next = when(m.isNull, when(isObs, fresh).otherwise(
+          struct(m.as("m"), cv.as("cv"), swt.as("swt"), swt2.as("swt2"),
+            owt.as("owt"))))
+        .otherwise(when(isObs, stepped).otherwise(carried))
+      val nobsNew = nobs + when(isObs, lit(1L)).otherwise(lit(0L))
+      val nswt = next.getField("swt"); val nswt2 = next.getField("swt2")
+      val out0 =
+        if (bias) next.getField("cv")
+        else {
+          val num = nswt * nswt
+          val den = num - nswt2
+          when(den > 0.0, num / den * next.getField("cv"))
+        }
+      val out = when(nobsNew >= minp && next.getField("m").isNotNull, out0)
+      struct(next.getField("m").as("m"), next.getField("cv").as("cv"),
+        nswt.as("swt"), nswt2.as("swt2"), next.getField("owt").as("owt"),
+        nobsNew.as("nobs"),
+        concat(acc.getField("outs"), array(out)).as("outs"))
+    }).getField("outs")
+    val perKey = sub.groupBy(keyC: _*)
+      .agg(sort_array(F.collect_list(struct(col("__ord"), col("__v"))))
+        .as("__rows"))
+      .select(keyC :+ explode(zip_with(col("__rows"), outsOf(col("__rows")),
+        (r, o) => struct(r.getField("__ord").as("__ord"), o.as(name)))).as("__e"): _*)
+      .select(keyC :+ col("__e.__ord").as("__ord") :+ col(s"__e.$name"): _*)
+    gb.dfWithKeys
+      .withColumn("__ord", ord)
+      .join(perKey, gb.keyNames :+ "__ord", "left")
+      .drop("__ord")
+  }
+
+  /** `sqrt` of [[variance]] — pandas `ewm(alpha).std()`. */
+  def std(gb: GroupBy, value: Column, ord: Column, alpha: Double,
+      adjust: Boolean = true, ignoreNa: Boolean = false,
+      bias: Boolean = false, minPeriods: Int = 0,
+      name: String = "ewm_std"): DataFrame = {
+    val v = variance(gb, value, ord, alpha, adjust, ignoreNa, bias,
+      minPeriods, name)
+    v.withColumn(name, sqrt(col(name)))
+  }
+
+  /** DuckDB replay of [[variance]]: the same recursive-CTE shape as
+    * [[meanSql]] but stepping the full `(m, cv, Σw, Σw², w_old, nobs)`
+    * state, with the decayed weights and blended mean staged in
+    * nested subqueries so every intermediate is computed once — the
+    * identical IEEE operation sequence, hence bit-exact for dyadic
+    * alphas. The debiasing ratio is applied in the final projection
+    * (it is a pure function of the state).
+    */
+  def varianceSql(srcSql: String, alpha: Double, adjust: Boolean,
+      ignoreNa: Boolean, bias: Boolean = false, minPeriods: Int = 0,
+      out: String = "ewm_var"): String = {
+    val f = s"CAST(${1.0 - alpha} AS DOUBLE)"
+    val f2 = s"CAST(${(1.0 - alpha) * (1.0 - alpha)} AS DOUBLE)"
+    val nwD = if (adjust) 1.0 else alpha
+    val nw = s"CAST($nwD AS DOUBLE)"
+    val nw2 = s"CAST(${nwD * nwD} AS DOUBLE)"
+    val minp = math.max(minPeriods, 1)
+    def dec(base: String, factor: String): String =
+      if (ignoreNa) s"CASE WHEN v IS NOT NULL THEN $base * $factor ELSE $base END"
+      else s"$base * $factor"
+    // post-observation weight sums under each adjust rule
+    val (swtO, swt2O, owtO) =
+      if (adjust) (s"(swt1 + $nw)", s"(swt21 + $nw2)", s"(owt1 + $nw)")
+      else (s"((swt1 + $nw) / (owt1 + $nw))",
+        s"((swt21 + $nw2) / ((owt1 + $nw) * (owt1 + $nw)))", "1.0")
+    val debias =
+      if (bias) "cv"
+      else "CASE WHEN swt * swt - swt2 > 0 THEN " +
+        s"swt * swt / (swt * swt - swt2) * cv END"
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT k, rid, CAST(v AS DOUBLE) AS v,
+       |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn
+       |  FROM ($srcSql)),
+       | st AS (
+       |  SELECT k, rid, rn, v AS m, CAST(0.0 AS DOUBLE) AS cv,
+       |    CAST(1.0 AS DOUBLE) AS swt, CAST(1.0 AS DOUBLE) AS swt2,
+       |    CAST(1.0 AS DOUBLE) AS owt,
+       |    CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS nobs
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT k, rid, rn,
+       |    CASE WHEN m0 IS NULL THEN v
+       |         WHEN v IS NULL THEN m0 ELSE mn END,
+       |    CASE WHEN m0 IS NULL THEN (CASE WHEN v IS NOT NULL THEN 0.0 ELSE cv0 END)
+       |         WHEN v IS NULL THEN cv0
+       |         ELSE (owt1 * (cv0 + (m0 - mn) * (m0 - mn))
+       |               + $nw * ((v - mn) * (v - mn))) / (owt1 + $nw) END,
+       |    CASE WHEN m0 IS NULL THEN swt0
+       |         WHEN v IS NULL THEN swt1 ELSE $swtO END,
+       |    CASE WHEN m0 IS NULL THEN swt20
+       |         WHEN v IS NULL THEN swt21 ELSE $swt2O END,
+       |    CASE WHEN m0 IS NULL THEN owt0
+       |         WHEN v IS NULL THEN owt1 ELSE $owtO END,
+       |    nobs + CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END
+       |  FROM (
+       |    SELECT *, CASE WHEN v = m0 THEN m0
+       |      ELSE (owt1 * m0 + $nw * v) / (owt1 + $nw) END AS mn
+       |    FROM (
+       |      SELECT e.k, e.rid, e.rn, e.v, s.m AS m0, s.cv AS cv0,
+       |        s.swt AS swt0, s.swt2 AS swt20, s.owt AS owt0, s.nobs,
+       |        ${dec("s.swt", f)} AS swt1,
+       |        ${dec("s.swt2", f2)} AS swt21,
+       |        ${dec("s.owt", f)} AS owt1
+       |      FROM st s JOIN ev e ON e.k = s.k AND e.rn = s.rn + 1)))
+       |SELECT rid, CASE WHEN nobs >= $minp AND m IS NOT NULL
+       |  THEN $debias END AS $out
+       |FROM st""".stripMargin
+  }
+
   /** DuckDB replay of [[mean]] as a linear RECURSIVE CTE stepping
     * `rn → rn+1` per key (the pack_sequences pattern): the identical
     * seed / stepwise-decay / blend arithmetic, so results are

@@ -31,11 +31,16 @@ import graft.functions.Num
   * queries broadcast — the corpus never shuffles anywhere.
   *
   * Determinism: seeds are the first `ksub` rows by the portable
-  * integer hash (ties → id), every distance is an order-free decimal
-  * sum of scale-8-rounded IEEE terms, means are decimal-exact, and
-  * empty codes keep their previous centroid — so fit, codes, and ADC
-  * ranks replay bit-identically in any engine (gate: pq_encode /
-  * pq_adc_topk unroll the whole fit in DuckDB CTEs).
+  * integer hash (ties → id), means are decimal-exact, and empty codes
+  * keep their previous centroid. Distances come in two forms (the
+  * Similarity `exact` convention): the production default is the
+  * native fused double loop ([[org.apache.spark.sql.graft.NearestSubCode]]
+  * / [[org.apache.spark.sql.graft.PqAdcDistance]] — row-local
+  * sequential sums, deterministic across partitionings, O(1) codegen
+  * in ksub); `exact = true` swaps in order-free decimal sums of
+  * scale-8-rounded terms so fit, codes, and ADC ranks replay
+  * bit-identically in any engine (gate: pq_encode / pq_adc_topk
+  * unroll the whole fit in DuckDB CTEs on that path).
   */
 object Pq {
 
@@ -80,15 +85,30 @@ object Pq {
     * dimension-mismatched vectors, NaN components) are dropped first,
     * so degenerate rows yield a null code rather than an arbitrary
     * winner — the [[Similarity.assignCentroid]] verdict rule.
+    *
+    * The production (`exact = false`) path runs the native
+    * [[org.apache.spark.sql.graft.NearestSubCode]] expression — one
+    * fused double loop over the subspace slice, O(1) generated code
+    * in ksub (the NearestCentroid lesson: the declarative ksub-way
+    * struct-min re-walks the slice through decimal casts and falls
+    * out of codegen; measured 34 s on the PQ bench row before this
+    * twin). The decimal-exact declarative path backs the oracle
+    * replay. Both take the FULL vector: a wrong-length vector yields
+    * null on either path.
     */
-  private def nearestCode(sv: Column, codebook: Seq[(Int, Seq[Double])]): Column = {
-    val scored = array(codebook.map { case (code, cv) =>
-      F.named_struct(lit("d"), l2sq(sv, cv), lit("c"), lit(code))
-    }: _*)
-    val scorable = F.filter(scored,
-      s => s.getField("d").isNotNull && !F.isnan(s.getField("d")))
-    when(F.size(scorable) > 0, array_min(scorable).getField("c"))
-  }
+  private def nearestCode(v: Column, j: Int, dim: Int, dsub: Int,
+      codebook: Seq[(Int, Seq[Double])], exact: Boolean): Column =
+    if (exact) {
+      val sv = subVec(v, j, dsub)
+      val scored = array(codebook.map { case (code, cv) =>
+        F.named_struct(lit("d"), l2sq(sv, cv), lit("c"), lit(code))
+      }: _*)
+      val scorable = F.filter(scored,
+        s => s.getField("d").isNotNull && !F.isnan(s.getField("d")))
+      when(size(v) === dim && F.size(scorable) > 0,
+        array_min(scorable).getField("c"))
+    } else org.apache.spark.sql.graft.VectorExpressions
+      .nearestSubCode(v, dim, j * dsub, codebook)
 
   /** Fit `m` sub-codebooks of `ksub` centroids each by `iters` plain
     * (L2) Lloyd rounds, all subspaces trained in the SAME passes.
@@ -97,7 +117,7 @@ object Pq {
     * centroid. `dim` must be divisible by `m`.
     */
   def fit(corpus: DataFrame, id: Column, vec: Column, dim: Int,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2, exact: Boolean = false,
       seedHash: Column => Column = F.xxhash64(_)): PqModel = {
     require(m >= 1 && dim >= m && dim % m == 0,
       s"dim must be a positive multiple of m, got dim=$dim m=$m")
@@ -128,7 +148,7 @@ object Pq {
       // element — dim× the most expensive expression in the loop)
       val assigned = c.select(array((0 until m).map { j =>
         struct(lit(j).as("sub"),
-          nearestCode(subVec(col("nv"), j, dsub), books(j)).as("code"),
+          nearestCode(col("nv"), j, dim, dsub, books(j), exact).as("code"),
           subVec(col("nv"), j, dsub).as("sv"))
       }: _*).as("__a")).persist()
       val means = assigned
@@ -159,13 +179,9 @@ object Pq {
     * columns, not an array — the gate-comparison lesson).
     */
   def encode(df: DataFrame, vec: Column, model: PqModel,
-      prefix: String = "code"): DataFrame = {
-    // guard on the WHOLE vector's length: a too-short vector can
-    // still have a valid first sub-slice, which would silently code
-    // subspace 0 and null the rest
-    val valid = vec.isNotNull && size(vec) === model.dim
+      prefix: String = "code", exact: Boolean = false): DataFrame = {
     val cols = model.codebooks.zipWithIndex.map { case (cb, j) =>
-      when(valid, nearestCode(subVec(vec, j, model.dsub), cb))
+      nearestCode(vec, j, model.dim, model.dsub, cb, exact)
         .cast(IntegerType).as(s"$prefix$j")
     }
     df.select(df.columns.map(col).toIndexedSeq ++ cols: _*)
@@ -180,28 +196,37 @@ object Pq {
     * Self-pairs (same id) are excluded like [[Similarity.ivfTopK]].
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, id: Column,
-      vec: Column, k: Int, model: PqModel): DataFrame = {
+      vec: Column, k: Int, model: PqModel,
+      exact: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val enc = encode(
-      corpus.select(id.as("nid"), vec.as("nv")), col("nv"), model)
-      .drop("nv")
+      corpus.select(id.as("nid"), vec.as("nv")), col("nv"), model,
+      exact = exact).drop("nv")
     val q = queries.select(id.as("qid"), vec.as("qv"))
     // invalid corpus rows carry null codes — drop them BEFORE ranking
     // (a null distance would sort nulls-first into the top-k)
     val valid = enc.filter(
       (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
     val cand = valid.join(broadcast(q), col("qid") =!= col("nid"))
-    // per-subspace decimal distance, then an order-free decimal sum
-    // across subspaces (each dist is a scale-8 value already; the
-    // re-cast is exact round-tripping)
-    val dists = (0 until model.m).map { j =>
-      val qsub = subVec(col("qv"), j, model.dsub)
-      model.codebooks(j).foldLeft(lit(null).cast(DoubleType)) {
-        case (acc, (code, cv)) =>
-          when(col(s"code$j") === code, l2sq(qsub, cv)).otherwise(acc)
-      }
-    }
-    val adist = decFold(array(dists.map(_.cast(TermDec)): _*)).cast(DoubleType)
+    val adist =
+      if (exact) {
+        // per-subspace decimal distance looked up by code, then an
+        // order-free decimal sum across subspaces (each dist is a
+        // scale-8 value already; the re-cast is exact round-tripping)
+        val dists = (0 until model.m).map { j =>
+          val qsub = subVec(col("qv"), j, model.dsub)
+          model.codebooks(j).foldLeft(lit(null).cast(DoubleType)) {
+            case (acc, (code, cv)) =>
+              when(col(s"code$j") === code, l2sq(qsub, cv)).otherwise(acc)
+          }
+        }
+        decFold(array(dists.map(_.cast(TermDec)): _*)).cast(DoubleType)
+      } else
+        // ONE native fused loop over all m subspaces (codebooks ride
+        // as a referenced object — O(1) generated code in m·ksub)
+        org.apache.spark.sql.graft.VectorExpressions.pqAdcDistance(
+          col("qv"), array((0 until model.m).map(j => col(s"code$j")): _*),
+          model.dim, model.codebooks)
     cand
       .select(col("qid"), col("nid"), adist.as("adist"))
       .withColumn("rank", row_number().over(

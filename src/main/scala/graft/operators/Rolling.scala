@@ -408,6 +408,79 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     }
   }
 
+  /** Time/value-RANGE rolling aggregate — pandas `rolling("10min")`
+    * (offset windows): the frame is every row whose ord lies within
+    * `span` of the current row's ord, not a fixed row count, so
+    * irregular event spacing gets calendar-true windows. `closed`
+    * follows pandas: "right" (default) = `(t−span, t]`, "both" =
+    * `[t−span, t]`, "left" = `[t−span, t)`, "neither" = `(t−span, t)`.
+    * `minPeriods` defaults to 1 like pandas offset windows (not the
+    * row-count form's full-window default). `ord` must be integral
+    * (timestamp callers pass `unix_micros(ts)` with `span` in micros —
+    * the Funnel timestamp rule); masked rows are removed from the
+    * sub-stream and emit null exactly like the row-count form. Same
+    * scale shape as every window op: one hash exchange by key, one
+    * sort; a RANGE frame costs the same as ROWS in Spark's window
+    * exec (frame bounds slide monotonically).
+    */
+  def rollingAggRange(op: String, value: Column, ord: Column, span: Long,
+      minPeriods: Int = 1, mask: Option[Column] = None,
+      closed: String = "right", name: String = "rolling",
+      exact: Boolean = false): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    require(minPeriods >= 0, s"minPeriods must be >= 0, got $minPeriods")
+    val (lo, hi) = closed match {
+      case "right"   => (-(span - 1), 0L)
+      case "both"    => (-span, 0L)
+      case "left"    => (-span, -1L)
+      case "neither" => (-(span - 1), -1L)
+      case other => throw new IllegalArgumentException(
+        s"closed must be right/both/left/neither, got $other")
+    }
+    mask match {
+      case None =>
+        val frame = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+          .rangeBetween(lo, hi)
+        gb.dfWithKeys.withColumn(name,
+          when(keysOk && F.count(value).over(frame) >= minPeriods,
+            liftAgg(op, value, exact, frame)))
+      case Some(_) =>
+        subStream(value, ord, mask, name) { (v, w) =>
+          val frame = w.orderBy(col("__ord")).rangeBetween(lo, hi)
+          when(F.count(v).over(frame) >= minPeriods,
+            liftAgg(op, v, exact, frame))
+        }
+    }
+  }
+
+  def rollingSumRange(value: Column, ord: Column, span: Long,
+      minPeriods: Int = 1, mask: Option[Column] = None,
+      closed: String = "right", name: String = "rolling_sum",
+      exact: Boolean = false): DataFrame =
+    rollingAggRange("sum", value, ord, span, minPeriods, mask, closed,
+      name, exact)
+
+  def rollingMeanRange(value: Column, ord: Column, span: Long,
+      minPeriods: Int = 1, mask: Option[Column] = None,
+      closed: String = "right", name: String = "rolling_mean",
+      exact: Boolean = false): DataFrame =
+    rollingAggRange("mean", value, ord, span, minPeriods, mask, closed,
+      name, exact)
+
+  def rollingMinRange(value: Column, ord: Column, span: Long,
+      minPeriods: Int = 1, mask: Option[Column] = None,
+      closed: String = "right", name: String = "rolling_min",
+      exact: Boolean = false): DataFrame =
+    rollingAggRange("min", value, ord, span, minPeriods, mask, closed,
+      name, exact)
+
+  def rollingMaxRange(value: Column, ord: Column, span: Long,
+      minPeriods: Int = 1, mask: Option[Column] = None,
+      closed: String = "right", name: String = "rolling_max",
+      exact: Boolean = false): DataFrame =
+    rollingAggRange("max", value, ord, span, minPeriods, mask, closed,
+      name, exact)
+
   /** Shared machinery of the row-reaching skew-split ops (sliced
     * rolling / shift / diff): rows are processed inside (key,
     * time-slice) partitions, and every computation that would reach
@@ -730,6 +803,24 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
       adjust: Boolean = true, ignoreNa: Boolean = false,
       name: String = "ewm_mean"): DataFrame =
     Ewm.mean(gb, value, ord, alpha, adjust, ignoreNa, name)
+
+  /** Exponentially weighted variance / std — pandas
+    * `ewm(alpha).var()/std()` (debiased by default); see
+    * [[Ewm.variance]].
+    */
+  def ewmVar(value: Column, ord: Column, alpha: Double,
+      adjust: Boolean = true, ignoreNa: Boolean = false,
+      bias: Boolean = false, minPeriods: Int = 0,
+      name: String = "ewm_var"): DataFrame =
+    Ewm.variance(gb, value, ord, alpha, adjust, ignoreNa, bias,
+      minPeriods, name)
+
+  def ewmStd(value: Column, ord: Column, alpha: Double,
+      adjust: Boolean = true, ignoreNa: Boolean = false,
+      bias: Boolean = false, minPeriods: Int = 0,
+      name: String = "ewm_std"): DataFrame =
+    Ewm.std(gb, value, ord, alpha, adjust, ignoreNa, bias,
+      minPeriods, name)
 
   // -------------------------------------------------------- sessionization
 

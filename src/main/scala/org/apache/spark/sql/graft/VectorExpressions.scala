@@ -261,6 +261,163 @@ case class NearestCentroid(child: Expression, cids: Array[Int],
     copy(child = newChild)
 }
 
+/** Nearest sub-centroid by squared L2 over ONE product-quantization
+  * subspace — the PQ encode hot path as one native expression (the
+  * [[NearestCentroid]] lesson applied to [[graft.operators.Pq]]: the
+  * declarative `array_min` over ksub `named_struct(d, c)` entries
+  * re-walks the sub-slice ksub times through decimal casts and falls
+  * out of codegen; this is one fused loop, O(1) generated code in
+  * ksub, double arithmetic).
+  *
+  * Semantics mirror the exact path's filtered struct-min: candidates
+  * score `Σ (x−c)²` left-to-right over the subspace slice
+  * `[offset, offset + dsub)` of a FULL vector that must have exactly
+  * `dim` elements (the whole-vector guard — a short vector must not
+  * silently code its valid prefix); ties prefer the SMALLER code; a
+  * NaN distance (NaN components) is unscorable; null vector, wrong
+  * length, null elements, or no scorable centroid → null.
+  */
+case class NearestSubCode(child: Expression, dim: Int, offset: Int,
+    codes: Array[Int], centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  require(codes.length == centroids.length && codes.nonEmpty,
+    s"codes (${codes.length}) and centroids (${centroids.length}) must be " +
+      "equal-length and non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Shared by eval and the generated code (called via reference). */
+  def assign(x: ArrayData): Any = {
+    if (x.numElements() != dim) return null
+    val float = isFloat
+    val dsub = centroids(0).length
+    var best = -1
+    var bestD = 0.0
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      if (c.length == dsub) {
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          if (x.isNullAt(offset + j)) return null
+          val xj = if (float) x.getFloat(offset + j).toDouble
+            else x.getDouble(offset + j)
+          val diff = xj - c(j)
+          d += diff * diff
+          j += 1
+        }
+        // struct-min tie rule: strictly smaller distance, or equal
+        // distance with a smaller code; NaN distances are unscorable
+        if (!java.lang.Double.isNaN(d) &&
+            (best < 0 || d < bestD || (d == bestD && codes(k) < best))) {
+          best = codes(k); bestD = d
+        }
+      }
+      k += 1
+    }
+    if (best < 0) null else best
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    assign(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("nearestSubCode", this,
+        classOf[NearestSubCode].getName)
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.assign($a);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Integer) $res).intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestSubCode =
+    copy(child = newChild)
+}
+
+/** Asymmetric PQ distance `Σⱼ ‖q[j·dsub ..] − booksⱼ[codeⱼ]‖²` — the
+  * ADC scan hot path as one native expression: an exact query vector
+  * (left) against a coded corpus row (right, the m int codes), the
+  * codebooks riding along as a referenced object. One fused loop,
+  * O(1) generated code in m·ksub.
+  *
+  * Null when the query is null / not `dim` long / has null or NaN
+  * contributions, when the codes array is null, wrong length, or has
+  * null entries, or when a code is out of its codebook's range.
+  */
+case class PqAdcDistance(left: Expression, right: Expression,
+    dim: Int, books: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(books.nonEmpty && dim % books.length == 0,
+    s"dim ($dim) must be a positive multiple of m (${books.length})")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+    ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Shared by eval and the generated code (called via reference). */
+  def distance(q: ArrayData, codes: ArrayData): Any = {
+    val m = books.length
+    val dsub = dim / m
+    if (q.numElements() != dim || codes.numElements() != m) return null
+    val float = isFloat
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val code = codes.getInt(j)
+      val book = books(j)
+      if (code < 0 || code >= book.length) return null
+      val c = book(code)
+      var i = 0
+      while (i < dsub) {
+        if (q.isNullAt(j * dsub + i)) return null
+        val qi = if (float) q.getFloat(j * dsub + i).toDouble
+          else q.getDouble(j * dsub + i)
+        val diff = qi - c(i)
+        total += diff * diff
+        i += 1
+      }
+      j += 1
+    }
+    if (java.lang.Double.isNaN(total)) null else total
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    distance(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("pqAdcDistance", this,
+        classOf[PqAdcDistance].getName)
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.distance($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the vector expressions. */
 object VectorExpressions {
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -276,4 +433,16 @@ object VectorExpressions {
   def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     ExpressionUtils.column(NearestCentroid(ExpressionUtils.expression(v),
       centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray))
+
+  def nearestSubCode(v: Column, dim: Int, offset: Int,
+      codebook: Seq[(Int, Seq[Double])]): Column =
+    ExpressionUtils.column(NearestSubCode(ExpressionUtils.expression(v),
+      dim, offset, codebook.map(_._1).toArray,
+      codebook.map(_._2.toArray).toArray))
+
+  def pqAdcDistance(q: Column, codes: Column, dim: Int,
+      books: Seq[Seq[(Int, Seq[Double])]]): Column =
+    ExpressionUtils.column(PqAdcDistance(ExpressionUtils.expression(q),
+      ExpressionUtils.expression(codes), dim,
+      books.map(_.map(_._2.toArray).toArray).toArray))
 }

@@ -120,6 +120,43 @@ class PqSpec extends AnyFunSuite {
     assert(model.codebooks(0).map(_._2).forall(_ === Seq(1.0, 1.0)))
   }
 
+  test("production (native) and exact (decimal) paths agree: codes, ranks, degenerate verdicts") {
+    val m = fitModel() // production fit
+    val me = Pq.fit(corpus, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 2, iters = 3, exact = true)
+    // well-separated clusters: the two fits land on the same means
+    assert(m.codebooks.flatten.map(_._2).flatten
+      .zip(me.codebooks.flatten.map(_._2).flatten)
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    val mixed = Seq((10L, Some(Array(1f, 2f, 3f))), (11L, None),
+      (12L, Some(Array(0f, 0f, 4f, 4f))),
+      (13L, Some(Array(Float.NaN, 0f, 4f, 4f))))
+      .toDF("vec_id", "embedding")
+    def codesOf(exact: Boolean): Seq[(Any, Any)] =
+      Pq.encode(mixed, col("embedding"), m, exact = exact).orderBy("vec_id")
+        .select("code0", "code1").collect()
+        .map(r => (if (r.isNullAt(0)) null else r.get(0),
+          if (r.isNullAt(1)) null else r.get(1))).toSeq
+    // same verdicts either path: short/null/NaN vectors → null codes
+    assert(codesOf(exact = false) === codesOf(exact = true))
+    assert(codesOf(exact = false)(0) === ((null, null)))
+    assert(codesOf(exact = false)(3)._1 === null)
+    // rank agreement on WELL-SEPARATED distances (integer-valued, so
+    // no near-tie for the scale-8 rounding of the exact path to flip)
+    val pts = Seq(
+      Array(0f, 0f, 4f, 4f), Array(8f, 8f, -4f, -4f),
+      Array(0f, 0f, -4f, -4f), Array(8f, 8f, 4f, 4f))
+    val sep = pts.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i.toLong, p), (i + 100L, p)) }.toDF("vec_id", "embedding")
+    val ms = Pq.fit(sep, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 4, iters = 3)
+    val rank = (exact: Boolean) =>
+      Pq.adcTopK(sep, sep.filter(col("vec_id") === 0L),
+        col("vec_id"), col("embedding"), k = 7, ms, exact = exact)
+        .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(rank(false) === rank(true))
+  }
+
   test("guards: dim not divisible, cell bound, empty corpus, bad k") {
     assertThrows[IllegalArgumentException] {
       Pq.fit(corpus, col("vec_id"), col("embedding"), dim = 4, m = 3)

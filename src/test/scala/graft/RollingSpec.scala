@@ -443,6 +443,53 @@ class RollingSpec extends AnyFunSuite {
     assert(vals(out, "ffill") === Seq(null, 2.0, null))
   }
 
+  // ------------------------------------------------------- range rolling
+
+  /** pandas `Series.rolling('3s', closed=...)` over values
+    * [1, 2, nan, 8, 16, 32] at seconds [0, 1, 2, 5, 6, 20] — offset
+    * windows on an irregular time axis, all four closed rules.
+    */
+  def rangeDf: DataFrame = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), true),
+    (2, 0, None, true), (5, 0, Some(8.0), true), (6, 0, Some(16.0), true),
+    (20, 0, Some(32.0), true))
+
+  test("range rolling sum matches pandas offset windows for every closed rule") {
+    def got(closed: String): Seq[Any] =
+      vals(ops(rangeDf).rollingSumRange(col("value"), col("ord"), 3,
+        closed = closed), "rolling_sum")
+    assert(got("right") === Seq(1.0, 3.0, 3.0, 8.0, 24.0, 32.0))
+    assert(got("both") === Seq(1.0, 3.0, 3.0, 8.0, 24.0, 32.0))
+    assert(got("left") === Seq(null, 1.0, 3.0, null, 8.0, null))
+    assert(got("neither") === Seq(null, 1.0, 3.0, null, 8.0, null))
+  }
+
+  test("range rolling: minPeriods counts non-null frame rows; mask removes rows from the stream") {
+    assert(vals(ops(rangeDf).rollingSumRange(col("value"), col("ord"), 3,
+      minPeriods = 2), "rolling_sum") ===
+      Seq(null, 3.0, 3.0, null, 24.0, null))
+    // mask drops the ord-1 row entirely: ord-2's window sees only ord-0
+    val d = df((0, 0, Some(1.0), true), (1, 0, Some(2.0), false),
+      (2, 0, Some(4.0), true))
+    assert(vals(ops(d).rollingSumRange(col("value"), col("ord"), 3,
+      mask = Some(col("m"))), "rolling_sum") === Seq(1.0, null, 5.0))
+    assertThrows[IllegalArgumentException] {
+      ops(d).rollingSumRange(col("value"), col("ord"), 3, closed = "bogus")
+    }
+    assertThrows[IllegalArgumentException] {
+      ops(d).rollingSumRange(col("value"), col("ord"), 0)
+    }
+  }
+
+  test("range rolling mean/min/max facades") {
+    val d = rangeDf
+    assert(vals(ops(d).rollingMeanRange(col("value"), col("ord"), 3),
+      "rolling_mean") === Seq(1.0, 1.5, 1.5, 8.0, 12.0, 32.0))
+    assert(vals(ops(d).rollingMinRange(col("value"), col("ord"), 3),
+      "rolling_min") === Seq(1.0, 1.0, 1.0, 8.0, 8.0, 32.0))
+    assert(vals(ops(d).rollingMaxRange(col("value"), col("ord"), 3),
+      "rolling_max") === Seq(1.0, 2.0, 2.0, 8.0, 16.0, 32.0))
+  }
+
   // --------------------------------------------------------------- ewm
 
   /** pandas 2.2.2 `Series.ewm(alpha=0.25, ...).mean()` over
@@ -493,6 +540,40 @@ class RollingSpec extends AnyFunSuite {
       .ewmMean(col("value"), col("ord"), 0.5)
     // adjust=true: [null, 2, (0.5*2+4)/1.5=10/3] ; key 1 seeds at 9
     assert(vals(out, "ewm_mean") === Seq(null, 2.0, 10.0 / 3.0, 9.0, null))
+  }
+
+  def ewmVarCheck(adjust: Boolean, ignoreNa: Boolean, exp: Seq[Any]): Unit = {
+    val got = vals(ops(ewmDf).ewmVar(col("value"), col("ord"), 0.25,
+      adjust = adjust, ignoreNa = ignoreNa), "ewm_var")
+    assert(got === exp, s"adjust=$adjust ignoreNa=$ignoreNa")
+  }
+
+  test("ewm var adjust=true matches pandas bit-for-bit (both ignore_na modes)") {
+    ewmVarCheck(adjust = true, ignoreNa = false, Seq(null, null, 2.0, 2.0, 2.0,
+      5.333695062398263, 3.09020637526167, 3.09020637526167,
+      3.4628062988744035))
+    ewmVarCheck(adjust = true, ignoreNa = true, Seq(null, null, 2.0, 2.0, 2.0,
+      4.594594594594595, 3.6259459459459458, 3.6259459459459458,
+      3.3013060179257367))
+  }
+
+  test("ewm var adjust=false matches pandas bit-for-bit (both ignore_na modes)") {
+    ewmVarCheck(adjust = false, ignoreNa = false, Seq(null, null, 2.0, 2.0, 2.0,
+      3.357997823721437, 2.8751353982141366, 2.8751353982141366,
+      2.7332084392832248))
+    ewmVarCheck(adjust = false, ignoreNa = true, Seq(null, null, 2.0, 2.0, 2.0,
+      2.9600000000000004, 2.7817047817047817, 2.7817047817047817,
+      2.523204747774481))
+  }
+
+  test("ewm std is the sqrt; bias=true emits the biased moment (0 at the seed)") {
+    val stds = vals(ops(ewmDf).ewmStd(col("value"), col("ord"), 0.25),
+      "ewm_std")
+    assert(stds(0) === null && stds(2) === math.sqrt(2.0))
+    val biased = vals(ops(ewmDf).ewmVar(col("value"), col("ord"), 0.25,
+      bias = true), "ewm_var")
+    assert(biased(0) === 0.0) // single value: biased spread is 0
+    assert(biased(2) === 0.9216)
   }
 
   test("ewm mean: alpha=1 forgets instantly; invalid alpha and null ord raise") {
