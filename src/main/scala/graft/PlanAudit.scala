@@ -327,7 +327,22 @@ object PlanAudit {
           graft.operators.Pq.adcTopK(embs, embs.filter(col("vec_id") < 3),
             col("vec_id"), col("embedding"), k = 5, m)
         },
-        noSinglePartition = true, broadcastScan = true)
+        noSinglePartition = true, broadcastScan = true),
+      Audited("IVF-PQ (bucket EQUIJOIN with broadcast probes — pruned compressed scan, corpus never shuffles)",
+        {
+          val m = graft.operators.Pq.fit(embs, col("vec_id"),
+            col("embedding"), dim = 64, m = 4, ksub = 4, iters = 1)
+          graft.operators.Pq.ivfPqTopK(embs, embs.filter(col("vec_id") < 3),
+            col("vec_id"), col("embedding"), k = 5, m,
+            nCentroids = 4, nProbe = 2, ivfIters = 1)
+        },
+        noSinglePartition = true, broadcastProbe = true),
+      Audited("resample (one (keys, bucket) hash agg + summary-sized bin-domain equijoin)",
+        graft.operators.Resample.resample(
+          new GroupBy(ev, Seq(col("user_id"))), col("ts"), 21600000000000L,
+          Seq(graft.operators.AggSpec("sum", col("value"), "s", exact = true),
+            graft.operators.AggSpec("count", col("value"), "n"))),
+        noSinglePartition = true, equiJoinOnly = true)
     )
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{NanOps, TextFunctions}
-import graft.operators.{AggSpec, Dedup, Dsir, Ewm, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Pq, Privacy, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
+import graft.operators.{AggSpec, Dedup, Dsir, Ewm, GraphOps, GroupBy, GroupScatter, Joins, LangModel, Margins, Multimodal, Pca, Pq, Privacy, Resample, Reshape, RollingOps, Sampling, SelectionOps, Similarity, Snapshot, Vocab}
 import graft.streaming.{EventStreams, StatefulSessions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2044,7 +2044,32 @@ object SparkEntry {
         .orderBy(col("rid")),
       Some("SELECT rid, ewm_var FROM (" +
         Ewm.varianceSql(ewmSrcSql, 0.25, adjust = true, ignoreNa = false) +
-        ") ORDER BY rid"))
+        ") ORDER BY rid")),
+
+    Q("resample_daily",
+      // pandas resample('1D').agg(...): daily buckets over the micros
+      // axis with EMPTY BINS EMITTED — count 0 / sum 0.0 / mean null
+      // (the pandas min_count=0 identities); the bin domain spans each
+      // user's first..last bucket
+      (s, dir) => Resample.resample(
+        new GroupBy(eventsUs(s, dir), Seq(col("user_id"))),
+        col("ts_us"), 86400000000L,
+        Seq(AggSpec("count", col("value"), "n"),
+          AggSpec("sum", col("value"), "sum_v", exact = true),
+          AggSpec("mean", col("value"), "mean_v", exact = true))),
+      Some(s"""WITH b AS (SELECT user_id,
+        |  CAST((epoch_us(ts) - ((epoch_us(ts) % 86400000000 + 86400000000)
+        |    % 86400000000)) / 86400000000 AS BIGINT) AS bucket, value
+        |  FROM events),
+        | a AS (SELECT user_id, bucket, COUNT(value) AS n,
+        |   ${dsum("value")} AS sum_v, ${dmean("value")} AS mean_v
+        |   FROM b GROUP BY 1, 2),
+        | d AS (SELECT user_id, unnest(generate_series(MIN(bucket), MAX(bucket))) AS bucket
+        |   FROM b GROUP BY user_id)
+        |SELECT d.user_id, d.bucket, COALESCE(a.n, 0) AS n,
+        |  COALESCE(a.sum_v, 0.0) AS sum_v, a.mean_v
+        |FROM d LEFT JOIN a USING (user_id, bucket)
+        |ORDER BY 1, 2""".stripMargin))
   )
 
   /** (k, rid, o, v) source for the ewm oracle: events keyed by user,

@@ -164,9 +164,14 @@ object Pca {
     * streaming-safe; invalid rows (null / wrong length) project to
     * null. `exact=false` swaps the decimal fold for a plain double
     * fold (codegen-friendlier, order-sensitive in the last ulps).
+    * `whiten=true` divides each coordinate by √eigenvalue (PCA
+    * whitening — unit variance per component, the usual conditioning
+    * step before cosine/k-means over the reduced space); a component
+    * with eigenvalue ≤ 0 whitens to null rather than ±∞.
     */
   def project(df: DataFrame, vec: Column, model: PcaModel,
-      prefix: String = "pc", exact: Boolean = true): DataFrame = {
+      prefix: String = "pc", exact: Boolean = true,
+      whiten: Boolean = false): DataFrame = {
     val centered = zip_with(vec, lit(model.mean.toArray),
       (x, m) => x.cast(DoubleType) - m)
     val cols = model.components.zipWithIndex.map { case (w, c) =>
@@ -177,7 +182,12 @@ object Pca {
           (acc, t) => (acc + t).cast(DecimalType(37, 8))).cast(DoubleType)
         else org.apache.spark.sql.graft.VectorExpressions.vecDot(
           centered, lit(w.toArray))
-      when(vec.isNotNull && size(vec) === model.dim, dot).as(s"$prefix$c")
+      val out =
+        if (!whiten) dot
+        else if (model.eigenvalues(c) > 0.0)
+          dot / math.sqrt(model.eigenvalues(c))
+        else lit(null).cast(DoubleType)
+      when(vec.isNotNull && size(vec) === model.dim, out).as(s"$prefix$c")
     }
     df.select(df.columns.map(col).toIndexedSeq ++ cols: _*)
   }

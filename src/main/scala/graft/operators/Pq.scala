@@ -208,6 +208,45 @@ object Pq {
     val valid = enc.filter(
       (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
     val cand = valid.join(broadcast(q), col("qid") =!= col("nid"))
+    rankByAdc(cand, model, k, exact)
+  }
+
+  /** IVF-PQ (the Jégou 2011 composition): corpus rows are coded AND
+    * bucketed under their nearest spherical-k-means centroid
+    * ([[Similarity.ivfCentroids]] — map-side literal assignment, no
+    * join); each query probes its `nProbe` nearest buckets and ranks
+    * ADC within those buckets only. Candidate volume ≈ corpus ×
+    * nProbe / nCentroids like IVF, but each candidate costs m code
+    * lookups instead of a dim-float exact score — the
+    * prune-then-compressed-scan shape billion-row indexes actually
+    * run. The bucket match is an EQUIJOIN (probes broadcast); the
+    * corpus still never shuffles.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, id: Column,
+      vec: Column, k: Int, model: PqModel, nCentroids: Int = 16,
+      nProbe: Int = 4, ivfIters: Int = 2, exact: Boolean = false,
+      seedHash: Column => Column = F.xxhash64(_)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = Similarity.ivfCentroids(corpus, id, vec, nCentroids,
+      ivfIters, exact, seedHash)
+    val enc = encode(corpus.select(id.as("nid"), vec.as("nv")), col("nv"),
+        model, exact = exact)
+      .withColumn("cid", Similarity.assignCentroid(col("nv"), cents, exact))
+      .drop("nv")
+    val valid = enc.filter(col("cid").isNotNull &&
+      (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
+    val probes = queries.select(id.as("qid"), vec.as("qv"),
+      explode(Similarity.probeCentroids(vec, cents, nProbe, exact)).as("cid"))
+    val cand = valid.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+    rankByAdc(cand, model, k, exact)
+  }
+
+  /** Shared ADC ranking tail: distance per (qid, nid) candidate, then
+    * a deterministic (distance, nid) per-query rank.
+    */
+  private def rankByAdc(cand: DataFrame, model: PqModel, k: Int,
+      exact: Boolean): DataFrame = {
     val adist =
       if (exact) {
         // per-subspace decimal distance looked up by code, then an

@@ -360,7 +360,14 @@ object Similarity {
       exact: Boolean = false): Column =
     nearestCid(v, centroids, exact)
 
-  /** cids of the `nProbe` highest-cosine centroids. */
+  /** cids of the `nProbe` highest-cosine centroids — public so
+    * composed indexes (Pq.ivfPqTopK) probe with the same rule the
+    * IVF index uses.
+    */
+  def probeCentroids(v: Column, centroids: Seq[(Int, Seq[Double])],
+      nProbe: Int, exact: Boolean = false): Column =
+    probeCids(v, centroids, nProbe, exact)
+
   private def probeCids(v: Column, centroids: Seq[(Int, Seq[Double])],
       nProbe: Int, exact: Boolean): Column =
     transform(

@@ -98,6 +98,29 @@ class PcaSpec extends AnyFunSuite {
     assert(joined < 1e-6)
   }
 
+  test("whitening: unit variance per component; zero-eigenvalue components whiten to null") {
+    val m = Pca.fit(embs, col("embedding"), k = 2, iters = 12)
+    val w = Pca.project(embs, col("embedding"), m, whiten = true)
+    val stats = w.agg(variance(col("pc0")), variance(col("pc1"))).head()
+    assert(math.abs(stats.getDouble(0) - 1.0) < 1e-3)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-3)
+    // whitened = plain / sqrt(eigenvalue), row for row
+    val p = Pca.project(embs, col("embedding"), m)
+    val diff = p.select(col("vec_id"), col("pc0").as("a"))
+      .join(w.select(col("vec_id"), col("pc0").as("b")), "vec_id")
+      .select(max(abs(col("a") / math.sqrt(m.eigenvalues(0)) - col("b"))))
+      .head().getDouble(0)
+    assert(diff < 1e-12)
+    // a degenerate (zero-variance) second axis whitens to null
+    val flat = Seq((1L, Seq(1.0, 5.0)), (2L, Seq(2.0, 5.0)),
+      (3L, Seq(3.0, 5.0))).toDF("id", "v")
+    val mf = Pca.fit(flat, col("v"), k = 2, iters = 6)
+    val wf = Pca.project(flat, col("v"), mf, whiten = true).collect()
+    assert(wf.forall(r => !r.isNullAt(2))) // pc0 spread is real
+    assert(wf.forall(r => r.isNullAt(3)),
+      s"zero-eigenvalue axis must whiten to null, eigs=${mf.eigenvalues}")
+  }
+
   test("explainedVariance: full-rank fit accounts for ~all the trace") {
     val d = Seq((1L, Seq(2.0, 0.1, -1.0)), (2L, Seq(-2.0, 0.3, 1.5)),
       (3L, Seq(0.5, 1.0, 0.0)), (4L, Seq(-0.5, -1.4, -0.5)),

@@ -157,6 +157,36 @@ class PqSpec extends AnyFunSuite {
     assert(rank(false) === rank(true))
   }
 
+  test("ivfPqTopK equals ADC restricted to the probed buckets (pruning differential)") {
+    import graft.operators.Similarity
+    val pts = Seq(
+      Array(0f, 0f, 4f, 4f), Array(8f, 8f, -4f, -4f),
+      Array(0f, 0f, -4f, -4f), Array(8f, 8f, 4f, 4f))
+    val c = pts.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i.toLong, p), (i + 100L, p)) }.toDF("vec_id", "embedding")
+    val model = Pq.fit(c, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 4, iters = 3)
+    val q = c.filter(col("vec_id") === 0L)
+    val got = Pq.ivfPqTopK(c, q, col("vec_id"), col("embedding"), k = 7,
+        model, nCentroids = 4, nProbe = 2, ivfIters = 2)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    // expected: restrict the corpus to the probed buckets by the SAME
+    // centroids/probe rule, then plain ADC over that subset
+    val cents = Similarity.ivfCentroids(c, col("vec_id"), col("embedding"),
+      nCentroids = 4, iters = 2)
+    val probed = q.select(
+        explode(Similarity.probeCentroids(col("embedding"), cents, 2)).as("cid"))
+      .as[Int].collect().toSet
+    val bucketed = c.filter(
+      Similarity.assignCentroid(col("embedding"), cents).isin(probed.toSeq: _*))
+    val exp = Pq.adcTopK(bucketed, q, col("vec_id"), col("embedding"),
+        k = 7, model)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(got === exp)
+    assert(got.nonEmpty && got.size < 7, // pruning really dropped buckets
+      s"expected a pruned candidate set, got $got")
+  }
+
   test("guards: dim not divisible, cell bound, empty corpus, bad k") {
     assertThrows[IllegalArgumentException] {
       Pq.fit(corpus, col("vec_id"), col("embedding"), dim = 4, m = 3)

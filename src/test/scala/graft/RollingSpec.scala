@@ -490,6 +490,50 @@ class RollingSpec extends AnyFunSuite {
       "rolling_max") === Seq(1.0, 2.0, 2.0, 8.0, 16.0, 32.0))
   }
 
+  // ----------------------------------------------------------- resample
+
+  test("resample emits empty bins with pandas identities (count 0, sum 0.0, mean null)") {
+    import graft.operators.{AggSpec, Resample}
+    // pandas: df.resample('2D').agg(count/sum/mean) over days
+    // [0, 1, 5, 5.5, 12] values [1, nan, 4, 8, 2] → bins 0..6 with
+    // n [1,0,2,0,0,0,1], sum [1,0,12,0,0,0,2], mean [1,ø,6,ø,ø,ø,2]
+    val d = Seq((0L, 0, Some(1.0)), (10L, 0, None), (50L, 0, Some(4.0)),
+      (55L, 0, Some(8.0)), (120L, 0, Some(2.0)),
+      (40L, 1, Some(7.0))) // second group: single bucket, no empties
+      .toDF("ord", "key", "value")
+    val out = Resample.resample(new GroupBy(d, Seq(col("key"))),
+      col("ord"), 20L,
+      Seq(AggSpec("count", col("value"), "n"),
+        AggSpec("sum", col("value"), "sum_v"),
+        AggSpec("mean", col("value"), "mean_v")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) null else r.get(4))).toSeq
+    assert(out === Seq(
+      (0, 0L, 1L, 1.0, 1.0), (0, 1L, 0L, 0.0, null), (0, 2L, 2L, 12.0, 6.0),
+      (0, 3L, 0L, 0.0, null), (0, 4L, 0L, 0.0, null), (0, 5L, 0L, 0.0, null),
+      (0, 6L, 1L, 2.0, 2.0), (1, 2L, 1L, 7.0, 7.0)))
+  }
+
+  test("resample: negative ords anchor at 0 (floor division); guards raise") {
+    import graft.operators.{AggSpec, Resample}
+    val d = Seq((-25L, 0, Some(3.0)), (5L, 0, Some(1.0)))
+      .toDF("ord", "key", "value")
+    val out = Resample.resample(new GroupBy(d, Seq(col("key"))),
+      col("ord"), 10L, Seq(AggSpec("sum", col("value"), "s")))
+      .select("bucket", "s").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // −25 → bucket −3 ([−30, −20)); empties −2, −1; 5 → bucket 0
+    assert(out === Seq((-3L, 3.0), (-2L, 0.0), (-1L, 0.0), (0L, 1.0)))
+    assertThrows[IllegalArgumentException] {
+      Resample.resample(new GroupBy(d, Seq(col("key"))), col("ord"), 0L,
+        Seq(AggSpec("sum", col("value"), "s")))
+    }
+    assertThrows[IllegalArgumentException] {
+      Resample.resample(new GroupBy(d, Seq(col("key"))), col("ord"), 10L,
+        Seq(AggSpec("sum", col("value"), "bucket")))
+    }
+  }
+
   // --------------------------------------------------------------- ewm
 
   /** pandas 2.2.2 `Series.ewm(alpha=0.25, ...).mean()` over
