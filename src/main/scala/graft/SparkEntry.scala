@@ -2046,6 +2046,54 @@ object SparkEntry {
         Ewm.varianceSql(ewmSrcSql, 0.25, adjust = true, ignoreNa = false) +
         ") ORDER BY rid")),
 
+    Q("interp",
+      // pandas interpolate(): interior straight-line fill by row
+      // position AND by the micros axis, plus a limit=2 run bound —
+      // pure IEEE window arithmetic, bit-exact unrounded
+      (s, dir) => {
+        val d1 = new RollingOps(new GroupBy(eventsUs(s, dir),
+            Seq(col("user_id"))))
+          .interpolate(nullableValue, col("ts_us"))
+        val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id"))))
+          .interpolate(nullableValue, col("ts_us"), method = "index",
+            name = "interp_idx")
+        val d3 = new RollingOps(new GroupBy(d2, Seq(col("user_id"))))
+          .interpolate(nullableValue, col("ts_us"), limit = Some(2),
+            name = "interp_lim")
+        evOut(d3, "interp", "interp_idx", "interp_lim")
+      },
+      Some(s"""WITH e1 AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS o, $nullableValueSql AS v,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS rn
+        |  FROM events),
+        | e2 AS (SELECT *,
+        |  LAST_VALUE(v IGNORE NULLS) OVER bk AS pv,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER fw AS nv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER bk AS pa,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER fw AS na,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(o AS DOUBLE) END IGNORE NULLS) OVER bk AS po,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(o AS DOUBLE) END IGNORE NULLS) OVER fw AS nq
+        |  FROM e1
+        |  WINDOW bk AS (PARTITION BY user_id ORDER BY o
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fw AS (PARTITION BY user_id ORDER BY o
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN NULL
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (rn - pa) / (na - pa) END AS interp,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN NULL
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(o AS DOUBLE) - po) / (nq - po) END AS interp_idx,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN NULL
+        |       WHEN rn - pa > 2 THEN NULL
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * (rn - pa) / (na - pa) END AS interp_lim
+        |FROM e2 ORDER BY event_id""".stripMargin)),
+
     Q("resample_daily",
       // pandas resample('1D').agg(...): daily buckets over the micros
       // axis with EMPTY BINS EMITTED — count 0 / sum 0.0 / mean null
@@ -2269,7 +2317,38 @@ object SparkEntry {
         |   CASE WHEN l_quantity > 25 THEN 'bulk' END,
         |   CASE WHEN l_tax > 0.04 THEN 'taxed' END), ''), 'None') AS flags,
         | COUNT(*) AS count
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("encode_dummies",
+      // pandas get_dummies over the 5-value priority domain: one 0/1
+      // column per value, sorted layout, row-local projection
+      (s, dir) => Reshape.getDummies(T(s, dir, "orders"),
+          col("o_orderpriority"), prefix = "p")
+        .select(col("o_orderkey"), col("p_1-URGENT"), col("p_2-HIGH"),
+          col("p_3-MEDIUM"), col("p_4-NOT SPECIFIED"), col("p_5-LOW"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+        | CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS "p_1-URGENT",
+        | CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS "p_2-HIGH",
+        | CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS "p_3-MEDIUM",
+        | CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS "p_4-NOT SPECIFIED",
+        | CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS "p_5-LOW"
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    Q("encode_factorize",
+      // pandas factorize: codes in order of first appearance (by
+      // o_orderkey), value table ranked then broadcast back
+      (s, dir) => Reshape.factorize(T(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("code").cast("long").as("code"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH t AS (SELECT o_orderpriority AS value, MIN(o_orderkey) AS fo
+        |  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        | r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY fo, value) - 1 AS code
+        |  FROM t)
+        |SELECT o.o_orderkey, COALESCE(r.code, -1) AS code
+        |FROM orders o LEFT JOIN r ON o.o_orderpriority = r.value
+        |ORDER BY o.o_orderkey""".stripMargin))
   )
 
   private def nanAndFit: Seq[Q] = Seq(

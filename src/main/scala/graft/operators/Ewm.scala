@@ -47,6 +47,27 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object Ewm {
 
+  /** pandas' other decay parameterizations, as the α they denote:
+    * `span` (α = 2/(span+1)), `com` (α = 1/(1+com)), `halflife`
+    * (α = 1 − exp(−ln2/halflife)) — compute once on the driver and
+    * pass to [[mean]]/[[variance]], exactly like pandas normalizes
+    * internally.
+    */
+  def alphaFromSpan(span: Double): Double = {
+    require(span >= 1.0, s"span must be >= 1, got $span")
+    2.0 / (span + 1.0)
+  }
+
+  def alphaFromCom(com: Double): Double = {
+    require(com >= 0.0, s"com must be >= 0, got $com")
+    1.0 / (1.0 + com)
+  }
+
+  def alphaFromHalflife(halflife: Double): Double = {
+    require(halflife > 0.0, s"halflife must be > 0, got $halflife")
+    1.0 - math.exp(-math.log(2.0) / halflife)
+  }
+
   /** See object doc. `ord` must be non-null and unique within each
     * group (it is also the join-back key); value casts to double.
     */

@@ -340,6 +340,66 @@ object Reshape {
     }
   }
 
+  /** One-hot encoding — pandas `get_dummies`: one `{prefix}_{value}`
+    * 0/1 column per distinct non-null value of `c`, values collected
+    * via partial-aggregated `collect_set` (the pivot-domain contract:
+    * small by definition, `maxCategories`-guarded so a high-cardinality
+    * column fails loudly instead of minting a million columns). Null
+    * rows encode as all-zeros (pandas `dummy_na=False`); columns sort
+    * by value for a deterministic layout. Row-local projection —
+    * zero shuffle beyond the domain collect. `dropFirst` mirrors
+    * pandas (k−1 dummies for regression designs).
+    */
+  def getDummies(df: DataFrame, c: Column, prefix: String = "d",
+      maxCategories: Int = 256, dropFirst: Boolean = false): DataFrame = {
+    val vals = distinctVals(df, c).map(_.toString).sorted
+    require(vals.nonEmpty, "get_dummies on an all-null/empty column")
+    require(vals.size <= maxCategories,
+      s"${vals.size} categories exceed maxCategories=$maxCategories — " +
+        "one-hot encoding a high-cardinality column is a modeling bug")
+    val kept = if (dropFirst) vals.drop(1) else vals
+    val cols = kept.map { v =>
+      when(c.cast("string") === v, lit(1)).otherwise(lit(0))
+        .as(s"${prefix}_$v")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ cols: _*)
+  }
+
+  /** Integer category encoding — pandas `factorize`: codes 0..k−1 in
+    * ORDER OF FIRST APPEARANCE (appearance decided by the explicit
+    * `ord` — Spark has no physical row order; ties on min-ord break
+    * by value), nulls code as −1. The value table is a bounded
+    * aggregate (one row per distinct value) ranked on the driver-free
+    * path: groupBy(value).min(ord) → dense rank window over the
+    * value-table only → BROADCAST join back, so data rows never
+    * shuffle. Appends `name` (int) and returns the codes plus the
+    * value table via the companion [[factorizeTable]] when callers
+    * need the uniques.
+    */
+  def factorize(df: DataFrame, c: Column, ord: Column,
+      name: String = "code"): DataFrame = {
+    val tbl = factorizeTable(df, c, ord, name)
+    df.withColumn("__graft_fv", c.cast("string"))
+      .join(F.broadcast(tbl.withColumnRenamed("value", "__graft_fv")),
+        Seq("__graft_fv"), "left")
+      .withColumn(name, coalesce(col(name), lit(-1)))
+      .drop("__graft_fv")
+  }
+
+  /** The uniques table of [[factorize]]: `(value, code)`, code 0..k−1
+    * by (first-appearance ord, value).
+    */
+  def factorizeTable(df: DataFrame, c: Column, ord: Column,
+      name: String = "code"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.filter(c.isNotNull)
+      .groupBy(c.cast("string").as("value"))
+      .agg(F.min(ord).as("__fo"))
+      .withColumn(name,
+        (F.row_number().over(Window.orderBy(col("__fo"), col("value"))) - 1))
+      .drop("__fo")
+  }
+
   /** Bin a numeric column by sorted edges into human-readable labels
     * (reference `pretty_cut`, `util.py:689-763`): ` <= b0`,
     * `b0 - b1` (float) / `b0+1 - b1` (integer), ` > bn`; value v maps

@@ -795,6 +795,47 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     gb.dfWithKeys.withColumn(name, when(keysOk, out))
   }
 
+  /** Linear interpolation of nulls within each group — pandas
+    * `interpolate()`: interior nulls take the straight line between
+    * the surrounding non-null values, spaced by ROW POSITION
+    * (`method = "linear"`, the pandas default) or by the ord values
+    * themselves (`method = "index"`); trailing nulls forward-fill
+    * from the last value, leading nulls stay null, and `limit` bounds
+    * how many consecutive nulls after a valid value are filled — all
+    * pandas `limit_direction='forward'` semantics. ONE window stage
+    * (six windowed lookups over the same two frames), no joins; for
+    * `method = "index"` the ord must be numeric and unique per group.
+    */
+  def interpolate(value: Column, ord: Column, method: String = "linear",
+      limit: Option[Int] = None, name: String = "interp"): DataFrame = {
+    require(method == "linear" || method == "index",
+      s"method must be linear or index, got $method")
+    require(limit.forall(_ >= 1), s"limit must be >= 1, got $limit")
+    val ordered = Window.partitionBy(gb.keyCols: _*).orderBy(ord)
+    val back = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rn = row_number().over(ordered).cast("double")
+    val axis = if (method == "linear") rn else ord.cast("double")
+    val validAxis = when(value.isNotNull, axis)
+    val prevV = F.last(value, ignoreNulls = true).over(back).cast("double")
+    val prevA = F.last(validAxis, ignoreNulls = true).over(back)
+    val nextV = F.first(value, ignoreNulls = true).over(fwd).cast("double")
+    val nextA = F.first(validAxis, ignoreNulls = true).over(fwd)
+    // distance gate is always in ROWS (pandas limit counts nulls, not
+    // axis span)
+    val prevRn = F.max(when(value.isNotNull, rn)).over(back)
+    val withinLimit = limit match {
+      case None => lit(true)
+      case Some(l) => rn - prevRn <= l
+    }
+    val interior = prevV + (nextV - prevV) * (axis - prevA) / (nextA - prevA)
+    val filled = when(value.isNotNull, value.cast("double"))
+      .when(prevV.isNull, lit(null).cast("double")) // leading run
+      .when(nextV.isNull, when(withinLimit, prevV)) // trailing: ffill
+      .otherwise(when(withinLimit, interior))
+    gb.dfWithKeys.withColumn(name, when(keysOk, filled))
+  }
+
   /** Exponentially weighted mean — pandas `ewm(alpha).mean()`, full
     * `adjust` × `ignore_na` parity; see [[Ewm.mean]] (a linear
     * recurrence, so the funnel-pattern sorted fold, not a window).

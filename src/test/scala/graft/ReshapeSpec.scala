@@ -260,6 +260,38 @@ class ReshapeSpec extends AnyFunSuite {
     assert(a.isNullAt(out.columns.indexOf("x|q")))
   }
 
+  test("get_dummies: sorted 0/1 columns, null rows all-zero, dropFirst, cardinality guard") {
+    import spark.implicits._
+    val d = Seq((1, Some("b")), (2, Some("a")), (3, None), (4, Some("b")))
+      .toDF("id", "c")
+    val out = Reshape.getDummies(d, col("c"), prefix = "x").orderBy("id")
+    assert(out.columns.toSeq === Seq("id", "c", "x_a", "x_b"))
+    val rows = out.select("x_a", "x_b").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows === Seq((0, 1), (1, 0), (0, 0), (0, 1)))
+    assert(Reshape.getDummies(d, col("c"), dropFirst = true).columns
+      .count(_.startsWith("d_")) === 1)
+    intercept[IllegalArgumentException] {
+      Reshape.getDummies(d, col("c"), maxCategories = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Reshape.getDummies(d.filter(col("id") > 90), col("c"))
+    }
+  }
+
+  test("factorize: first-appearance codes by ord, nulls -1, uniques table") {
+    import spark.implicits._
+    val d = Seq((10, Some("z")), (20, Some("a")), (30, Some("z")),
+      (40, None), (50, Some("m"))).toDF("ord", "c")
+    val out = Reshape.factorize(d, col("c"), col("ord")).orderBy("ord")
+      .select("code").as[Int].collect().toSeq
+    // z appears first (ord 10) -> 0, a -> 1, m -> 2, null -> -1
+    assert(out === Seq(0, 1, 0, -1, 2))
+    val tbl = Reshape.factorizeTable(d, col("c"), col("ord"))
+      .orderBy("code").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(tbl === Seq(("z", 0), ("a", 1), ("m", 2)))
+  }
+
   test("melt: wide to long, nulls kept, mixed types rejected") {
     import spark.implicits._
     val d = Seq((1, Some(10.0), 100.0), (2, None, 200.0)).toDF("id", "a", "b")

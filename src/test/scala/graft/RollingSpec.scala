@@ -620,6 +620,46 @@ class RollingSpec extends AnyFunSuite {
     assert(biased(2) === 0.9216)
   }
 
+  test("ewm span/com/halflife parameterizations match pandas") {
+    import graft.operators.Ewm
+    val d = df((0, 0, Some(3.0), true), (1, 0, Some(1.0), true),
+      (2, 0, Some(5.0), true), (3, 0, Some(2.0), true))
+    assert(vals(ops(d).ewmMean(col("value"), col("ord"),
+      Ewm.alphaFromSpan(5.0)), "ewm_mean") ===
+      Seq(3.0, 1.7999999999999998, 3.3157894736842097, 2.7692307692307687))
+    assert(vals(ops(d).ewmMean(col("value"), col("ord"),
+      Ewm.alphaFromHalflife(2.0)), "ewm_mean") ===
+      Seq(3.0, 1.8284271247461903, 3.2654091966098644, 2.7712361663282534))
+    assert(Ewm.alphaFromCom(3.0) === 0.25)
+    assertThrows[IllegalArgumentException] { Ewm.alphaFromSpan(0.5) }
+    assertThrows[IllegalArgumentException] { Ewm.alphaFromHalflife(0.0) }
+  }
+
+  // -------------------------------------------------------- interpolate
+
+  test("interpolate matches pandas: interior linear/index, trailing ffill, leading null, limit") {
+    // pandas: [nan, 1, nan, nan, 7, nan] at index [0, 10, 20, 25, 40, 50]
+    val d = df((0, 0, None, true), (10, 0, Some(1.0), true),
+      (20, 0, None, true), (25, 0, None, true), (40, 0, Some(7.0), true),
+      (50, 0, None, true))
+    assert(vals(ops(d).interpolate(col("value"), col("ord")), "interp") ===
+      Seq(null, 1.0, 3.0, 5.0, 7.0, 7.0))
+    assert(vals(ops(d).interpolate(col("value"), col("ord"),
+      method = "index"), "interp") === Seq(null, 1.0, 3.0, 4.0, 7.0, 7.0))
+    assert(vals(ops(d).interpolate(col("value"), col("ord"),
+      limit = Some(1)), "interp") === Seq(null, 1.0, 3.0, null, 7.0, 7.0))
+    assertThrows[IllegalArgumentException] {
+      ops(d).interpolate(col("value"), col("ord"), method = "spline")
+    }
+    // groups isolated; null keys emit null
+    val dn = Seq((0, Some(0), Some(2.0)), (1, Some(0), None),
+      (2, Some(0), Some(4.0)), (3, None, None))
+      .toDF("ord", "key", "value")
+    val out = new RollingOps(new GroupBy(dn, Seq(col("key"))))
+      .interpolate(col("value"), col("ord"))
+    assert(vals(out, "interp") === Seq(2.0, 3.0, 4.0, null))
+  }
+
   test("ewm mean: alpha=1 forgets instantly; invalid alpha and null ord raise") {
     val d = df((0, 0, Some(1.0), true), (1, 0, Some(5.0), true))
     assert(vals(ops(d).ewmMean(col("value"), col("ord"), 1.0), "ewm_mean") ===
