@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, GroupBy, Joins, Margins, Pq, Reshape, RollingOps, Sampling, SelectionOps, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main — mirrors the reference harness's op set
@@ -37,6 +37,17 @@ object Bench {
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").persist()
     val ev = spark.read.parquet(s"$sfDir/events.parquet").persist()
+    // integral time axis for bucket ops: long-nanos events stay raw
+    // (6h in nanos), timestamp events go through unix_micros (6h in
+    // micros) — the eventsUs/PlanAudit branch
+    def tsIntOf(d: DataFrame): Column = d.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts"))
+    }
+    def sixHoursOf(d: DataFrame): Long = d.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => 21600000000000L
+      case _ => 21600000000L
+    }
     val orders = spark.read.parquet(s"$sfDir/orders.parquet").persist()
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").persist()
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
@@ -119,6 +130,13 @@ object Bench {
       "rolling_var" -> (() => evOps.rollingVar(col("value"), col("ts"), 50,
         minPeriods = Some(1))),
       "ffill" -> (() => evOps.ffill(col("value"), col("ts"))),
+      "interp" -> (() => evOps.interpolate(
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")),
+        col("ts"))),
+      "resample" -> (() => graft.operators.Resample.resample(
+        new GroupBy(ev, Seq(col("user_id"))), tsIntOf(ev), sixHoursOf(ev),
+        Seq(graft.operators.AggSpec("sum", col("value"), "s", exact = true),
+          graft.operators.AggSpec("count", col("value"), "n")))),
       // ewm is the one per-key SEQUENTIAL op (linear recurrence →
       // sorted fold, not a window): this row prices that shape
       "ewm_mean" -> (() => evOps.ewmMean(col("value"), col("ts"), 0.25)),
@@ -606,7 +624,28 @@ object Bench {
         graft.operators.LangModel.scoreByBigram(docs10, col("doc_id"),
           col("text"), bi, uni,
           graft.operators.LangModel.totalTokens(uni))
-      }))
+      }),
+      // corpus AND query batch scale xMult× (query cost is the scan;
+      // fixed queries would hide the per-candidate term)
+      s"pq_adc_topk$xs" -> (() => {
+        val model = Pq.fit(embs10, col("vec_id"), col("embedding"),
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        Pq.adcTopK(embs10, embs10.filter(col("vec_id") < 100L * xMult),
+          col("vec_id"), col("embedding"), 10, model)
+      }),
+      // per-key history length scales (userbase fixed per copy but ids
+      // shifted -> same-size keys, xMult x more of them): the fold's
+      // per-key sequential cost stays flat, the shuffle volume scales
+      s"ewm_mean$xs" -> (() => new RollingOps(new GroupBy(ev10,
+        Seq(col("user_id")))).ewmMean(col("value"), col("ts"), 0.25)),
+      s"resample$xs" -> (() => graft.operators.Resample.resample(
+        new GroupBy(ev10, Seq(col("user_id"))), tsIntOf(ev10), sixHoursOf(ev10),
+        Seq(graft.operators.AggSpec("sum", col("value"), "s", exact = true),
+          graft.operators.AggSpec("count", col("value"), "n")))),
+      s"interp$xs" -> (() => new RollingOps(new GroupBy(ev10,
+        Seq(col("user_id")))).interpolate(
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")),
+          col("ts"))))
 
     // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
     // timed (the JIT universe is already compiled by the main loop —

@@ -44,6 +44,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * window-rescaling trick survives unbounded spans: the prefix-sum
   * form needs `(1-α)^(-rank)`, which overflows double past
   * `~690/-ln(1-α)` rows, so the honest general path is the fold.
+  *
+  * Known limit of the fold form: the per-row output append copies the
+  * accumulated array, so a SINGLE key's cost is quadratic in its
+  * history length — negligible to ~10⁴ rows per key, real beyond.
+  * The known extension for extreme histories is the affine-scan
+  * form — per-row state maps `(N, D) → (f·N + nw·x, f·D + nw)`
+  * compose associatively, so slices can fold independently and chain
+  * summary-sized carries — at the cost of a different summation order
+  * than pandas (no longer bit-equal, hence not the default here).
   */
 object Ewm {
 
