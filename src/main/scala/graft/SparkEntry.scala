@@ -2319,6 +2319,53 @@ object SparkEntry {
         | COUNT(*) AS count
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    Q("ct_normalize",
+      // pandas crosstab(normalize=...): row-share cells (index mode,
+      // a pure projection) plus one all-mode column (grand-total
+      // share, one-row broadcast) over the status x priority counts
+      (s, dir) => {
+        val ct = Reshape.crosstab(T(s, dir, "orders"),
+          Seq(col("o_orderstatus")), col("o_orderpriority"),
+          fillZero = true)
+        val byIndex = Reshape.normalizeCells(ct, Seq("o_orderstatus"), "index")
+        val byAll = Reshape.normalizeCells(ct, Seq("o_orderstatus"), "all")
+          .select(col("o_orderstatus"), col("1-URGENT").as("urgent_share_all"))
+        byIndex.join(byAll, Seq("o_orderstatus")).orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH c AS (SELECT o_orderstatus,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS DOUBLE) AS c1,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS DOUBLE) AS c2,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS DOUBLE) AS c3,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS DOUBLE) AS c4,
+        |  CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS DOUBLE) AS c5
+        |  FROM orders GROUP BY 1),
+        | t AS (SELECT SUM(c1) AS t1, SUM(c2) AS t2, SUM(c3) AS t3,
+        |   SUM(c4) AS t4, SUM(c5) AS t5 FROM c)
+        |SELECT o_orderstatus,
+        |  c1 / (c1 + c2 + c3 + c4 + c5) AS "1-URGENT",
+        |  c2 / (c1 + c2 + c3 + c4 + c5) AS "2-HIGH",
+        |  c3 / (c1 + c2 + c3 + c4 + c5) AS "3-MEDIUM",
+        |  c4 / (c1 + c2 + c3 + c4 + c5) AS "4-NOT SPECIFIED",
+        |  c5 / (c1 + c2 + c3 + c4 + c5) AS "5-LOW",
+        |  c1 / (SELECT t1 + t2 + t3 + t4 + t5 FROM t) AS urgent_share_all
+        |FROM c ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("reshape_qcut",
+      // pandas qcut(x, 4) bin codes: exact interpolated quartile
+      // edges, right-closed intervals, ties to the lower bin
+      (s, dir) => Reshape.qcut(T(s, dir, "orders"), col("o_totalprice"), 4)
+        .select(col("o_orderkey"), col("qbin").cast("long").as("qbin"))
+        .orderBy(col("o_orderkey")),
+      Some("""WITH e AS (SELECT quantile_cont(o_totalprice, 0.25) AS e1,
+        |  quantile_cont(o_totalprice, 0.5) AS e2,
+        |  quantile_cont(o_totalprice, 0.75) AS e3 FROM orders)
+        |SELECT o_orderkey, CAST(CASE WHEN o_totalprice IS NULL THEN NULL ELSE
+        |  (CASE WHEN o_totalprice > (SELECT e1 FROM e) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > (SELECT e2 FROM e) THEN 1 ELSE 0 END)
+        |  + (CASE WHEN o_totalprice > (SELECT e3 FROM e) THEN 1 ELSE 0 END)
+        |  END AS BIGINT) AS qbin
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     Q("encode_dummies",
       // pandas get_dummies over the 5-value priority domain: one 0/1
       // column per value, sorted layout, row-local projection

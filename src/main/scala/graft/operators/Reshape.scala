@@ -340,6 +340,65 @@ object Reshape {
     }
   }
 
+  /** pandas `crosstab(..., normalize=...)` as a post-pass over any
+    * pivoted frame (the output of [[crosstab]] with `fillZero=true`):
+    * `"index"` divides each cell by its ROW total — a pure row-local
+    * projection, zero extra passes; `"columns"` / `"all"` divide by
+    * per-column totals / the grand total — ONE one-row aggregate
+    * broadcast back (the density grand-total shape). `idCols` are the
+    * non-cell columns; every other column must be numeric. Zero
+    * totals yield null cells (safeDiv), null cells stay null.
+    */
+  def normalizeCells(ct: DataFrame, idCols: Seq[String],
+      mode: String): DataFrame = {
+    require(Seq("index", "columns", "all").contains(mode),
+      s"mode must be index/columns/all, got $mode")
+    val cells = ct.columns.filterNot(idCols.contains).toSeq
+    require(cells.nonEmpty, "no cell columns to normalize")
+    def nz(c: String): Column = coalesce(col(c).cast("double"), lit(0.0))
+    mode match {
+      case "index" =>
+        val total = cells.map(nz).reduce(_ + _)
+        ct.select(idCols.map(col) ++ cells.map(c =>
+          graft.functions.Num.safeDiv(col(c).cast("double"), total).as(c)): _*)
+      case "columns" | "all" =>
+        val sums = cells.map(c => F.sum(nz(c)).as(s"__t_$c"))
+        val totals = ct.agg(sums.head, sums.tail: _*)
+        val joined = ct.crossJoin(F.broadcast(totals))
+        val out = cells.map { c =>
+          val den =
+            if (mode == "columns") col(s"__t_$c")
+            else cells.map(x => col(s"__t_$x")).reduce(_ + _)
+          graft.functions.Num.safeDiv(col(c).cast("double"), den).as(c)
+        }
+        joined.select(idCols.map(col) ++ out: _*)
+    }
+  }
+
+  /** pandas `qcut(x, q)` bin CODES: exact linear-interpolated
+    * quantile edges at `i/q` (ONE aggregation, `q−1` doubles to the
+    * driver), then each row's code = how many interior edges its
+    * value exceeds — the `(e_{i−1}, e_i]` interval rule with the
+    * bottom bin closed. Ties at an edge fall to the LOWER bin
+    * (pandas right-closed intervals); null x → null code. Duplicate
+    * edges (heavy mass at one value) leave their intermediate codes
+    * unpopulated — the code-space analogue of pandas
+    * `duplicates='drop'`, without relabeling. Row-local assignment:
+    * zero shuffle beyond the edge aggregate.
+    */
+  def qcut(df: DataFrame, x: Column, q: Int,
+      name: String = "qbin"): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val probs = (1 until q).map(_.toDouble / q)
+    val edgeRow = df.agg(F.percentile(x,
+      F.array(probs.map(lit): _*)).as("e")).head()
+    require(!edgeRow.isNullAt(0), "qcut on an all-null/empty column")
+    val edges = edgeRow.getSeq[Double](0)
+    val code = edges.map(e => when(x > e, 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn(name, when(x.isNotNull, code))
+  }
+
   /** One-hot encoding — pandas `get_dummies`: one `{prefix}_{value}`
     * 0/1 column per distinct non-null value of `c`, values collected
     * via partial-aggregated `collect_set` (the pivot-domain contract:

@@ -260,6 +260,39 @@ class ReshapeSpec extends AnyFunSuite {
     assert(a.isNullAt(out.columns.indexOf("x|q")))
   }
 
+  test("normalizeCells: index is a row share, columns a column share, all a grand share; zero rows null") {
+    import spark.implicits._
+    val ct = Seq(("a", 2.0, 2.0), ("b", 0.0, 0.0), ("c", 1.0, 3.0))
+      .toDF("k", "x", "y")
+    def m(mode: String): Map[String, (Any, Any)] =
+      Reshape.normalizeCells(ct, Seq("k"), mode).collect()
+        .map(r => r.getString(0) -> ((if (r.isNullAt(1)) null else r.get(1),
+          if (r.isNullAt(2)) null else r.get(2)))).toMap
+    assert(m("index") === Map("a" -> ((0.5, 0.5)), "b" -> ((null, null)),
+      "c" -> ((0.25, 0.75))))
+    assert(m("columns") === Map("a" -> ((2.0 / 3, 0.4)), "b" -> ((0.0, 0.0)),
+      "c" -> ((1.0 / 3, 0.6))))
+    assert(m("all") === Map("a" -> ((0.25, 0.25)), "b" -> ((0.0, 0.0)),
+      "c" -> ((0.125, 0.375))))
+    intercept[IllegalArgumentException] {
+      Reshape.normalizeCells(ct, Seq("k"), "rows")
+    }
+  }
+
+  test("qcut: pandas quartile codes, ties to the lower bin, nulls null") {
+    import spark.implicits._
+    // pandas qcut([1..8], 4) -> codes [0,0,1,1,2,2,3,3]
+    val d = (1 to 8).map(i => (i, Some(i.toDouble))).toDF("id", "v")
+      .union(Seq((9, Option.empty[Double])).toDF("id", "v"))
+    val out = Reshape.qcut(d, col("v"), 4).orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) null else r.get(2)).toSeq
+    assert(out === Seq(0, 0, 1, 1, 2, 2, 3, 3, null))
+    intercept[IllegalArgumentException] { Reshape.qcut(d, col("v"), 1) }
+    intercept[IllegalArgumentException] {
+      Reshape.qcut(d.filter(col("id") > 90), col("v"), 4)
+    }
+  }
+
   test("get_dummies: sorted 0/1 columns, null rows all-zero, dropFirst, cardinality guard") {
     import spark.implicits._
     val d = Seq((1, Some("b")), (2, Some("a")), (3, None), (4, Some("b")))
