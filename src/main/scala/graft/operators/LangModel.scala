@@ -102,9 +102,12 @@ object LangModel {
       sep: String = " "): DataFrame = {
     val toks = F.filter(split(text, java.util.regex.Pattern.quote(sep)),
       w => w =!= "")
+    // floor the slice length at 0: a zero-token document would give
+    // size-1 = -1 and slice throws on negative lengths at runtime
+    val pairLen = greatest(F.size(toks) - 1, lit(0))
     ref.select(explode(F.zip_with(
-        F.slice(toks, lit(1), F.size(toks) - 1),
-        F.slice(toks, lit(2), F.size(toks) - 1),
+        F.slice(toks, lit(1), pairLen),
+        F.slice(toks, lit(2), pairLen),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(F.count(lit(1)).as("cnt"))
@@ -149,7 +152,12 @@ object LangModel {
     // zip again, so history attaches row-locally
     val prevArr = F.concat(array(lit(null).cast("string")),
       F.slice(toks, lit(1), greatest(F.size(toks) - 1, lit(0))))
-    val rows = df.select(id.as("doc_id"),
+    // drop zero-token documents BEFORE pairing: prevArr is [null]
+    // while toks is [], and zip_with pads to the longer array — a
+    // phantom (null, null) row that would score the empty doc with
+    // n_tokens=1 where the oracle (and the unigram family) drop it
+    val rows = df.filter(F.size(toks) > 0)
+      .select(id.as("doc_id"),
         explode(F.zip_with(prevArr, toks,
           (p, t) => struct(p.as("prev"), t.as("token")))).as("r"))
       .select(col("doc_id"), col("r.prev").as("prev"),

@@ -197,7 +197,8 @@ object Pca {
     * recoverable from the moments pass; callers with a model and the
     * moments frame avoid a second corpus scan).
     */
-  def explainedVariance(model: PcaModel, momentsDf: DataFrame): Seq[Double] = {
+  def explainedVariance(model: PcaModel, momentsDf: DataFrame,
+      ddof: Int = 1): Seq[Double] = {
     val diag = momentsDf.filter(col("i") === col("j")).select(col("i"), col("s"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
     val nRow = momentsDf.filter(col("i") === -1 && col("j") === -1)
@@ -206,8 +207,10 @@ object Pca {
     val n = nRow(0).getDouble(0)
     val s1 = momentsDf.filter(col("j") === -1 && col("i") >= 0)
       .collect().map(r => (r.getInt(0), r.getDouble(2))).toMap
+    // same ddof as the fit, or the eigenvalues and the trace use
+    // different normalizations and the ratios stop summing to ~1
     val trace = (0 until model.dim).map { i =>
-      (diag(i) - s1(i) * s1(i) / n) / (n - 1)
+      (diag(i) - s1(i) * s1(i) / n) / (n - ddof)
     }.sum
     model.eigenvalues.map(_ / trace)
   }

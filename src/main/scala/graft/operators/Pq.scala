@@ -153,6 +153,10 @@ object Pq {
       }: _*).as("__a")).persist()
       val means = assigned
         .select(explode(col("__a")).as("a"))
+        // NaN components pass the length/null validity filter but
+        // nearestCode returns a null ("unscorable") code — drop them
+        // here or the means collect NPEs on the null-code group
+        .filter(col("a.code").isNotNull)
         .select(col("a.sub").as("sub"), col("a.code").as("code"),
           posexplode(col("a.sv")).as(Seq("pos", "x")))
         .groupBy("sub", "code", "pos")

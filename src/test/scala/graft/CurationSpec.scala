@@ -263,6 +263,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._3 > out(2L)._3)
   }
 
+  test("bigram LM: zero-token documents neither crash counting nor get scored") {
+    import graft.operators.LangModel
+    // empty and whitespace-only rows mixed into both corpora — the
+    // slice(toks, 1, size-1) hazard: size 0 gave length -1 pre-fix
+    val ref = Seq((0L, "a b a b"), (1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val uni = LangModel.unigramCounts(ref, col("text"))
+    val bi = LangModel.bigramCounts(ref, col("text"))
+    val biM = bi.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getLong(2)).toMap
+    assert(biM === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    val docs = Seq((1L, "a b"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    val out = LangModel.scoreByBigram(docs, col("doc_id"), col("text"),
+      bi, uni, LangModel.totalTokens(uni), alpha = 0.4).collect()
+    // empty docs drop out entirely (matching the unigram family and
+    // the oracle) instead of scoring a phantom (null, null) token
+    assert(out.map(_.getLong(0)).toSet === Set(1L))
+  }
+
   // ----------------------------------------------------------- fuzzy join
 
   test("fuzzyJoin finds typo pairs within blocks; prefix typos are missed by design") {

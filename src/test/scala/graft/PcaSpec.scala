@@ -131,6 +131,13 @@ class PcaSpec extends AnyFunSuite {
     assert(ratios.forall(r => r > -1e-9 && r <= 1.0 + 1e-9))
     assert(math.abs(ratios.sum - 1.0) < 1e-6)
     assert(ratios === ratios.sorted.reverse)
+    // ddof must match the fit: a ddof=0 model with a ddof=0 trace
+    // also sums to 1; mixing normalizations scales by (n-1)/n
+    val m0 = Pca.fit(d, col("v"), k = 3, iters = 30, ddof = 0)
+    val r0 = Pca.explainedVariance(m0, mom, ddof = 0)
+    assert(math.abs(r0.sum - 1.0) < 1e-6)
+    val mixed = Pca.explainedVariance(m0, mom, ddof = 1)
+    assert(math.abs(mixed.sum - 4.0 / 5.0) < 1e-6) // n=5: (n-1)/n
   }
 
   test("moments: count cell is the valid-row count; null and wrong-length vectors excluded") {

@@ -55,6 +55,24 @@ class PqSpec extends AnyFunSuite {
     assert(codes(0)._2 !== codes(2)._2)
   }
 
+  test("fit survives NaN components in the corpus (null-code rows dropped from the means)") {
+    val dirty = corpus.union(Seq(
+      (6L, Array(Float.NaN, 1f, Float.NaN, 3f)),
+      (7L, Array(0.1f, Float.NaN, -4.1f, Float.NaN))).toDF("vec_id", "embedding"))
+    // pre-fix this NPE'd in the means collect on the null-code group;
+    // seed by id parity so seeds are the clean rows 0 and 2 (one per
+    // cluster) and the assertion is hash-independent
+    val m = Pq.fit(dirty, col("vec_id"), col("embedding"), dim = 4, m = 2,
+      ksub = 2, iters = 3, seedHash = c => c % 2)
+    def sortedMeans(j: Int): Seq[Double] =
+      m.codebooks(j).map(_._2.sum / 2.0).sorted
+    // NaN rows contribute nothing: centroids match the clean fixture
+    assert(sortedMeans(0).zip(Seq(0.1, 8.1)).forall {
+      case (g, e) => math.abs(g - e) < 0.2 })
+    assert(sortedMeans(1).zip(Seq(-4.1, 4.05)).forall {
+      case (g, e) => math.abs(g - e) < 0.2 })
+  }
+
   test("encode: null or dimension-mismatched vectors get null codes") {
     val m = fitModel()
     val bad = Seq((10L, Some(Array(1f, 2f, 3f))), (11L, None),
