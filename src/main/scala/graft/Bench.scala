@@ -217,9 +217,20 @@ object Bench {
     // same-shape peers escaped (gb_sum 1.11s vs gb_mean 0.19s). Warm
     // every op before timing ANY op: by the first measurement the whole
     // plan/codegen universe is compiled and quiesced.
-    ops.foreach { case (_, build) => force(build()); force(build()) }
+    // isolation knob (VERDICT r8 item 7): SPARK_GRAFT_GROUPS=skew (or
+    // a comma list of main,persist,prodDedup,zipf,skew,x10) measures
+    // only those groups so a suspect row can be reproduced with no
+    // other group's fixtures, JIT churn, or cache residue in the
+    // process. Unset = the full recording (the official artifact).
+    val groupsOn = sys.env.get("SPARK_GRAFT_GROUPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def groupOn(g: String): Boolean = groupsOn.forall(_.contains(g))
+
+    if (groupOn("main"))
+      ops.foreach { case (_, build) => force(build()); force(build()) }
     sentinels("main") = loadavg()
-    val results = ops.map { case (name, build) =>
+    val results = (if (groupOn("main")) ops else Seq.empty).map {
+      case (name, build) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         force(build())
@@ -678,17 +689,29 @@ object Bench {
     // each group's fixtures materialize immediately before its
     // measurement and are freed (blocking) right after — no group
     // measures under another's cache residue
-    val persistResults = measureGroup("persist", persistOps)
-    val prodDedupResults = measureGroup("prodDedup", prodDedupOps)
-    zipf10k.count(); zipf30k.count()
-    val zipfResults = measureGroup("zipf", zipfOps)
-    zipf10k.unpersist(true); zipf30k.unpersist(true)
-    hotLeft.count(); hotRight.count()
-    val skewResults = measureGroup("skew", skewOps)
-    hotLeft.unpersist(true); hotRight.unpersist(true)
-    docs10.count(); embs10.count(); ev10.count()
-    val x10Results = measureGroup("x10", x10Ops)
-    docs10.unpersist(true); embs10.unpersist(true); ev10.unpersist(true)
+    val persistResults =
+      if (groupOn("persist")) measureGroup("persist", persistOps) else Seq.empty
+    val prodDedupResults =
+      if (groupOn("prodDedup")) measureGroup("prodDedup", prodDedupOps)
+      else Seq.empty
+    val zipfResults = if (groupOn("zipf")) {
+      zipf10k.count(); zipf30k.count()
+      val r = measureGroup("zipf", zipfOps)
+      zipf10k.unpersist(true); zipf30k.unpersist(true)
+      r
+    } else Seq.empty
+    val skewResults = if (groupOn("skew")) {
+      hotLeft.count(); hotRight.count()
+      val r = measureGroup("skew", skewOps)
+      hotLeft.unpersist(true); hotRight.unpersist(true)
+      r
+    } else Seq.empty
+    val x10Results = if (groupOn("x10")) {
+      docs10.count(); embs10.count(); ev10.count()
+      val r = measureGroup("x10", x10Ops)
+      docs10.unpersist(true); embs10.unpersist(true); ev10.unpersist(true)
+      r
+    } else Seq.empty
 
     val all = results ++ persistResults ++ prodDedupResults ++ zipfResults ++
       skewResults ++ x10Results
