@@ -1171,6 +1171,48 @@ object SparkEntry {
         | COUNT(CASE WHEN l_discount > 0.02 THEN l_quantity END) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("gb_sum_mask_slice",
+      // the reference's slice-mask form (core.py:493-519,
+      // mask=slice(start, stop, step)) compiled against the explicit
+      // row id: a codegen'd range predicate inside the aggregate
+      (s, dir) => new GroupBy(T(s, dir, "events"), Seq(col("event_type")))
+        .aggregate(Seq(AggSpec("sum", col("value"), "sum_value", exact = true),
+          AggSpec("count", col("value"), "n")),
+          mask = Some(GroupBy.maskSlice(col("event_id"), 1000L, 50000L, 7L))),
+      // HAVING replays observed-only: all-masked groups drop
+      Some(s"""SELECT event_type,
+        | CAST(SUM(CASE WHEN event_id >= 1000 AND event_id < 50000
+        |   AND (event_id - 1000) % 7 = 0 THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sum_value,
+        | COUNT(CASE WHEN event_id >= 1000 AND event_id < 50000
+        |   AND (event_id - 1000) % 7 = 0 THEN value END) AS n
+        |FROM events GROUP BY 1
+        |HAVING COUNT(CASE WHEN event_id >= 1000 AND event_id < 50000
+        |   AND (event_id - 1000) % 7 = 0 THEN 1 END) > 0
+        |ORDER BY 1""".stripMargin)),
+
+    Q("gb_sum_mask_indices",
+      // the fancy-indexer mask form (an integer position array)
+      (s, dir) => new GroupBy(T(s, dir, "events"), Seq(col("event_type")))
+        .aggregate(Seq(AggSpec("sum", col("value"), "sum_value", exact = true)),
+          mask = Some(GroupBy.maskIndices(col("event_id"),
+            Seq(11L, 42L, 1000L, 4999L, 12345L)))),
+      Some(s"""SELECT event_type,
+        | CAST(SUM(CASE WHEN event_id IN (11, 42, 1000, 4999, 12345)
+        |   THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1
+        |HAVING COUNT(CASE WHEN event_id IN (11, 42, 1000, 4999, 12345)
+        |   THEN 1 END) > 0
+        |ORDER BY 1""".stripMargin)),
+
+    Q("gb_get_group",
+      // get_group(label): one group's rows, a pushdown-friendly filter
+      (s, dir) => new GroupBy(T(s, dir, "events"), Seq(col("event_type")))
+        .getGroup("purchase")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     Q("gb_sum",
       (s, dir) => new GroupBy(T(s, dir, "lineitem"), liKeys).sum(
         Seq(col("l_quantity").as("sum_qty"), col("l_extendedprice").as("sum_price")),

@@ -1068,6 +1068,21 @@ final class GroupBy(
   def groupsOf(rowId: Column, name: String = "row_ids"): DataFrame =
     base.groupBy(keyCols: _*)
       .agg(F.sort_array(F.collect_list(rowId)).as(name))
+
+  /** One group's rows as a DataFrame (reference `get_group`, the
+    * usable half of `api.py:189-209`'s per-group iteration — full
+    * iteration is a driver-side anti-pattern at scale; [[groupsOf]]
+    * is the distributed analogue). `label` supplies one value per
+    * grouping key, in key order; the result is a plain pushdown-
+    * friendly filter over the input.
+    */
+  def getGroup(label: Any*): DataFrame = {
+    require(label.size == keyNames.size,
+      s"getGroup needs one label per key (${keyNames.mkString(", ")}), " +
+        s"got ${label.size}")
+    base.filter(keyNames.zip(label)
+      .map { case (n, v) => col(n) === lit(v) }.reduce(_ && _))
+  }
 }
 
 object GroupBy {
@@ -1082,6 +1097,36 @@ object GroupBy {
   def apply(df: DataFrame, keys: Seq[Column], sort: Boolean = true,
       dropNullKeys: Boolean = true): GroupBy =
     new GroupBy(df, keys, sort, dropNullKeys)
+
+  /** Compile the reference's slice-mask form (`core.py:493-519`
+    * accepts `mask=slice(start, stop, step)` over physical row
+    * positions) into a boolean mask column. Spark has no physical row
+    * order, so — like every positional op here — position is an
+    * explicit `rowId` column (0-based, the reference's implicit
+    * RangeIndex made explicit); the slice becomes a codegen'd range
+    * predicate that pushes down to the scan. Half-open `[start,
+    * stop)` with stride `step`, matching Python slice semantics;
+    * negative/None endpoints need the frame length and are the
+    * caller's arithmetic.
+    */
+  def maskSlice(rowId: Column, start: Long, stop: Long,
+      step: Long = 1L): Column = {
+    require(start >= 0, s"start must be >= 0, got $start")
+    require(stop >= start, s"stop must be >= start, got [$start, $stop)")
+    require(step >= 1, s"step must be >= 1, got $step")
+    val inRange = rowId >= start && rowId < stop
+    if (step == 1L) inRange
+    else inRange && F.pmod(rowId - start, lit(step)) === 0
+  }
+
+  /** Compile the reference's fancy-indexer mask form (an integer
+    * position array, `core.py:493-519`) into a boolean mask column
+    * over the explicit `rowId`. Literal id sets are the in-memory-
+    * array parity case; a DISTRIBUTED id set should be a semi-join,
+    * not a mask.
+    */
+  def maskIndices(rowId: Column, ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(false) else rowId.isin(ids: _*)
 
   /** Top-level value_counts (reference `core.py:2054`). */
   def valueCounts(df: DataFrame, value: Column, normalize: Boolean = false,

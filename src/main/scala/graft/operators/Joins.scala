@@ -365,14 +365,56 @@ object Joins {
     * economics as the dedup family's capped posting lists. The
     * verification predicate is codegen'd `levenshtein`, evaluated
     * only on block-mates.
+    *
+    * '''Duplicate-key economics:''' verification runs once per
+    * DISTINCT (left_key, right_key) pair, and id multiplicities are
+    * re-attached afterward by two hash equi-joins on the key. Real ER
+    * corpora repeat names heavily (the sf part table holds 20k rows
+    * over 64 distinct names), and the naive row-level block join pays
+    * |rows_L|·|rows_R| levenshtein calls per block where this form
+    * pays |keys_L|·|keys_R| + O(output) join work — the same result
+    * set for orders of magnitude fewer verifies. Unique-key corpora
+    * pay only the two linear dedup shuffles.
+    *
+    * '''Low-prefix-diversity guard (`qgramFilter`, default on):'''
+    * when the DISTINCT-key population shares few prefixes (templated
+    * entity names), one block can still hold a large fraction of both
+    * sides and its |keys_L|·|keys_R| cross product lands on a single
+    * shuffle partition — the quadratic single-task shape that would
+    * not survive 100 TB. Blocks whose distinct-key pair volume
+    * exceeds `maxBlockPairs` (pre-measured by one tiny count-pass per
+    * side) are therefore routed through a LOSSLESS positional q-gram
+    * count-filter (Gravano et al., "Approximate String Joins in a
+    * Database (Almost) for Free", VLDB 2001; prefix selection per
+    * Chaudhuri/Ganti/Kaushik ICDE 2006): an edit script of ≤
+    * `maxDist` operations destroys at most `q·maxDist` of a string's
+    * positional q-grams and shifts survivors by at most `maxDist`
+    * positions, so ANY `q·maxDist + 1` gram occurrences of the left
+    * key must include one appearing in the right key within
+    * ±`maxDist` of its position. Each left key in an oversized block
+    * probes with only its `q·maxDist + 1` globally-rarest grams (df
+    * over the indexed side — the PPJoin ordering, as in
+    * `Dedup.ngramJaccardPairs(prefixFilter = true)`) against a gram
+    * index of the block keyed by (block, gram, position band):
+    * candidates ≈ true pairs instead of block², and every stage is a
+    * linear gram-volume shuffle. Keys too short to own `q·maxDist +
+    * 1` grams verify against their whole (by definition small: the
+    * key is < q·(maxDist+1) chars) block the plain way. Blocks under
+    * the threshold keep the plain join — no gram machinery tax on
+    * prefix-diverse corpora. The routing is output-invariant
+    * (spec-proven by randomized differentials on both regimes).
     */
   def fuzzyJoin(
       left: DataFrame, leftId: Column, leftKey: Column,
       right: DataFrame, rightId: Column, rightKey: Column,
-      maxDist: Int, prefixLen: Int = 2, lenBand: Int = 4): DataFrame = {
+      maxDist: Int, prefixLen: Int = 2, lenBand: Int = 4,
+      qgramFilter: Boolean = true, q: Int = 2,
+      maxBlockPairs: Long = 1L << 22): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 0, s"prefixLen must be >= 0, got $prefixLen")
     require(lenBand >= 1, s"lenBand must be >= 1, got $lenBand")
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(maxBlockPairs >= 1, s"maxBlockPairs must be >= 1, got $maxBlockPairs")
     def norm(c: Column): Column = lower(trim(c))
     def bin(c: Column): Column = (length(c) / lenBand).cast("int")
     def blockKey(c: Column): Column =
@@ -384,25 +426,114 @@ object Joins {
     // advice item). Floor of 1 keeps the historical ±1 probe for the
     // common maxDist <= lenBand case.
     val binW = math.max(1, (maxDist + lenBand - 1) / lenBand)
-    val l = left.select(leftId.as("left_id"), norm(leftKey).as("__graft_lk"))
+    def binProbe(key: Column): Column =
+      explode(sequence(bin(key) - binW, bin(key) + binW))
+    val l0 = left.select(leftId.as("left_id"), norm(leftKey).as("__graft_lk"))
       .filter(col("__graft_lk").isNotNull)
-      .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
-      .withColumn("__graft_bin", explode(sequence(
-        bin(col("__graft_lk")) - binW, bin(col("__graft_lk")) + binW)))
-    val r = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
+    val r0 = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
       .filter(col("__graft_rk").isNotNull)
+    // distinct keys, with the block coordinates (pure functions of the
+    // key) computed once; the left side probes ±binW bins row-locally
+    val lProbe = l0.select(col("__graft_lk")).distinct()
+      .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
+      .withColumn("__graft_bin", binProbe(col("__graft_lk")))
+    val rKeys = r0.select(col("__graft_rk")).distinct()
       .withColumn("__graft_pfx", blockKey(col("__graft_rk")))
       .withColumn("__graft_bin", bin(col("__graft_rk")))
+    val blockCols = Seq("__graft_pfx", "__graft_bin")
     // thresholded levenshtein (Spark 3.5+): banded DP that abandons a
     // pair the moment its distance must exceed maxDist — O(len·maxDist)
-    // per verification instead of O(len²), the decisive constant on
-    // low-prefix-diversity corpora where blocks are large. Returns -1
-    // beyond the threshold, so the admissible range is [0, maxDist].
+    // per verification instead of O(len²). Returns -1 beyond the
+    // threshold, so the admissible range is [0, maxDist].
     val d = levenshtein(col("__graft_lk"), col("__graft_rk"), maxDist)
-    l.join(r, Seq("__graft_pfx", "__graft_bin"))
+    def verified(cand: DataFrame): DataFrame = cand
       .filter(d >= 0 && d <= maxDist)
+      .select(col("__graft_lk"), col("__graft_rk"), d.as("__graft_d"))
+    // id-multiplicity expansion: each verified key pair re-attaches
+    // every row bearing its keys (block coords are functions of the
+    // key, so the key alone is the correct join condition)
+    def expand(pairs: DataFrame): DataFrame = pairs
+      .join(l0, Seq("__graft_lk"))
+      .join(r0, Seq("__graft_rk"))
       .select(col("left_id"), col("right_id"),
         col("__graft_lk").as("left_key"), col("__graft_rk").as("right_key"),
-        d.as("dist"))
+        col("__graft_d").as("dist"))
+    if (!qgramFilter)
+      return expand(verified(lProbe.join(rKeys, blockCols)))
+
+    // block routing: distinct-key pair volume per (prefix, bin), from
+    // two block-count aggregations (each output is #blocks-sized)
+    val bigBlocks = lProbe.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__graft_cl"))
+      .join(rKeys.groupBy(blockCols.map(col): _*)
+        .agg(count(lit(1)).as("__graft_cr")), blockCols)
+      .filter(col("__graft_cl") * col("__graft_cr") > maxBlockPairs)
+      .select(blockCols.map(col): _*)
+    val lSmall = lProbe.join(bigBlocks, blockCols, "left_anti")
+    val smallCand = lSmall.join(rKeys, blockCols)
+    val lBig = lProbe.join(bigBlocks, blockCols, "left_semi")
+    val rBig = rKeys.join(bigBlocks, blockCols, "left_semi")
+
+    val pi = q * maxDist + 1
+    // keys with fewer than pi grams can have ALL their grams destroyed
+    // by the edit script — the count-filter argument needs pi distinct
+    // occurrences — so they verify against their whole block plainly
+    val isShort = length(col("__graft_lk")) - q + 1 < pi
+    val shortBigCand = lBig.filter(isShort).join(rBig, blockCols)
+    // positional q-grams, formed row-locally
+    def gramsOf(key: Column): Column =
+      transform(sequence(lit(0), length(key) - q),
+        i => struct(key.substr(i + 1, lit(q)).as("gram"), i.as("pos")))
+    // positions quantize into (maxDist+1)-wide bands; the right side
+    // registers each gram under every band a ±maxDist partner could
+    // occupy, so the positional tolerance is an EQUI-join key (hash
+    // join, no inequality fanout) with the exact |Δpos| check after
+    val bw = maxDist + 1
+    def bandOf(p: Column): Column = floor(p.cast("double") / bw).cast("int")
+    val rGrams = rBig
+      .select(col("__graft_rk"), col("__graft_pfx"), col("__graft_bin"),
+        explode(gramsOf(col("__graft_rk"))).as("g"))
+      .select(col("__graft_rk"), col("__graft_pfx"), col("__graft_bin"),
+        col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_rpos"))
+    // document frequency of each gram over the indexed side: the
+    // global rarity order for prefix selection. The table is gram-
+    // vocabulary-sized (≤ charset^q); AQE broadcasts it when small and
+    // falls back to a shuffle join otherwise — never a driver collect
+    val gramDf = rGrams.groupBy(col("__graft_gram"))
+      .agg(count(lit(1)).as("__graft_df"))
+    val rIdx = rGrams.withColumn("__graft_band", explode(sequence(
+      greatest(bandOf(col("__graft_rpos") - maxDist), lit(0)),
+      bandOf(col("__graft_rpos") + maxDist))))
+    // per left key (and probed bin): attach rarities, keep the pi
+    // rarest occurrences (array_sort on (df, gram, pos) struct order —
+    // deterministic), probe the index
+    val lPrefix = lBig.filter(!isShort)
+      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
+        explode(gramsOf(col("__graft_lk"))).as("g"))
+      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
+        col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_lpos"))
+      .join(gramDf, Seq("__graft_gram"), "left")
+      .groupBy(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"))
+      .agg(slice(array_sort(collect_list(struct(
+        coalesce(col("__graft_df"), lit(0L)).as("df"),
+        col("__graft_gram").as("gram"), col("__graft_lpos").as("pos")))),
+        1, pi).as("__graft_pref"))
+      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
+        explode(col("__graft_pref")).as("p"))
+      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
+        col("p.gram").as("__graft_gram"), col("p.pos").as("__graft_lpos"),
+        bandOf(col("p.pos")).as("__graft_band"))
+    val qgramCand = lPrefix.join(rIdx,
+        blockCols ++ Seq("__graft_gram", "__graft_band"))
+      .filter(abs(col("__graft_lpos") - col("__graft_rpos")) <= maxDist)
+      .select(col("__graft_lk"), col("__graft_rk"))
+      .distinct()
+    // the three candidate streams are pair-disjoint: a key pair lives
+    // in exactly one (pfx, right-bin) block, each block is routed
+    // exactly one way, and short/long left keys partition the big path
+    val cand = smallCand.select(col("__graft_lk"), col("__graft_rk"))
+      .unionByName(shortBigCand.select(col("__graft_lk"), col("__graft_rk")))
+      .unionByName(qgramCand)
+    expand(verified(cand))
   }
 }

@@ -428,35 +428,60 @@ object Reshape {
     * ORDER OF FIRST APPEARANCE (appearance decided by the explicit
     * `ord` — Spark has no physical row order; ties on min-ord break
     * by value), nulls code as −1. The value table is a bounded
-    * aggregate (one row per distinct value) ranked on the driver-free
-    * path: groupBy(value).min(ord) → dense rank window over the
-    * value-table only → BROADCAST join back, so data rows never
-    * shuffle. Appends `name` (int) and returns the codes plus the
-    * value table via the companion [[factorizeTable]] when callers
-    * need the uniques.
+    * aggregate (one row per distinct value) indexed by the
+    * distributed-rank path of [[factorizeTable]], then joined back —
+    * broadcast while the table holds at most `maxBroadcastCategories`
+    * values (the common case: one in-memory map lookup per row, data
+    * rows never shuffle), a plain hash equi-join beyond it (a true
+    * high-cardinality id column must not be forced through a driver
+    * broadcast). Appends `name` (int); callers needing the uniques
+    * use the companion [[factorizeTable]].
     */
   def factorize(df: DataFrame, c: Column, ord: Column,
-      name: String = "code"): DataFrame = {
+      name: String = "code",
+      maxBroadcastCategories: Long = 1L << 20): DataFrame = {
+    require(maxBroadcastCategories >= 1,
+      s"maxBroadcastCategories must be >= 1, got $maxBroadcastCategories")
     val tbl = factorizeTable(df, c, ord, name)
+      .withColumnRenamed("value", "__graft_fv")
+    // one bounded count over the uniques table picks the join shape
+    val keyed = if (tbl.count() <= maxBroadcastCategories) F.broadcast(tbl)
+                else tbl
     df.withColumn("__graft_fv", c.cast("string"))
-      .join(F.broadcast(tbl.withColumnRenamed("value", "__graft_fv")),
-        Seq("__graft_fv"), "left")
+      .join(keyed, Seq("__graft_fv"), "left")
       .withColumn(name, coalesce(col(name), lit(-1)))
       .drop("__graft_fv")
   }
 
   /** The uniques table of [[factorize]]: `(value, code)`, code 0..k−1
     * by (first-appearance ord, value).
+    *
+    * Scale shape: the global dense index is assigned by
+    * `zipWithIndex` over the RANGE-SORTED value table — orderBy range-
+    * partitions and sorts, zipWithIndex adds one small count job for
+    * the per-partition offsets, and the indexing itself is row-local.
+    * The only Catalyst-native alternative is a rank window with no
+    * partition key, which funnels every distinct value through ONE
+    * task — fine for enum-like columns, a single-task sort of the
+    * whole domain when someone factorizes a high-cardinality id at
+    * 100× scale (round-8 verdict item 4). The RDD hop is confined to
+    * the bounded uniques table; data rows never leave Catalyst.
     */
   def factorizeTable(df: DataFrame, c: Column, ord: Column,
       name: String = "code"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.filter(c.isNotNull)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val sorted = df.filter(c.isNotNull)
       .groupBy(c.cast("string").as("value"))
       .agg(F.min(ord).as("__fo"))
-      .withColumn(name,
-        (F.row_number().over(Window.orderBy(col("__fo"), col("value"))) - 1))
-      .drop("__fo")
+      .orderBy(col("__fo"), col("value"))
+      .select(col("value"))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row(r.getString(0), i.toInt)
+    }
+    df.sparkSession.createDataFrame(indexed, StructType(Seq(
+      StructField("value", StringType, nullable = true),
+      StructField(name, IntegerType, nullable = false))))
   }
 
   /** Bin a numeric column by sorted edges into human-readable labels

@@ -455,6 +455,61 @@ class CurationSpec extends AnyFunSuite {
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(expect.nonEmpty, "fixture must produce matches")
     assert(got === expect)
+    // same fixture through the plain (unfiltered) block join: the
+    // q-gram count filter must be invisible in the output
+    val plain = graft.operators.Joins.fuzzyJoin(
+        ls.toDF("id", "name"), col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist, prefixLen, lenBand, qgramFilter = false)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(plain === expect)
+  }
+
+  test("fuzzyJoin randomized differential, long keys: the q-gram prefix filter path is lossless") {
+    // 12-24 char strings over a TINY alphabet — every bigram is hot
+    // (the low-diversity regime the filter exists for) and long enough
+    // that maxDist=1 keys all take the q-gram path (pi=3 << grams)
+    def str(seed: Int): String = {
+      var x = seed * 2654435761L
+      val len = 12 + (math.abs(x) % 13).toInt
+      (0 until len).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "abc" (math.abs(x % 3).toInt)
+      }.mkString
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // right side: half exact copies with a mid-string edit (dist 1),
+    // half fresh strings — guarantees dense true pairs
+    val ls = (0 until 50).map(i => (i.toLong, str(i)))
+    val rs = (0 until 50).map { i =>
+      val base = str(i)
+      val s = if (i % 2 == 0)
+        base.updated(base.length / 2, if (base(base.length / 2) == 'a') 'b' else 'a')
+      else str(i + 1000)
+      (1000L + i, s)
+    }
+    val maxDist = 1; val prefixLen = 2; val lenBand = 4
+    val expect = (for {
+      (li, ln) <- ls; (ri, rn) <- rs
+      lb = ln.length / lenBand; rb = rn.length / lenBand
+      if ln.take(prefixLen) == rn.take(prefixLen) && math.abs(lb - rb) <= 1
+      if lev(ln, rn) <= maxDist
+    } yield (li, ri)).toSet
+    val got = graft.operators.Joins.fuzzyJoin(
+        ls.toDF("id", "name"), col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist, prefixLen, lenBand)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(expect.size >= 20, s"fixture must produce dense matches, got ${expect.size}")
+    assert(got === expect)
   }
 
   // ------------------------------------------------------------- funnel

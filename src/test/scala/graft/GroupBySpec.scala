@@ -537,4 +537,50 @@ class GroupBySpec extends AnyFunSuite {
       2 -> (2.0 / 3), 3 -> null, 4 -> 1.0, 5 -> 1.0))
     intercept[IllegalArgumentException] { g.rank(col("v"), "median") }
   }
+  test("maskSlice / maskIndices compile reference positional masks onto the explicit row id") {
+    import spark.implicits._
+    // rows with explicit 0-based ids, grouped by parity of v
+    val d = (0L until 20L).map(i => (i, (i % 3).toString, i.toDouble))
+      .toDF("rid", "k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    // slice(4, 16, 3) -> ids 4, 7, 10, 13 (all ≡ 1 mod 3: the stride
+    // aligns with the grouping, so the other groups are fully masked
+    // and drop under observed-only, like a pandas pre-filter would)
+    val s = g.aggregate(Seq(AggSpec("sum", col("v"), "s")),
+        mask = Some(GroupBy.maskSlice(col("rid"), 4L, 16L, 3L)))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(s === Map("1" -> (4.0 + 7.0 + 10.0 + 13.0)), s"got $s")
+    // default step 1: half-open [4, 7) -> ids 4, 5, 6
+    val s1 = g.aggregate(Seq(AggSpec("sum", col("v"), "s")),
+        mask = Some(GroupBy.maskSlice(col("rid"), 4L, 7L)))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(s1 === Map("0" -> 6.0, "1" -> 4.0, "2" -> 5.0))
+    // fancy indexer: ids {0, 5, 19}; empty indexer masks everything
+    val f = g.aggregate(Seq(AggSpec("sum", col("v"), "s")),
+        mask = Some(GroupBy.maskIndices(col("rid"), Seq(0L, 5L, 19L))))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(f === Map("0" -> 0.0, "1" -> 19.0, "2" -> 5.0))
+    // empty indexer masks every row -> observed-only drops all groups
+    val e = g.aggregate(Seq(AggSpec("count", col("v"), "n")),
+        mask = Some(GroupBy.maskIndices(col("rid"), Seq.empty)))
+    assert(e.count() === 0L)
+    // guards
+    intercept[IllegalArgumentException] { GroupBy.maskSlice(col("rid"), -1L, 5L) }
+    intercept[IllegalArgumentException] { GroupBy.maskSlice(col("rid"), 5L, 4L) }
+    intercept[IllegalArgumentException] { GroupBy.maskSlice(col("rid"), 0L, 5L, 0L) }
+  }
+
+  test("getGroup returns one group's rows; arity and missing-label behavior") {
+    import spark.implicits._
+    val d = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0), (4, null, 9.0))
+      .toDF("id", "k", "v")
+    val g = new GroupBy(d, Seq(col("k")))
+    val a = g.getGroup("a").select("id").as[Int].collect().sorted
+    assert(a.toSeq === Seq(1, 3))
+    assert(g.getGroup("zzz").count() === 0L)
+    intercept[IllegalArgumentException] { g.getGroup("a", "b") }
+    // two-key form
+    val g2 = new GroupBy(d, Seq(col("k"), col("id")))
+    assert(g2.getGroup("a", 3).select("v").as[Double].collect().toSeq === Seq(3.0))
+  }
 }
