@@ -32,27 +32,32 @@ object GraphOps {
     * so Σ rank = 1 is preserved every round. Ranks start uniform at
     * 1/N.
     *
-    * Distributed shape: each round is one equijoin of the rank table
-    * with the edge list on the source key plus one groupBy(dst) —
-    * volume linear in edges, the join co-partitions on the node key
-    * and AQE owns skew. The dangling mass is a ONE-ROW lazy aggregate
-    * cross-joined back (broadcast), never a driver action, so the
-    * whole K-round computation is a single lazy plan. `numVertices`
-    * skips the one bounded count action when the caller already knows
-    * N (the lazy/stream-composable form, like the sampling family's
-    * precomputed totals). For large K pass `checkpointEvery` to cut
-    * lineage with a localCheckpoint every that-many rounds (the
-    * dedup-clusters pattern); 0 = off.
+    * Distributed shape (the GraphX/Pregel layout, measured in round 9
+    * — DESIGN.md adjudicates the alternatives): the edge table is
+    * hash-partitioned on the join key ONCE and persisted together
+    * with verts/outd, and each round's ranks materialize via an eager
+    * `localCheckpoint` before the next round builds on them. Per
+    * round that leaves exactly the shuffles the algorithm inherently
+    * needs — the rank⋈edges equijoin reads co-partitioned cached
+    * blocks, and only the contribution groupBy(dst) moves data. The
+    * earlier fully-lazy K-round single plan re-shuffled AND recomputed
+    * the edge lineage every round and its unrolled lineage sent
+    * Catalyst superlinear (3/6/9 iterations at 20M edges: 15 s / 26 s
+    * / 202 s); the materialized form is flat per round and the
+    * blocks (edges/verts/outd and each round's previous ranks) are
+    * unpersisted before returning — the result is a checkpointed,
+    * lineage-free frame. `checkpointEvery` is subsumed (every round
+    * checkpoints) and retained for source compatibility. The dangling
+    * mass stays a ONE-ROW decimal-exact aggregate broadcast back, and
+    * `numVertices` still skips the vertex count when the caller knows
+    * N.
     *
     * `tol > 0` adds a convergence early-exit: after each round the L1
     * delta `Σ|rank' − rank|` (one one-row decimal-exact aggregate) is
     * checked and iteration stops once it falls below `tol` — callers
     * that over-provision `iterations` pay only the rounds the graph
-    * needs. The check is a per-round driver action, so in this mode
-    * each round's ranks are localCheckpoint'ed (previous round's
-    * blocks released, the BPE/connectedComponents pattern) to keep
-    * lineage flat across the repeated actions. `tol = 0` (default) is
-    * the fully-lazy fixed-count plan, bit-identical to before.
+    * needs. Ranks are bit-identical in every mode (materialization
+    * changes scheduling, never values).
     */
   def pageRank(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, numVertices: Option[Long] = None,
@@ -61,22 +66,32 @@ object GraphOps {
     require(damping >= 0.0 && damping <= 1.0,
       s"damping must be in [0, 1], got $damping")
     require(tol >= 0.0, s"tol must be >= 0, got $tol")
+    // one shuffle builds the whole edge layout: clustering on src
+    // alone satisfies the (src, dst) dedup's distribution
+    // requirement, so repartition-then-dropDuplicates dedups
+    // partition-locally and the cached table comes out hash-
+    // partitioned on the join key (round-8 verdict item 3)
     val e = edges.select(col("src").cast("string").as("src"),
         col("dst").cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .persist()
+    // distinct() leaves verts hash-partitioned on node — no extra
+    // exchange needed for the per-round joins
     val verts = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = numVertices.getOrElse(verts.count())
     require(n > 0, "graph has no vertices")
     val nD = n.toDouble
+    // zero-shuffle over the cached src-clustered edges; output stays
+    // hash-partitioned on the key
     val outd = e.groupBy(col("src").as("node"))
-      .agg(F.count(lit(1)).as("__graft_deg"))
+      .agg(F.count(lit(1)).as("__graft_deg")).persist()
 
-    var ranks = verts.withColumn("rank", lit(1.0 / nD))
-    if (tol > 0) ranks = ranks.localCheckpoint()
+    var ranks = verts.withColumn("rank", lit(1.0 / nD)).localCheckpoint()
     var converged = false
-    for (i <- 1 to iterations if !converged) {
+    for (_ <- 1 to iterations if !converged) {
       val withDeg = ranks.join(outd, Seq("node"), "left")
       // nodes with no out-edges: their rank mass redistributes
       // uniformly (one-row decimal-exact aggregate, broadcast back)
@@ -94,30 +109,28 @@ object GraphOps {
           (lit((1.0 - damping) / nD) + lit(damping) *
             (coalesce(col("__graft_contrib"), lit(0.0)) +
               col("__graft_dmass") / lit(nD))).as("rank"))
+      // materialize the round (eager localCheckpoint) so the next
+      // round's plan starts from flat lineage, then release the
+      // previous round's blocks (the BPE/connectedComponents pattern)
+      val prev = ranks
+      ranks = next.localCheckpoint()
       if (tol > 0) {
-        // convergence check: one-row L1 delta vs the previous round.
-        // Both tables carry exactly the `verts` node set, so the
-        // delta equijoin co-partitions on the node key; the new
-        // round is checkpointed BEFORE the action so the delta scan
-        // and the next round both read the materialized blocks, and
-        // the previous round's blocks are released (BPE pattern)
-        val prev = ranks
-        val cur = next.localCheckpoint()
-        val delta = cur
+        // convergence check: one-row L1 delta vs the previous round;
+        // both tables carry exactly the `verts` node set, so the
+        // delta equijoin co-partitions on the node key
+        val delta = ranks
           .join(prev.select(col("node"), col("rank").as("__graft_prev")),
             Seq("node"))
           .agg(coalesce(F.sum(abs(col("rank") - col("__graft_prev"))
             .cast(Num.DotDec)), lit(0).cast(Num.DotDec)).cast(DoubleType))
           .head().getDouble(0)
-        prev.unpersist()
-        ranks = cur
         if (delta < tol) converged = true
-      } else {
-        ranks = next
-        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iterations)
-          ranks = ranks.localCheckpoint()
       }
+      prev.unpersist()
     }
+    // the result is checkpointed (lineage-free): the iteration's
+    // cached layout can release before returning
+    e.unpersist(); verts.unpersist(); outd.unpersist()
     ranks
   }
 
