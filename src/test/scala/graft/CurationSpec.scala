@@ -510,6 +510,22 @@ class CurationSpec extends AnyFunSuite {
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(expect.size >= 20, s"fixture must produce dense matches, got ${expect.size}")
     assert(got === expect)
+    // unit choice is output-invariant: force the distinct-key shape
+    // (factor 1.0: every corpus "repeats") and the row shape (huge
+    // factor) on a fixture with REPEATED keys, so the expansion joins
+    // must reproduce exact row-level multiplicities
+    val lDup = (ls ++ ls.map { case (i, s) => (10000L + i, s) }).toDF("id", "name")
+    def run(factor: Double) = graft.operators.Joins.fuzzyJoin(
+        lDup, col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist, prefixLen, lenBand, dedupKeysFactor = factor)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val viaDedup = run(1.0)
+    val viaRows = run(1e18)
+    assert(viaDedup === viaRows)
+    // each duplicated left row carries its own id through expansion
+    assert(viaDedup === expect.flatMap { case (li, ri) =>
+      Seq((li, ri), (10000L + li, ri)) })
   }
 
   // ------------------------------------------------------------- funnel
