@@ -234,6 +234,36 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     def groupOn(g: String): Boolean = groupsOn.forall(_.contains(g))
 
+    // ---- drift canary (round-9 verdict item 3) ----
+    // round 9 documented 20-30% UNIFORM machine drift between
+    // recordings, which made round-over-round absolutes incomparable
+    // and forced same-session A/B adjudication. A fixed trivial op —
+    // the gb_sum fixture — is timed FIRST and LAST in every recording
+    // (its fixtures build unconditionally, so isolated
+    // SPARK_GRAFT_GROUPS runs carry the same canary as the official
+    // artifact): cross-round comparisons divide by the canary mean
+    // (the `queries_norm` block in the file artifact), and a
+    // first/last disagreement exposes drift WITHIN a recording.
+    def canaryBuild(): DataFrame = liGb.sum(Seq(col("l_quantity")))
+    def timeCanary(): Double = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      force(canaryBuild())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    // The first canary runs in an otherwise-cold JVM where background
+    // C2 compilation of shared Spark infrastructure keeps improving
+    // the op for MINUTES — smoke-measured on an idle machine, no warm
+    // schedule closes the gap (first 0.12-0.15 vs last 0.066-0.071 at
+    // sf0.01 across 3/8-force and self-quiescing warms alike). So:
+    // the END-state reading (reproducible ±5% across recordings,
+    // every recording ends equally deep-JITted) is the normalization
+    // basis; the first reading is a within-run diagnostic only — its
+    // expected shape is "moderately above last", and a first reading
+    // far BELOW last, or a last reading far above other recordings'
+    // lasts, exposes interference/drift.
+    (1 to 8).foreach(_ => force(canaryBuild()))
+    val canaryFirst = timeCanary()
+
     if (groupOn("main"))
       ops.foreach { case (_, build) => force(build()); force(build()) }
     sentinels("main") = loadavg()
@@ -664,7 +694,25 @@ object Bench {
       s"interp$xs" -> (() => new RollingOps(new GroupBy(ev10,
         Seq(col("user_id")))).interpolate(
           when(col("event_type") === "error", lit(null)).otherwise(col("value")),
-          col("ts"))))
+          col("ts"))),
+      // the round-9 fuzzyJoin redesign's scaling row (round-9 verdict
+      // item 1: the op had fixture A/B evidence but no exponent).
+      // Scales the production (prefix-diverse) shape: rows AND the
+      // typo'd right side both grow xMult x, blocks stay small, so
+      // the adaptive stats + routing overhead must amortize
+      "fuzzy_join_diverse" + xs -> (() => {
+        val n = 200000L * xMult
+        def names(off: Long) = spark.range(n).select(
+          (col("id") + off).as("id"),
+          concat(md5(col("id").cast("string")),
+            lit(" entity "), (col("id") % 97).cast("string")).as("name"))
+        val l = names(0)
+        val r = names(0).select((col("id") + 1000000000L).as("id"),
+          concat(substring(col("name"), 1, 6), lit("x"),
+            substring(col("name"), 8, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+          maxDist = 1)
+      }))
 
     // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
     // timed (the JIT universe is already compiled by the main loop —
@@ -723,6 +771,10 @@ object Bench {
 
     val all = results ++ persistResults ++ prodDedupResults ++ zipfResults ++
       skewResults ++ x10Results
+    val canaryLast = timeCanary()
+    // normalization basis: the end-state reading (see the canary
+    // comment above — first carries background-JIT inflation)
+    val canaryBase = canaryLast
     def fmt(d: Double): String = ((d * 10000).round / 10000.0).toString
     val qs = all.map(m => "\"" + m.name + "\":" + fmt(m.value))
       .mkString("{", ",", "}")
@@ -754,8 +806,15 @@ object Bench {
     // artifact now goes to a FILE; the final stdout line stays compact
     // (total + per-row values + flags) so the driver can always parse
     // it. The file keeps samples/sentinels/scaling for the audit trail.
+    // drift-normalized values: value / canary end-state — the unit is
+    // "canary multiples", comparable across recordings on drifting
+    // hardware (the canary protocol, DESIGN.md)
+    val qsNorm = all.map(m => "\"" + m.name + "\":" +
+      fmt(m.value / math.max(canaryBase, 1e-9))).mkString("{", ",", "}")
+    val canaryJson =
+      s"""{"first":${fmt(canaryFirst)},"last":${fmt(canaryLast)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"scaling":$scaling,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"queries_norm":$qsNorm,"scaling":$scaling,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_full_builder.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -776,7 +835,7 @@ object Bench {
       def fmt3(d: Double): String = ((d * 1000).round / 1000.0).toString
       val q = ms.map(m => "\"" + m.name + "\":" + fmt3(m.value))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$q,"flagged_n":${all.count(_.flagged)},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$q,"canary":[${fmt3(canaryFirst)},${fmt3(canaryLast)}],"flagged_n":${all.count(_.flagged)},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
     }
     val line0 = compactLine(all)
     println(if (line0.length <= 1900) line0

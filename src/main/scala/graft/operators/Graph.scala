@@ -89,6 +89,24 @@ object GraphOps {
     val outd = e.groupBy(col("src").as("node"))
       .agg(F.count(lit(1)).as("__graft_deg")).persist()
 
+    // Dataset.unpersist only uncaches CacheManager entries;
+    // localCheckpoint persists at the RDD level, so releasing a
+    // round's blocks needs the persisted RDD itself (round-9 advice
+    // item — previously per-round rank blocks accumulated until the
+    // ContextCleaner GC'd them). The checkpointed Dataset's plan is a
+    // scan over that RDD: walk the (checkpoint-truncated, shuffle-
+    // free) dependency chain from `df.rdd` to the first persisted
+    // RDD and unpersist it directly. GraphSpec pins block release
+    // under a long iteration run.
+    def freeCheckpointBlocks(df: DataFrame): Unit = {
+      def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Unit =
+        if (depth < 8) {
+          if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            r.unpersist(blocking = false)
+          else r.dependencies.foreach(d => walk(d.rdd, depth + 1))
+        }
+      walk(df.rdd, 0)
+    }
     var ranks = verts.withColumn("rank", lit(1.0 / nD)).localCheckpoint()
     var converged = false
     for (_ <- 1 to iterations if !converged) {
@@ -126,7 +144,8 @@ object GraphOps {
           .head().getDouble(0)
         if (delta < tol) converged = true
       }
-      prev.unpersist()
+      // release the previous round's checkpoint blocks (RDD-level)
+      freeCheckpointBlocks(prev)
     }
     // the result is checkpointed (lineage-free): the iteration's
     // cached layout can release before returning

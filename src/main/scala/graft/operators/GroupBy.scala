@@ -1063,11 +1063,27 @@ final class GroupBy(
   }
 
   /** group-label → sorted row ids (reference `groups`, `core.py:323`);
-    * distributed as collect_list, for moderate group sizes only.
+    * distributed as collect_list, for moderate group sizes only: one
+    * group's ids become ONE array cell, so a hot key at 100× scale
+    * would materialize a giant single value. `maxGroupSize` makes
+    * that failure loud instead of an executor OOM (the getDummies
+    * guard pattern, round-9 verdict item 5) — the check is a
+    * codegen'd `raise_error` branch inside the same aggregation, no
+    * extra job; raise it explicitly when a huge cell is genuinely
+    * intended.
     */
-  def groupsOf(rowId: Column, name: String = "row_ids"): DataFrame =
+  def groupsOf(rowId: Column, name: String = "row_ids",
+      maxGroupSize: Int = 10000000): DataFrame = {
+    require(maxGroupSize >= 1, s"maxGroupSize must be >= 1, got $maxGroupSize")
+    val ids = F.sort_array(F.collect_list(rowId))
     base.groupBy(keyCols: _*)
-      .agg(F.sort_array(F.collect_list(rowId)).as(name))
+      .agg(when(F.size(ids) > maxGroupSize, F.raise_error(concat(
+          lit(s"groupsOf: a group holds more than maxGroupSize=" +
+            s"$maxGroupSize row ids ("), F.size(ids).cast(StringType),
+          lit(") — its id array would be one giant cell; raise " +
+            "maxGroupSize explicitly if intended"))))
+        .otherwise(ids).as(name))
+  }
 
   /** One group's rows as a DataFrame (reference `get_group`, the
     * usable half of `api.py:189-209`'s per-group iteration — full
@@ -1076,12 +1092,26 @@ final class GroupBy(
     * grouping key, in key order; the result is a plain pushdown-
     * friendly filter over the input.
     */
-  def getGroup(label: Any*): DataFrame = {
+  def getGroup(label0: Any*): DataFrame = {
+    // `getGroup(null)` resolves the vararg Seq itself to null — read
+    // it as the single null label the caller meant
+    val label: Seq[Any] = if (label0 == null) Seq(null) else label0
     require(label.size == keyNames.size,
       s"getGroup needs one label per key (${keyNames.mkString(", ")}), " +
         s"got ${label.size}")
+    // null labels: under dropNullKeys (the default, pandas dropna
+    // parity) no group can have a null label — raise like pandas'
+    // KeyError instead of silently returning empty (`=== lit(null)`
+    // never matches). With dropNullKeys=false null IS a group label
+    // and compiles to isNull.
+    require(!dropNullKeys || label.forall(_ != null),
+      s"getGroup(${label.mkString(", ")}): null is not a group label — " +
+        "null keys are dropped (dropNullKeys=true, pandas dropna " +
+        "parity); construct the GroupBy with dropNullKeys=false to " +
+        "address the null-key group")
     base.filter(keyNames.zip(label)
-      .map { case (n, v) => col(n) === lit(v) }.reduce(_ && _))
+      .map { case (n, v) => if (v == null) col(n).isNull else col(n) === lit(v) }
+      .reduce(_ && _))
   }
 }
 

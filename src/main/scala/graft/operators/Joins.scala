@@ -378,7 +378,17 @@ object Joins {
     * O(output)). When keys are ~unique, dedup buys nothing and rows
     * verify directly — no dedup shuffles, no expansion joins, the
     * plan Catalyst fuses best (measured 4× faster than forcing the
-    * dedup shape onto a unique-key corpus).
+    * dedup shape onto a unique-key corpus). Callers who KNOW their
+    * key regime pass `dedupKeys = Some(false)` (unique ids) /
+    * `Some(true)` (heavy repetition) to skip the two stats jobs —
+    * the choice is output-invariant (spec-proven).
+    *
+    * '''Eager, once:''' the call materializes the verified pair table
+    * (bounded by true matches) via one eager `localCheckpoint`, with
+    * the (id, key) projections cached for its duration — the
+    * candidate pipeline executes exactly once no matter how many
+    * actions consume the result, and the projection cache releases
+    * before returning.
     *
     * '''Low-prefix-diversity guard (`qgramFilter`, default on):'''
     * when the key population shares few prefixes (templated entity
@@ -415,7 +425,8 @@ object Joins {
       maxDist: Int, prefixLen: Int = 2, lenBand: Int = 4,
       qgramFilter: Boolean = true, q: Int = 2,
       maxBlockPairs: Long = 1L << 22,
-      dedupKeysFactor: Double = 1.5): DataFrame = {
+      dedupKeysFactor: Double = 1.5,
+      dedupKeys: Option[Boolean] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 0, s"prefixLen must be >= 0, got $prefixLen")
     require(lenBand >= 1, s"lenBand must be >= 1, got $lenBand")
@@ -436,25 +447,38 @@ object Joins {
     val binW = math.max(1, (maxDist + lenBand - 1) / lenBand)
     def binProbe(key: Column): Column =
       explode(sequence(bin(key) - binW, bin(key) + binW))
+    // the (id, key) projections are re-read by the unit stats, the
+    // block-count routing, the gram index, and the finish expansion
+    // joins — persist them for the call so the upstream lineage
+    // (parquet scan, normalization) executes once, not 5+ times. The
+    // blocks are released below once the verified pair table is
+    // materialized (round-9 advice item).
     val l0 = left.select(leftId.as("left_id"), norm(leftKey).as("__graft_lk"))
-      .filter(col("__graft_lk").isNotNull)
+      .filter(col("__graft_lk").isNotNull).persist()
     val r0 = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
-      .filter(col("__graft_rk").isNotNull)
+      .filter(col("__graft_rk").isNotNull).persist()
     // the unit decision: two one-row aggregates over the key
     // projections (approximate distinct is fine — this only picks a
-    // plan shape, never affects values)
+    // plan shape, never affects values). `dedupKeys = Some(_)` skips
+    // the stats entirely — pipeline callers who KNOW their key regime
+    // (unique ids → Some(false); heavy repetition → Some(true)) don't
+    // pay the two aggregate jobs the adaptive default needs (round-9
+    // verdict item 4); the choice is output-invariant either way
+    // (spec-proven forced-row == forced-dedup == adaptive).
     def stats(df: DataFrame, key: String): (Long, Long) = {
       val row = df.agg(count(lit(1)), approx_count_distinct(col(key))).head()
       (row.getLong(0), row.getLong(1))
     }
-    val (nl, kl) = stats(l0, "__graft_lk")
-    val (nr, kr) = stats(r0, "__graft_rk")
-    val dedupKeys = nl >= dedupKeysFactor * math.max(kl, 1L) ||
-      nr >= dedupKeysFactor * math.max(kr, 1L)
+    val useDedupKeys = dedupKeys.getOrElse {
+      val (nl, kl) = stats(l0, "__graft_lk")
+      val (nr, kr) = stats(r0, "__graft_rk")
+      nl >= dedupKeysFactor * math.max(kl, 1L) ||
+        nr >= dedupKeysFactor * math.max(kr, 1L)
+    }
     // verification units: distinct keys when repetition pays,
     // otherwise the raw rows
-    val lUnit = if (dedupKeys) l0.select(col("__graft_lk")).distinct() else l0
-    val rUnit = if (dedupKeys) r0.select(col("__graft_rk")).distinct() else r0
+    val lUnit = if (useDedupKeys) l0.select(col("__graft_lk")).distinct() else l0
+    val rUnit = if (useDedupKeys) r0.select(col("__graft_rk")).distinct() else r0
     val lProbe = lUnit
       .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
       .withColumn("__graft_bin", binProbe(col("__graft_lk")))
@@ -463,7 +487,7 @@ object Joins {
       .withColumn("__graft_bin", bin(col("__graft_rk")))
     val blockCols = Seq("__graft_pfx", "__graft_bin")
     val candCols =
-      if (dedupKeys) Seq(col("__graft_lk"), col("__graft_rk"))
+      if (useDedupKeys) Seq(col("__graft_lk"), col("__graft_rk"))
       else Seq(col("left_id"), col("__graft_lk"),
         col("right_id"), col("__graft_rk"))
     // thresholded levenshtein (Spark 3.5+): banded DP that abandons a
@@ -476,10 +500,18 @@ object Joins {
       .select(candCols :+ d.as("__graft_d"): _*)
     // id-multiplicity re-attachment for the dedup shape (block coords
     // are functions of the key, so the key alone is the correct join
-    // condition); the row shape already carries its ids
-    def finish(pairs: DataFrame): DataFrame = {
+    // condition); the row shape already carries its ids. The verified
+    // pair table (bounded by true matches) is materialized eagerly via
+    // localCheckpoint so the candidate pipeline runs exactly ONCE over
+    // the cached projections, then the projection blocks release; the
+    // dedup shape's expansion joins re-derive l0/r0 lazily at
+    // consumption — one cheap projection recompute, never the
+    // candidate pipeline.
+    def finish(pairs0: DataFrame): DataFrame = {
+      val pairs = pairs0.localCheckpoint()
+      l0.unpersist(); r0.unpersist()
       val withIds =
-        if (dedupKeys) pairs.join(l0, Seq("__graft_lk"))
+        if (useDedupKeys) pairs.join(l0, Seq("__graft_lk"))
           .join(r0, Seq("__graft_rk"))
         else pairs
       withIds.select(col("left_id"), col("right_id"),
@@ -518,11 +550,19 @@ object Joins {
     // join, no inequality fanout) with the exact |Δpos| check after
     val bw = maxDist + 1
     def bandOf(p: Column): Column = floor(p.cast("double") / bw).cast("int")
-    val rIdCols = if (dedupKeys) Seq(col("__graft_rk"))
+    val rIdCols = if (useDedupKeys) Seq(col("__graft_rk"))
                   else Seq(col("right_id"), col("__graft_rk"))
-    val lIdCols = if (dedupKeys) Seq(col("__graft_lk"))
+    val lIdCols = if (useDedupKeys) Seq(col("__graft_lk"))
                   else Seq(col("left_id"), col("__graft_lk"))
+    // right keys shorter than q own no q-gram: sequence(0, len−q)
+    // would emit a DESCENDING [0, −1, …] and register bogus grams at
+    // negative positions (round-9 advice item). Excluding them from
+    // the index loses no pair: any left key on this path is long
+    // (≥ pi + q − 1 = q·(maxDist+1) chars — the !isShort filter), so
+    // against a (< q)-char right key the length gap alone is
+    // > q·maxDist − (q−1) ≥ maxDist + 1 edits — never admissible.
     val rGrams = rBig
+      .filter(length(col("__graft_rk")) >= q)
       .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
         explode(gramsOf(col("__graft_rk"))).as("g")): _*)
       .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),

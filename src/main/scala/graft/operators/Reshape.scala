@@ -442,9 +442,18 @@ object Reshape {
       maxBroadcastCategories: Long = 1L << 20): DataFrame = {
     require(maxBroadcastCategories >= 1,
       s"maxBroadcastCategories must be >= 1, got $maxBroadcastCategories")
+    // persist the bounded uniques table: the count below materializes
+    // the cache, so the groupBy + global sort + zipWithIndex lineage
+    // executes exactly ONCE and the join back reads cached blocks —
+    // previously the join-shape count and the join each re-ran the
+    // full pipeline, a deterministic cost only masked by shuffle-file
+    // reuse (round-9 advice item). The table is one row per distinct
+    // value; its blocks release via the ContextCleaner once the
+    // result's lineage is collected.
     val tbl = factorizeTable(df, c, ord, name)
-      .withColumnRenamed("value", "__graft_fv")
-    // one bounded count over the uniques table picks the join shape
+      .withColumnRenamed("value", "__graft_fv").persist()
+    // one bounded count over the (now cached) uniques table picks the
+    // join shape
     val keyed = if (tbl.count() <= maxBroadcastCategories) F.broadcast(tbl)
                 else tbl
     df.withColumn("__graft_fv", c.cast("string"))
@@ -477,6 +486,13 @@ object Reshape {
       .orderBy(col("__fo"), col("value"))
       .select(col("value"))
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      // codes are IntegerType for pandas-factorize parity; past 2^31
+      // distinct values the cast would silently wrap (round-9 advice
+      // item) — fail loudly instead
+      require(i <= Int.MaxValue,
+        s"factorize: distinct-value rank $i exceeds Int.MaxValue — " +
+          "more than 2^31 categories cannot be coded as int; use the " +
+          "raw value as the key instead of factorizing it")
       Row(r.getString(0), i.toInt)
     }
     df.sparkSession.createDataFrame(indexed, StructType(Seq(

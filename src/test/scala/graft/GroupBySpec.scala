@@ -320,6 +320,21 @@ class GroupBySpec extends AnyFunSuite {
     assert(out(1) === Seq(0, 1, 3, 7))
   }
 
+  test("groupsOf maxGroupSize guard fails loudly on a giant group (round-9 verdict item 5)") {
+    val d = spark.range(100).select((col("id") % 2).as("k"), col("id"))
+    val g = new GroupBy(d, Seq(col("k")))
+    // within bound: both 50-row groups pass
+    assert(g.groupsOf(col("id"), maxGroupSize = 50).count() === 2L)
+    // one row over: the aggregation itself raises, not an executor OOM
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    val e = intercept[Exception] {
+      g.groupsOf(col("id"), maxGroupSize = 49).collect()
+    }
+    assert(msgs(e).contains("maxGroupSize"), msgs(e))
+    intercept[IllegalArgumentException] { g.groupsOf(col("id"), maxGroupSize = 0) }
+  }
+
   test("persisted GroupBy returns identical results") {
     val p = gb.persisted
     assert(asMap(p.sum(Seq(col("value")))) === asMap(gb.sum(Seq(col("value")))))
@@ -582,5 +597,13 @@ class GroupBySpec extends AnyFunSuite {
     // two-key form
     val g2 = new GroupBy(d, Seq(col("k"), col("id")))
     assert(g2.getGroup("a", 3).select("v").as[Double].collect().toSeq === Seq(3.0))
+    // null label under dropNullKeys (default): no group can have a
+    // null label — raise like pandas' KeyError instead of silently
+    // returning empty (round-9 verdict item 9)
+    val eN = intercept[IllegalArgumentException] { g.getGroup(null) }
+    assert(eN.getMessage.contains("null is not a group label"))
+    // dropNullKeys = false: null IS a group label and addresses it
+    val gn = new GroupBy(d, Seq(col("k")), dropNullKeys = false)
+    assert(gn.getGroup(null).select("id").as[Int].collect().toSeq === Seq(4))
   }
 }
