@@ -365,23 +365,26 @@ object Joins {
     * economics as the dedup family's capped posting lists. The
     * verification predicate is codegen'd `levenshtein`, evaluated
     * only on block-mates.
-    *    * '''Duplicate-key economics (adaptive):''' one tiny stats action
-    * per side (`count` + `approx_count_distinct` over the key
-    * projection) picks the verification UNIT. When either side
-    * repeats keys ≥ `dedupKeysFactor`× (real ER corpora do — the sf
-    * part table holds 20k rows over 64 distinct names), verification
-    * runs once per DISTINCT (left_key, right_key) pair and id
-    * multiplicities re-attach afterward by two hash equi-joins on the
-    * key — the same result set for orders of magnitude fewer
-    * levenshtein calls (the naive row-level form pays
-    * |rows_L|·|rows_R| per block; this pays |keys_L|·|keys_R| +
-    * O(output)). When keys are ~unique, dedup buys nothing and rows
-    * verify directly — no dedup shuffles, no expansion joins, the
-    * plan Catalyst fuses best (measured 4× faster than forcing the
-    * dedup shape onto a unique-key corpus). Callers who KNOW their
-    * key regime pass `dedupKeys = Some(false)` (unique ids) /
-    * `Some(true)` (heavy repetition) to skip the two stats jobs —
-    * the choice is output-invariant (spec-proven).
+    *
+    * '''Duplicate-key economics (adaptive):''' per-block row counts
+    * and approximate key counts ride along the single routing pass
+    * (one aggregation + one one-row action — the previous design
+    * paid three separate driver actions here) and pick the
+    * verification UNIT. When either side repeats keys ≥
+    * `dedupKeysFactor`× (real ER corpora do — the sf part table
+    * holds 20k rows over 64 distinct names), verification runs once
+    * per DISTINCT (left_key, right_key) pair and id multiplicities
+    * re-attach afterward by two hash equi-joins on the key — the
+    * same result set for orders of magnitude fewer levenshtein calls
+    * (the naive row-level form pays |rows_L|·|rows_R| per block;
+    * this pays |keys_L|·|keys_R| + O(output)). When keys are
+    * ~unique, dedup buys nothing and rows verify directly — no dedup
+    * shuffles, no expansion joins, the plan Catalyst fuses best
+    * (measured 4× faster than forcing the dedup shape onto a
+    * unique-key corpus). Callers who KNOW their key regime pass
+    * `dedupKeys = Some(false)` (unique ids) / `Some(true)` (heavy
+    * repetition) to pin a deterministic plan shape — the choice is
+    * output-invariant (spec-proven).
     *
     * '''Eager, once:''' the call materializes the verified pair table
     * (bounded by true matches) via one eager `localCheckpoint`, with
@@ -390,48 +393,86 @@ object Joins {
     * actions consume the result, and the projection cache releases
     * before returning.
     *
-    * '''Low-prefix-diversity guard (`qgramFilter`, default on):'''
-    * when the key population shares few prefixes (templated entity
-    * names), one block can hold a large fraction of both sides and
-    * its unit cross product lands on a single shuffle partition — the
-    * quadratic single-task shape that would not survive 100 TB.
-    * Blocks whose unit pair volume exceeds `maxBlockPairs` (measured
-    * by one tiny count-aggregation per side, #blocks-sized output)
-    * are therefore routed through a LOSSLESS positional q-gram
-    * count-filter (Gravano et al., "Approximate String Joins in a
-    * Database (Almost) for Free", VLDB 2001; prefix selection per
-    * Chaudhuri/Ganti/Kaushik ICDE 2006): an edit script of ≤
-    * `maxDist` operations destroys at most `q·maxDist` of a string's
-    * positional q-grams and shifts survivors by at most `maxDist`
-    * positions, so ANY `q·maxDist + 1` gram occurrences of the left
-    * key must include one appearing in the right key within
-    * ±`maxDist` of its position. Each left unit in an oversized block
-    * probes with only its `q·maxDist + 1` globally-rarest grams (df
-    * over the indexed side — the PPJoin ordering, as in
-    * `Dedup.ngramJaccardPairs(prefixFilter = true)`) against a gram
-    * index of the block keyed by (block, gram, position band):
-    * candidates ≈ true pairs instead of block², and every stage is a
-    * linear gram-volume shuffle. Keys too short to own `q·maxDist +
-    * 1` grams verify against their whole (by definition small: the
-    * key is < q·(maxDist+1) chars) block the plain way. Blocks under
-    * the threshold keep the plain join — no gram machinery tax on
-    * prefix-diverse corpora. Both the routing and the unit choice are
-    * output-invariant (spec-proven by randomized differentials on
-    * both regimes plus unit/filter on-off equalities).
+    * '''Low-diversity guard (`qgramFilter`, default on):''' when the
+    * key population shares few prefixes (templated entity names, a
+    * small effective alphabet), blocks hold large fractions of both
+    * sides and the plain block join degenerates two ways: one block's
+    * unit cross product lands on a single shuffle partition (the
+    * quadratic single-task straggler), and — even when each block is
+    * individually modest — the SUM of block cross products can be
+    * quadratic in the corpus (256 hex prefixes × 600k pairs each is
+    * 156M verifications that no single-block cap sees). Routing is
+    * therefore two-level, from one #blocks-sized count-aggregation
+    * per side: a block is routed to the filtered path when its own
+    * unit pair volume exceeds `maxBlockPairs` (task-size bound), or
+    * when the corpus-wide pair volume exceeds `maxTotalPairs` and the
+    * block's volume exceeds its even share `maxTotalPairs / #blocks`
+    * (total-CPU bound; floored at 4096 so micro-blocks never pay the
+    * machinery). Blocks under both bars keep the plain join — no
+    * filter tax on genuinely diverse corpora.
+    *
+    * '''Routed path, `maxDist <= 1` (deletion neighborhoods):''' two
+    * strings within edit distance 1 always share a member of their
+    * deletion neighborhoods — {s} ∪ {s minus one char}: a
+    * substitution at i makes both sides' delete-at-i equal, an
+    * insertion/deletion makes one side's delete equal the other's
+    * identity (FastSS, Bocek et al. 2007; the SymSpell recipe). Each
+    * routed unit emits `len + 1` 64-bit variant HASHES row-locally
+    * (strings never shuffle) and candidates are one hash equi-join on
+    * (prefix, variant): complete by the argument above, candidates ≈
+    * true pairs + vanishing hash collisions (killed by verification),
+    * cost one linear shuffle of ~len rows per unit. The length-bin
+    * key is dropped here — any pair within `maxDist` differs in
+    * length by at most `maxDist`, so the `±ceil(maxDist/lenBand)` bin
+    * contract is implied, never binding. Explicit `q > 0` forces the
+    * positional q-gram path below instead (the differential specs use
+    * this to prove the two routed paths equal).
+    *
+    * '''Routed path, `maxDist >= 2` (positional q-grams):''' a
+    * LOSSLESS positional q-gram count-filter (Gravano et al.,
+    * "Approximate String Joins in a Database (Almost) for Free",
+    * VLDB 2001; prefix selection per Chaudhuri/Ganti/Kaushik ICDE
+    * 2006): an edit script of ≤ `maxDist` operations destroys at most
+    * `q·maxDist` of a string's positional q-grams and shifts
+    * survivors by at most `maxDist` positions, so ANY `q·maxDist + 1`
+    * gram occurrences of the left key must include one appearing in
+    * the right key within ±`maxDist` of its position. Each left unit
+    * in a routed block probes with only its `q·maxDist + 1`
+    * globally-rarest grams (df over the indexed side — the PPJoin
+    * ordering, as in `Dedup.ngramJaccardPairs(prefixFilter = true)`)
+    * against a gram index of the block keyed by (block, gram,
+    * position band): candidates ≈ true pairs instead of block², and
+    * every stage is a linear gram-volume shuffle. Keys too short to
+    * own `q·maxDist + 1` grams verify against their whole (by
+    * definition small: the key is < q·(maxDist+1) chars) block the
+    * plain way. `q = 0` (default) picks the gram width ADAPTIVELY:
+    * filter selectivity is what pays for the machinery, and it decays
+    * with the effective alphabet (hex corpora own ~256 distinct
+    * 2-grams — every probe gram matches a constant fraction of its
+    * block, which is quadratic again with a small constant), so q
+    * widens to `clamp(p05(len) / (maxDist + 1), 2, 8)` — as wide as
+    * the shortest keys allow (≥95% of keys stay on the filtered
+    * path), capped so gram bytes stay bounded.
+    *
+    * Both the routing and the unit choice are output-invariant
+    * (spec-proven by randomized differentials on both regimes and
+    * both routed paths, plus unit/filter on-off equalities).
     */
   def fuzzyJoin(
       left: DataFrame, leftId: Column, leftKey: Column,
       right: DataFrame, rightId: Column, rightKey: Column,
       maxDist: Int, prefixLen: Int = 2, lenBand: Int = 4,
-      qgramFilter: Boolean = true, q: Int = 2,
+      qgramFilter: Boolean = true, q: Int = 0,
       maxBlockPairs: Long = 1L << 22,
+      maxTotalPairs: Long = 1L << 26,
       dedupKeysFactor: Double = 1.5,
       dedupKeys: Option[Boolean] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 0, s"prefixLen must be >= 0, got $prefixLen")
     require(lenBand >= 1, s"lenBand must be >= 1, got $lenBand")
-    require(q >= 1, s"q must be >= 1, got $q")
+    require(q >= 0, s"q must be >= 0 (0 = adaptive width), got $q")
     require(maxBlockPairs >= 1, s"maxBlockPairs must be >= 1, got $maxBlockPairs")
+    require(maxTotalPairs >= 1, s"maxTotalPairs must be >= 1, got $maxTotalPairs")
     require(dedupKeysFactor >= 1.0,
       s"dedupKeysFactor must be >= 1, got $dedupKeysFactor")
     def norm(c: Column): Column = lower(trim(c))
@@ -457,23 +498,79 @@ object Joins {
       .filter(col("__graft_lk").isNotNull).persist()
     val r0 = right.select(rightId.as("right_id"), norm(rightKey).as("__graft_rk"))
       .filter(col("__graft_rk").isNotNull).persist()
-    // the unit decision: two one-row aggregates over the key
-    // projections (approximate distinct is fine — this only picks a
-    // plan shape, never affects values). `dedupKeys = Some(_)` skips
-    // the stats entirely — pipeline callers who KNOW their key regime
-    // (unique ids → Some(false); heavy repetition → Some(true)) don't
-    // pay the two aggregate jobs the adaptive default needs (round-9
-    // verdict item 4); the choice is output-invariant either way
-    // (spec-proven forced-row == forced-dedup == adaptive).
-    def stats(df: DataFrame, key: String): (Long, Long) = {
-      val row = df.agg(count(lit(1)), approx_count_distinct(col(key))).head()
-      (row.getLong(0), row.getLong(1))
-    }
+    val blockCols = Seq("__graft_pfx", "__graft_bin")
+    // cached routing-side tables (the block-volume table) release with
+    // the projections once the verified pair table is materialized
+    val aux = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // ---- single routing/stats pass (one eager action) ----
+    // per-block ROW volumes and per-block approximate key counts in
+    // ONE aggregation over the cached projections, summarized by ONE
+    // one-row action: it feeds (a) the verification-unit decision
+    // (repetition ratio over the OVERLAPPING blocks — the only ones
+    // that generate work), (b) the two-level volume routing, and (c)
+    // the small/routed branch pruning — where the previous design
+    // paid three separate driver actions. Row counts (not unit
+    // counts) drive the routing even when verification later
+    // dedups keys: an overestimate only routes a block EARLIER onto
+    // the linear filtered path — conservative, and output-invariant
+    // like every plan choice here (spec-proven).
+    val routing: Option[(DataFrame, org.apache.spark.sql.Row)] =
+      if (!qgramFilter) None
+      else {
+        val lRows = l0
+          .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
+          .withColumn("__graft_bin", binProbe(col("__graft_lk")))
+        val rRows = r0
+          .withColumn("__graft_pfx", blockKey(col("__graft_rk")))
+          .withColumn("__graft_bin", bin(col("__graft_rk")))
+        val bc = lRows.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("__graft_cl"),
+            approx_count_distinct(col("__graft_lk")).as("__graft_kl"))
+          .join(rRows.groupBy(blockCols.map(col): _*)
+            .agg(count(lit(1)).as("__graft_cr"),
+              approx_count_distinct(col("__graft_rk")).as("__graft_kr")),
+            blockCols)
+          .select(col("__graft_pfx"), col("__graft_bin"),
+            (col("__graft_cl") * col("__graft_cr")).as("__graft_vol"),
+            col("__graft_cl"), col("__graft_kl"),
+            col("__graft_cr"), col("__graft_kr"))
+          .persist()
+        aux += bc
+        Some((bc, bc.agg(
+          coalesce(sum(col("__graft_vol")), lit(0L)),   // 0: total volume
+          count(lit(1)),                                 // 1: #blocks
+          coalesce(max(col("__graft_vol")), lit(0L)),    // 2: max volume
+          coalesce(sum(col("__graft_cl")), lit(0L)),     // 3: left rows
+          coalesce(sum(col("__graft_kl")), lit(0L)),     // 4: ~left keys
+          coalesce(sum(col("__graft_cr")), lit(0L)),     // 5: right rows
+          coalesce(sum(col("__graft_kr")), lit(0L))      // 6: ~right keys
+        ).head()))
+      }
+    // the verification-unit decision (approximate distinct is fine —
+    // this only picks a plan shape, never affects values). `dedupKeys
+    // = Some(_)` pins it — pipeline callers who KNOW their key regime
+    // (unique ids → Some(false); heavy repetition → Some(true)) keep a
+    // deterministic plan shape (round-9 verdict item 4); the choice is
+    // output-invariant either way (spec-proven forced-row ==
+    // forced-dedup == adaptive).
     val useDedupKeys = dedupKeys.getOrElse {
-      val (nl, kl) = stats(l0, "__graft_lk")
-      val (nr, kr) = stats(r0, "__graft_rk")
-      nl >= dedupKeysFactor * math.max(kl, 1L) ||
-        nr >= dedupKeysFactor * math.max(kr, 1L)
+      routing.map(_._2) match {
+        case Some(s) =>
+          s.getLong(3) >= dedupKeysFactor * math.max(s.getLong(4), 1L) ||
+            s.getLong(5) >= dedupKeysFactor * math.max(s.getLong(6), 1L)
+        case None =>
+          // plain-join escape hatch: no routing pass exists, so fall
+          // back to two one-row aggregates over the projections
+          def stats(df: DataFrame, key: String): (Long, Long) = {
+            val row =
+              df.agg(count(lit(1)), approx_count_distinct(col(key))).head()
+            (row.getLong(0), row.getLong(1))
+          }
+          val (nl, kl) = stats(l0, "__graft_lk")
+          val (nr, kr) = stats(r0, "__graft_rk")
+          nl >= dedupKeysFactor * math.max(kl, 1L) ||
+            nr >= dedupKeysFactor * math.max(kr, 1L)
+      }
     }
     // verification units: distinct keys when repetition pays,
     // otherwise the raw rows
@@ -485,7 +582,6 @@ object Joins {
     val rKeys = rUnit
       .withColumn("__graft_pfx", blockKey(col("__graft_rk")))
       .withColumn("__graft_bin", bin(col("__graft_rk")))
-    val blockCols = Seq("__graft_pfx", "__graft_bin")
     val candCols =
       if (useDedupKeys) Seq(col("__graft_lk"), col("__graft_rk"))
       else Seq(col("left_id"), col("__graft_lk"),
@@ -509,7 +605,7 @@ object Joins {
     // candidate pipeline.
     def finish(pairs0: DataFrame): DataFrame = {
       val pairs = pairs0.localCheckpoint()
-      l0.unpersist(); r0.unpersist()
+      l0.unpersist(); r0.unpersist(); aux.foreach(_.unpersist())
       val withIds =
         if (useDedupKeys) pairs.join(l0, Seq("__graft_lk"))
           .join(r0, Seq("__graft_rk"))
@@ -521,90 +617,199 @@ object Joins {
     if (!qgramFilter)
       return finish(verified(lProbe.join(rKeys, blockCols)))
 
-    // block routing: unit pair volume per (prefix, bin), from two
-    // block-count aggregations (each output is #blocks-sized)
-    val bigBlocks = lProbe.groupBy(blockCols.map(col): _*)
-      .agg(count(lit(1)).as("__graft_cl"))
-      .join(rKeys.groupBy(blockCols.map(col): _*)
-        .agg(count(lit(1)).as("__graft_cr")), blockCols)
-      .filter(col("__graft_cl") * col("__graft_cr") > maxBlockPairs)
+    // two-level routing (doc above): the effective threshold tau is
+    // per-block `maxBlockPairs` when the corpus-wide volume fits
+    // `maxTotalPairs`, the even per-block share (floored at 4096)
+    // when it does not, so the plain path's TOTAL verification volume
+    // stays budget-bounded, not just each task's. All quantities come
+    // from the single routing pass above (cached, #blocks-sized).
+    val (blockCounts, volRow) = routing.get
+    val (totalVol, nBlocks, maxVol) =
+      (volRow.getLong(0), volRow.getLong(1), volRow.getLong(2))
+    val tau =
+      if (totalVol <= maxTotalPairs) maxBlockPairs
+      else math.min(maxBlockPairs,
+        math.max(maxTotalPairs / math.max(nBlocks, 1L), 4096L))
+    if (maxVol <= tau)
+      return finish(verified(lProbe.join(rKeys, blockCols)))
+    val bigBlocks = blockCounts.filter(col("__graft_vol") > tau)
       .select(blockCols.map(col): _*)
-    val lSmall = lProbe.join(bigBlocks, blockCols, "left_anti")
-    val smallCand = lSmall.join(rKeys, blockCols)
+    // small-branch pruning: one tiny aggregate on the cached block
+    // table — when the routed blocks carry ALL the volume (the
+    // low-diversity corpora this guard exists for), the anti-join /
+    // small-block join / union stages drop out of the plan entirely
+    val smallVol = blockCounts.filter(col("__graft_vol") <= tau)
+      .agg(coalesce(sum(col("__graft_vol")), lit(0L))).head().getLong(0)
     val lBig = lProbe.join(bigBlocks, blockCols, "left_semi")
     val rBig = rKeys.join(bigBlocks, blockCols, "left_semi")
-
-    val pi = q * maxDist + 1
-    // keys with fewer than pi grams can have ALL their grams destroyed
-    // by the edit script — the count-filter argument needs pi distinct
-    // occurrences — so they verify against their whole block plainly
-    val isShort = length(col("__graft_lk")) - q + 1 < pi
-    val shortBigCand = lBig.filter(isShort).join(rBig, blockCols)
-    // positional q-grams, formed row-locally
-    def gramsOf(key: Column): Column =
-      transform(sequence(lit(0), length(key) - q),
-        i => struct(key.substr(i + 1, lit(q)).as("gram"), i.as("pos")))
-    // positions quantize into (maxDist+1)-wide bands; the right side
-    // registers each gram under every band a ±maxDist partner could
-    // occupy, so the positional tolerance is an EQUI-join key (hash
-    // join, no inequality fanout) with the exact |Δpos| check after
-    val bw = maxDist + 1
-    def bandOf(p: Column): Column = floor(p.cast("double") / bw).cast("int")
     val rIdCols = if (useDedupKeys) Seq(col("__graft_rk"))
                   else Seq(col("right_id"), col("__graft_rk"))
     val lIdCols = if (useDedupKeys) Seq(col("__graft_lk"))
                   else Seq(col("left_id"), col("__graft_lk"))
-    // right keys shorter than q own no q-gram: sequence(0, len−q)
-    // would emit a DESCENDING [0, −1, …] and register bogus grams at
-    // negative positions (round-9 advice item). Excluding them from
-    // the index loses no pair: any left key on this path is long
-    // (≥ pi + q − 1 = q·(maxDist+1) chars — the !isShort filter), so
-    // against a (< q)-char right key the length gap alone is
-    // > q·maxDist − (q−1) ≥ maxDist + 1 edits — never admissible.
-    val rGrams = rBig
-      .filter(length(col("__graft_rk")) >= q)
-      .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
-        explode(gramsOf(col("__graft_rk"))).as("g")): _*)
-      .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
-        col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_rpos")): _*)
-    // document frequency of each gram over the indexed side: the
-    // global rarity order for prefix selection. The table is gram-
-    // vocabulary-sized (≤ charset^q); AQE broadcasts it when small and
-    // falls back to a shuffle join otherwise — never a driver collect
-    val gramDf = rGrams.groupBy(col("__graft_gram"))
-      .agg(count(lit(1)).as("__graft_df"))
-    val rIdx = rGrams.withColumn("__graft_band", explode(sequence(
-      greatest(bandOf(col("__graft_rpos") - maxDist), lit(0)),
-      bandOf(col("__graft_rpos") + maxDist))))
-    // per left unit (and probed bin): attach rarities, keep the pi
-    // rarest occurrences (array_sort on (df, gram, pos) struct order —
-    // deterministic), probe the index
-    val lGroup = lIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"))
-    val lPrefix = lBig.filter(!isShort)
-      .select(lGroup :+ explode(gramsOf(col("__graft_lk"))).as("g"): _*)
-      .select(lGroup ++ Seq(col("g.gram").as("__graft_gram"),
-        col("g.pos").as("__graft_lpos")): _*)
-      .join(gramDf, Seq("__graft_gram"), "left")
-      .groupBy(lGroup: _*)
-      .agg(slice(array_sort(collect_list(struct(
-        coalesce(col("__graft_df"), lit(0L)).as("df"),
-        col("__graft_gram").as("gram"), col("__graft_lpos").as("pos")))),
-        1, pi).as("__graft_pref"))
-      .select(lGroup :+ explode(col("__graft_pref")).as("p"): _*)
-      .select(lGroup ++ Seq(col("p.gram").as("__graft_gram"),
-        col("p.pos").as("__graft_lpos"),
-        bandOf(col("p.pos")).as("__graft_band")): _*)
-    val qgramCand = lPrefix.join(rIdx,
-        blockCols ++ Seq("__graft_gram", "__graft_band"))
-      .filter(abs(col("__graft_lpos") - col("__graft_rpos")) <= maxDist)
-      .select(candCols: _*)
-      .distinct()
-    // the three candidate streams are pair-disjoint: a unit pair lives
-    // in exactly one (pfx, right-bin) block, each block is routed
-    // exactly one way, and short/long left keys partition the big path
-    val cand = smallCand.select(candCols: _*)
-      .unionByName(shortBigCand.select(candCols: _*))
-      .unionByName(qgramCand)
+
+    val routedCand: DataFrame = if (maxDist <= 1 && q == 0) {
+      // ---- deletion-neighborhood path (doc above) ----
+      // routed units, once each: a unit reaches lBig through up to
+      // 2·binW+1 probed bins — distinct() collapses the repeats so
+      // variants are emitted once per unit. The length-bin key is
+      // dropped from the join: |len(a)-len(b)| <= maxDist for every
+      // verified pair, so the bin contract is implied (never binding)
+      val lBigU = lBig.select(lIdCols :+ col("__graft_pfx"): _*).distinct()
+      val rBigU = rBig.select(rIdCols :+ col("__graft_pfx"): _*).distinct()
+      // the variant join shuffles ONE 8-byte key (block prefix folded
+      // into the hash) plus an 8-byte unit surrogate — row ids when
+      // rows are the unit, a key hash otherwise; keys re-attach after
+      // the match-bounded distinct, so strings never ride the
+      // variant-volume shuffle. Any 64-bit collision (variant or
+      // surrogate) only ADDS candidates: verification plus the
+      // structural prefix re-check below remove them — the output
+      // never depends on hash injectivity
+      val lSur =
+        if (useDedupKeys) xxhash64(col("__graft_lk")) else col("left_id")
+      val rSur =
+        if (useDedupKeys) xxhash64(col("__graft_rk")) else col("right_id")
+      // {s} ∪ {s minus one char}, emitted as 64-bit hashes row-locally
+      // inside the projection — variant STRINGS never reach a shuffle.
+      // A 0-length key owns no deletions (sequence(1, 0) would emit a
+      // DESCENDING [1, 0] — the same trap as the sub-q gram guard)
+      def delKeys(key: Column, pfx: Column): Column =
+        when(length(key) === 0, array(xxhash64(pfx, key))).otherwise(
+          concat(array(xxhash64(pfx, key)),
+            transform(sequence(lit(1), length(key)),
+              i => xxhash64(pfx, concat(key.substr(lit(1), i - 1),
+                key.substr(i + 1, length(key)))))))
+      // parallelism pinning: AQE coalesces post-shuffle partitions by
+      // BYTE size, blind to per-row CPU — and both the variant probe
+      // and the verification are CPU-per-row heavy on byte-small rows
+      // (measured: AQE squeezed them onto 2-8 of 32 cores). The
+      // explicit hash repartition is the exchange the join requires
+      // anyway (no extra shuffle), just pinned against coalescing
+      val nShuffle =
+        left.sparkSession.sessionState.conf.numShufflePartitions
+      val lV = lBigU.select(lSur.as("__graft_lu"),
+        explode(delKeys(col("__graft_lk"), col("__graft_pfx")))
+          .as("__graft_vh"))
+        .repartition(nShuffle, col("__graft_vh"))
+      val rV = rBigU.select(rSur.as("__graft_ru"),
+        explode(delKeys(col("__graft_rk"), col("__graft_pfx")))
+          .as("__graft_vh"))
+        .repartition(nShuffle, col("__graft_vh"))
+      // complete for maxDist <= 1: substitution at i → both delete-at-i
+      // variants equal; insert/delete → one side's deletion equals the
+      // other's identity; equality → identity variants equal. The
+      // MERGE hint is load-bearing at scale: Catalyst cannot size an
+      // exploded table (it inherits the pre-explode estimate) and
+      // would happily BROADCAST millions of variant rows — a
+      // single-threaded driver build here, a driver OOM at 100 TB.
+      // Sort-merge over shuffled-hash because the build side is
+      // variant-volume-sized: a per-task hash relation hits a hard
+      // memory wall exactly when the data grows (measured at 10×),
+      // while the merge path radix-sorts 16-byte rows and spills
+      val candIds = lV.hint("merge")
+        .join(rV.hint("merge"), Seq("__graft_vh"))
+        .select(col("__graft_lu"), col("__graft_ru")).distinct()
+        .repartition(nShuffle)
+      // re-attach unit payloads: candidate-volume-sized equijoins
+      // against the distinct unit tables (AQE broadcasts the small
+      // candidate side); the prefix re-check restores the blocking
+      // contract structurally under any hash collision
+      val lAttach = lBigU.select(lIdCols :+ lSur.as("__graft_lu"): _*)
+      val rAttach = rBigU.select(rIdCols :+ rSur.as("__graft_ru"): _*)
+      candIds.join(lAttach, Seq("__graft_lu")).join(rAttach, Seq("__graft_ru"))
+        .filter(blockKey(col("__graft_lk")) === blockKey(col("__graft_rk")))
+        .select(candCols: _*)
+    } else {
+      // ---- positional q-gram path (doc above) ----
+      // adaptive gram width (q = 0): as wide as the shortest keys
+      // allow — p05 of key length over both sides (one small action on
+      // the cached projections), so >= 95% of keys keep the filtered
+      // path — clamped to [2, 8] (gram-byte bound). Selectivity rises
+      // exponentially with width on low-diversity alphabets, and the
+      // count-filter argument is width-independent
+      val qEff = if (q > 0) q else {
+        val p05 = l0.select(length(col("__graft_lk")).as("__graft_len"))
+          .unionAll(r0.select(length(col("__graft_rk")).as("__graft_len")))
+          .agg(percentile_approx(col("__graft_len"), lit(0.05), lit(1000)))
+          .head().getInt(0)
+        math.max(2, math.min(8, p05 / (maxDist + 1)))
+      }
+      val pi = qEff * maxDist + 1
+      // keys with fewer than pi grams can have ALL their grams
+      // destroyed by the edit script — the count-filter argument needs
+      // pi distinct occurrences — so they verify against their whole
+      // block plainly
+      val isShort = length(col("__graft_lk")) - qEff + 1 < pi
+      val shortBigCand = lBig.filter(isShort).join(rBig, blockCols)
+      // positional q-grams, formed row-locally
+      def gramsOf(key: Column): Column =
+        transform(sequence(lit(0), length(key) - qEff),
+          i => struct(key.substr(i + 1, lit(qEff)).as("gram"), i.as("pos")))
+      // positions quantize into (maxDist+1)-wide bands; the right side
+      // registers each gram under every band a ±maxDist partner could
+      // occupy, so the positional tolerance is an EQUI-join key (hash
+      // join, no inequality fanout) with the exact |Δpos| check after
+      val bw = maxDist + 1
+      def bandOf(p: Column): Column = floor(p.cast("double") / bw).cast("int")
+      // right keys shorter than qEff own no q-gram: sequence(0, len−q)
+      // would emit a DESCENDING [0, −1, …] and register bogus grams at
+      // negative positions (round-9 advice item). Excluding them from
+      // the index loses no pair: any left key on this path is long
+      // (≥ pi + q − 1 = q·(maxDist+1) chars — the !isShort filter), so
+      // against a (< q)-char right key the length gap alone is
+      // > q·maxDist − (q−1) ≥ maxDist + 1 edits — never admissible.
+      val rGrams = rBig
+        .filter(length(col("__graft_rk")) >= qEff)
+        .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
+          explode(gramsOf(col("__graft_rk"))).as("g")): _*)
+        .select(rIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"),
+          col("g.gram").as("__graft_gram"), col("g.pos").as("__graft_rpos")): _*)
+      // document frequency of each gram over the indexed side: the
+      // global rarity order for prefix selection. The table is gram-
+      // vocabulary-sized; AQE broadcasts it when small and falls back
+      // to a shuffle join otherwise — never a driver collect
+      val gramDf = rGrams.groupBy(col("__graft_gram"))
+        .agg(count(lit(1)).as("__graft_df"))
+      val rIdx = rGrams.withColumn("__graft_band", explode(sequence(
+        greatest(bandOf(col("__graft_rpos") - maxDist), lit(0)),
+        bandOf(col("__graft_rpos") + maxDist))))
+      // per left unit (and probed bin): attach rarities, keep the pi
+      // rarest occurrences (array_sort on (df, gram, pos) struct order —
+      // deterministic), probe the index
+      val lGroup = lIdCols ++ Seq(col("__graft_pfx"), col("__graft_bin"))
+      val lPrefix = lBig.filter(!isShort)
+        .select(lGroup :+ explode(gramsOf(col("__graft_lk"))).as("g"): _*)
+        .select(lGroup ++ Seq(col("g.gram").as("__graft_gram"),
+          col("g.pos").as("__graft_lpos")): _*)
+        .join(gramDf, Seq("__graft_gram"), "left")
+        .groupBy(lGroup: _*)
+        .agg(slice(array_sort(collect_list(struct(
+          coalesce(col("__graft_df"), lit(0L)).as("df"),
+          col("__graft_gram").as("gram"), col("__graft_lpos").as("pos")))),
+          1, pi).as("__graft_pref"))
+        .select(lGroup :+ explode(col("__graft_pref")).as("p"): _*)
+        .select(lGroup ++ Seq(col("p.gram").as("__graft_gram"),
+          col("p.pos").as("__graft_lpos"),
+          bandOf(col("p.pos")).as("__graft_band")): _*)
+      val qgramCand = lPrefix.join(rIdx,
+          blockCols ++ Seq("__graft_gram", "__graft_band"))
+        .filter(abs(col("__graft_lpos") - col("__graft_rpos")) <= maxDist)
+        .select(candCols: _*)
+        .distinct()
+      // short/long left keys partition the routed blocks' candidates
+      shortBigCand.select(candCols: _*).unionByName(qgramCand)
+    }
+    // the candidate streams are pair-disjoint: a unit pair lives in
+    // exactly one (pfx, right-bin) block — small blocks feed smallCand
+    // only, routed blocks feed exactly one routed path (the deletion
+    // path admits a pair only when the right unit's OWN block is
+    // routed, which excludes it from smallCand by the anti-join)
+    val cand =
+      if (smallVol == 0L) routedCand
+      else {
+        val lSmall = lProbe.join(bigBlocks, blockCols, "left_anti")
+        val smallCand = lSmall.join(rKeys, blockCols)
+        smallCand.select(candCols: _*).unionByName(routedCand)
+      }
     finish(verified(cand))
   }
 }

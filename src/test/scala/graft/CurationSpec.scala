@@ -480,6 +480,18 @@ class CurationSpec extends AnyFunSuite {
         maxDist, prefixLen, lenBand, qgramFilter = false)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(plain === expect)
+    // FORCED routing (maxBlockPairs = 1: every non-empty block routes):
+    // the default differential's blocks are far below the volume
+    // thresholds, so without this the filtered machinery never runs.
+    // maxDist = 2 here → the positional q-gram path, with ADAPTIVE
+    // width (these 3-8 char keys clamp qEff to 2, and the short-key
+    // whole-block fallback covers most of them — both sub-paths fire)
+    val routed = graft.operators.Joins.fuzzyJoin(
+        ls.toDF("id", "name"), col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist, prefixLen, lenBand, maxBlockPairs = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(routed === expect)
     // forced verification units on the unique-key fixture: both must
     // equal the adaptive result (round-9 verdict item 4)
     def forced(u: Boolean) = graft.operators.Joins.fuzzyJoin(
@@ -536,6 +548,18 @@ class CurationSpec extends AnyFunSuite {
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(expect.size >= 20, s"fixture must produce dense matches, got ${expect.size}")
     assert(got === expect)
+    // FORCED routing at maxDist = 1, both routed paths: q = 0 takes
+    // the deletion-neighborhood path, explicit q = 2 forces the
+    // positional q-gram path on the identical routed blocks — each
+    // must reproduce the brute-force set exactly (lossless)
+    def runRouted(qWidth: Int) = graft.operators.Joins.fuzzyJoin(
+        ls.toDF("id", "name"), col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist, prefixLen, lenBand, maxBlockPairs = 1, q = qWidth)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(runRouted(0) === expect)   // deletion neighborhoods
+    assert(runRouted(2) === expect)   // positional q-grams, fixed width
+    assert(runRouted(6) === expect)   // wide grams (the adaptive pick here)
     // unit choice is output-invariant: force the distinct-key shape
     // (factor 1.0: every corpus "repeats") and the row shape (huge
     // factor) on a fixture with REPEATED keys, so the expansion joins
@@ -562,6 +586,60 @@ class CurationSpec extends AnyFunSuite {
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(runForced(true) === viaDedup)
     assert(runForced(false) === viaDedup)
+  }
+
+  test("fuzzyJoin global pair-volume routing: budget-triggered rerouting is output-invariant") {
+    // ONE dense block: 80x80 same-prefix keys = 6400 unit pairs —
+    // under the per-block default, but over the 4096 per-block floor
+    // that the global budget clamps to. maxTotalPairs = 1 forces the
+    // global rule to engage (tau = max(1/1, 4096) = 4096 < 6400), so
+    // the block reroutes through the deletion path; the default run
+    // keeps the plain join. Outputs must match exactly.
+    def str(seed: Int): String = {
+      var x = seed * 2654435761L
+      val len = 10 + (math.abs(x) % 8).toInt
+      "zz" + (0 until len).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        "abc" (math.abs(x % 3).toInt)
+      }.mkString
+    }
+    val ls = (0 until 80).map(i => (i.toLong, str(i)))
+    val rs = (0 until 80).map { i =>
+      val base = str(i + 40)   // half overlap the left seeds -> dense dist<=1 pairs
+      val s = if (i % 2 == 0) base.updated(3, 'x') else base
+      (1000L + i, s)
+    }
+    def run(budget: Long) = graft.operators.Joins.fuzzyJoin(
+        ls.toDF("id", "name"), col("id"), col("name"),
+        rs.toDF("id", "name"), col("id"), col("name"),
+        maxDist = 1, prefixLen = 2, lenBand = 1000,
+        maxTotalPairs = budget)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val viaPlain = run(1L << 26)
+    val viaGlobal = run(1L)
+    assert(viaPlain.nonEmpty, "fixture must produce matches")
+    assert(viaGlobal === viaPlain)
+  }
+
+  test("fuzzyJoin deletion path edge cases: empty, 1-char, and bin-straddling keys") {
+    // forced routing (maxBlockPairs = 1) + prefixLen = 0 so the empty
+    // key is not blocked apart; maxDist = 1, q = 0 -> deletion path
+    val l = Seq((1L, ""), (2L, "a"), (3L, "abcdefg"), (4L, " x ")).toDF("id", "name")
+    val r = Seq(
+      (10L, "a"),          // "" -> dist 1 (insert); "a" -> dist 0
+      (20L, "abcdefgh"),   // len 8 vs 7 straddles the lenBand=4 bin boundary
+      (30L, "X"),          // norm -> "x"; " x " norm -> "x" dist 0; "a" dist 1
+      (40L, "")            // "" dist 0; "a" dist 1
+    ).toDF("id", "name")
+    val out = graft.operators.Joins.fuzzyJoin(
+        l, col("id"), col("name"), r, col("id"), col("name"),
+        maxDist = 1, prefixLen = 0, maxBlockPairs = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 10L), (1L, 30L), (1L, 40L),  // "" ~ "a", "" ~ "x", "" ~ ""
+      (2L, 10L), (2L, 30L), (2L, 40L),  // "a" ~ "a", "a" ~ "x", "a" ~ ""
+      (3L, 20L),                        // insertion across the bin boundary
+      (4L, 30L), (4L, 10L), (4L, 40L))) // "x" ~ "x", "x" ~ "a", "x" ~ ""
   }
 
   // ------------------------------------------------------------- funnel
