@@ -465,6 +465,26 @@ object Bench {
         Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
           maxDist = 1)
       }),
+      // scalable twin of the degenerate-blocking control: 8 color
+      // prefixes over range-generated names (the part table cannot
+      // grow), so the WORST blocking shape gets its own exponent row.
+      // Typo at char 10 (inside the hash region for every prefix) —
+      // a same-prefix substitution, the routed paths' bread and butter
+      "fuzzy_join_hotblock" -> (() => {
+        val n = 200000L
+        def names(off: Long) = spark.range(n).select(
+          (col("id") + off).as("id"),
+          concat(element_at(typedLit(Seq("almond", "beige", "coral",
+            "denim", "ebony", "forest", "gold", "honey")),
+            (col("id") % 8 + 1).cast("int")),
+            lit(" "), md5(col("id").cast("string"))).as("name"))
+        val l = names(0)
+        val r = names(0).select((col("id") + 1000000000L).as("id"),
+          concat(substring(col("name"), 1, 9), lit("!"),
+            substring(col("name"), 11, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+          maxDist = 1)
+      }),
       "suppress_rare" -> (() => graft.operators.Privacy.suppressRare(
         docs.select(col("doc_id"), col("lang"), col("source"),
           (col("n_chars") % 20).as("size_bin")),
@@ -710,6 +730,24 @@ object Bench {
         val r = names(0).select((col("id") + 1000000000L).as("id"),
           concat(substring(col("name"), 1, 6), lit("x"),
             substring(col("name"), 8, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+          maxDist = 1)
+      }),
+      // the degenerate-blocking control at xMult x: 8 giant blocks
+      // whose pair volume grows quadratically — the shape the routed
+      // (deletion/q-gram) paths must keep LINEAR
+      "fuzzy_join_hotblock" + xs -> (() => {
+        val n = 200000L * xMult
+        def names(off: Long) = spark.range(n).select(
+          (col("id") + off).as("id"),
+          concat(element_at(typedLit(Seq("almond", "beige", "coral",
+            "denim", "ebony", "forest", "gold", "honey")),
+            (col("id") % 8 + 1).cast("int")),
+            lit(" "), md5(col("id").cast("string"))).as("name"))
+        val l = names(0)
+        val r = names(0).select((col("id") + 1000000000L).as("id"),
+          concat(substring(col("name"), 1, 9), lit("!"),
+            substring(col("name"), 11, 100000)).as("name"))
         Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
           maxDist = 1)
       }))
