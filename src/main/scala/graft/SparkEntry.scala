@@ -861,6 +861,67 @@ object SparkEntry {
         |WHERE levenshtein(lk, rk) <= 1
         |ORDER BY left_id, right_id""".stripMargin)),
 
+    Q("fuzzy_join_routed_del",
+      // the same fixture FORCED through the deletion-neighborhood
+      // routed path (maxBlockPairs = 1 routes every block; q = 0 +
+      // maxDist = 1 selects FastSS deletion variants): the routed
+      // plan is output-invariant, so the oracle is the same blocking
+      // + verification replay — this gate proves the deletion path
+      // (variant hashing, merge join, attach, structural re-checks)
+      // against DuckDB, which no small-block fixture reaches
+      (s, dir) => {
+        val p = T(s, dir, "part")
+        val l = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+        val r = p.select((col("p_partkey") + 1000000L).as("id"),
+          concat(substring(col("p_name"), 1, 4), lit("x"),
+            substring(col("p_name"), 6, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+            maxDist = 1, maxBlockPairs = 1)
+          .withColumn("dist", col("dist").cast("long"))
+          .orderBy(col("left_id"), col("right_id"))
+      },
+      Some("""WITH l0 AS (SELECT p_partkey AS left_id, lower(trim(p_name)) AS lk FROM part),
+        | r0 AS (SELECT p_partkey + 1000000 AS right_id,
+        |   lower(trim(substr(p_name, 1, 4) || 'x' || substr(p_name, 6))) AS rk FROM part),
+        | lb AS (SELECT left_id, lk, substr(lk, 1, 2) AS pfx,
+        |   CAST(length(lk) // 4 AS INT) AS bin FROM l0 WHERE lk IS NOT NULL),
+        | rb AS (SELECT right_id, rk, substr(rk, 1, 2) AS pfx,
+        |   CAST(length(rk) // 4 AS INT) AS bin FROM r0 WHERE rk IS NOT NULL)
+        |SELECT left_id, right_id, lk AS left_key, rk AS right_key,
+        |  CAST(levenshtein(lk, rk) AS BIGINT) AS dist
+        |FROM lb JOIN rb ON lb.pfx = rb.pfx AND rb.bin BETWEEN lb.bin - 1 AND lb.bin + 1
+        |WHERE levenshtein(lk, rk) <= 1
+        |ORDER BY left_id, right_id""".stripMargin)),
+
+    Q("fuzzy_join_routed_qgram",
+      // forced through the OTHER routed path (explicit q = 2 selects
+      // the positional q-gram count-filter at the same maxDist): same
+      // oracle again — together the three fuzzy gates prove plain,
+      // deletion, and q-gram plans all equal the DuckDB replay
+      (s, dir) => {
+        val p = T(s, dir, "part")
+        val l = p.select(col("p_partkey").as("id"), col("p_name").as("name"))
+        val r = p.select((col("p_partkey") + 1000000L).as("id"),
+          concat(substring(col("p_name"), 1, 4), lit("x"),
+            substring(col("p_name"), 6, 100000)).as("name"))
+        Joins.fuzzyJoin(l, col("id"), col("name"), r, col("id"), col("name"),
+            maxDist = 1, maxBlockPairs = 1, q = 2)
+          .withColumn("dist", col("dist").cast("long"))
+          .orderBy(col("left_id"), col("right_id"))
+      },
+      Some("""WITH l0 AS (SELECT p_partkey AS left_id, lower(trim(p_name)) AS lk FROM part),
+        | r0 AS (SELECT p_partkey + 1000000 AS right_id,
+        |   lower(trim(substr(p_name, 1, 4) || 'x' || substr(p_name, 6))) AS rk FROM part),
+        | lb AS (SELECT left_id, lk, substr(lk, 1, 2) AS pfx,
+        |   CAST(length(lk) // 4 AS INT) AS bin FROM l0 WHERE lk IS NOT NULL),
+        | rb AS (SELECT right_id, rk, substr(rk, 1, 2) AS pfx,
+        |   CAST(length(rk) // 4 AS INT) AS bin FROM r0 WHERE rk IS NOT NULL)
+        |SELECT left_id, right_id, lk AS left_key, rk AS right_key,
+        |  CAST(levenshtein(lk, rk) AS BIGINT) AS dist
+        |FROM lb JOIN rb ON lb.pfx = rb.pfx AND rb.bin BETWEEN lb.bin - 1 AND lb.bin + 1
+        |WHERE levenshtein(lk, rk) <= 1
+        |ORDER BY left_id, right_id""".stripMargin)),
+
     Q("bpe_merges",
       // BPE merge learning (Sennrich et al. 2016), 6 rounds over the
       // word-frequency table; the oracle replays every round — pair

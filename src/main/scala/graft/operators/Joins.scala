@@ -525,15 +525,17 @@ object Joins {
           .withColumn("__graft_bin", bin(col("__graft_rk")))
         val bc = lRows.groupBy(blockCols.map(col): _*)
           .agg(count(lit(1)).as("__graft_cl"),
-            approx_count_distinct(col("__graft_lk")).as("__graft_kl"))
+            approx_count_distinct(col("__graft_lk")).as("__graft_kl"),
+            sum(length(col("__graft_lk")).cast("long")).as("__graft_ll"))
           .join(rRows.groupBy(blockCols.map(col): _*)
             .agg(count(lit(1)).as("__graft_cr"),
-              approx_count_distinct(col("__graft_rk")).as("__graft_kr")),
+              approx_count_distinct(col("__graft_rk")).as("__graft_kr"),
+              sum(length(col("__graft_rk")).cast("long")).as("__graft_lr")),
             blockCols)
           .select(col("__graft_pfx"), col("__graft_bin"),
             (col("__graft_cl") * col("__graft_cr")).as("__graft_vol"),
-            col("__graft_cl"), col("__graft_kl"),
-            col("__graft_cr"), col("__graft_kr"))
+            col("__graft_cl"), col("__graft_kl"), col("__graft_ll"),
+            col("__graft_cr"), col("__graft_kr"), col("__graft_lr"))
           .persist()
         aux += bc
         Some((bc, bc.agg(
@@ -543,7 +545,9 @@ object Joins {
           coalesce(sum(col("__graft_cl")), lit(0L)),     // 3: left rows
           coalesce(sum(col("__graft_kl")), lit(0L)),     // 4: ~left keys
           coalesce(sum(col("__graft_cr")), lit(0L)),     // 5: right rows
-          coalesce(sum(col("__graft_kr")), lit(0L))      // 6: ~right keys
+          coalesce(sum(col("__graft_kr")), lit(0L)),     // 6: ~right keys
+          coalesce(sum(col("__graft_ll")), lit(0L)),     // 7: left chars
+          coalesce(sum(col("__graft_lr")), lit(0L))      // 8: right chars
         ).head()))
       }
     // the verification-unit decision (approximate distinct is fine —
@@ -649,13 +653,25 @@ object Joins {
 
     val routedCand: DataFrame = if (maxDist <= 1 && q == 0) {
       // ---- deletion-neighborhood path (doc above) ----
-      // routed units, once each: a unit reaches lBig through up to
-      // 2·binW+1 probed bins — distinct() collapses the repeats so
-      // variants are emitted once per unit. The length-bin key is
-      // dropped from the join: |len(a)-len(b)| <= maxDist for every
-      // verified pair, so the bin contract is implied (never binding)
-      val lBigU = lBig.select(lIdCols :+ col("__graft_pfx"): _*).distinct()
-      val rBigU = rBig.select(rIdCols :+ col("__graft_pfx"): _*).distinct()
+      // routed-unit membership WITHOUT the probe explosion or a
+      // string distinct: a left unit is routed iff some big block
+      // (pfx, b) has |b − bin(unit)| ≤ binW, i.e. iff its OWN block
+      // coord lands in a big block's ±binW catchment — a 3×#blocks
+      // tiny table broadcast-semi-joined against the cached unit
+      // projections (the previous shape re-exploded the probe bins
+      // and shuffled the full key strings through a distinct, two
+      // corpus-sized exchanges for a membership test). The length-bin
+      // key is dropped from the variant join itself: |len(a)-len(b)|
+      // <= maxDist for every verified pair, so the bin contract is
+      // implied (never binding)
+      val catchment = bigBlocks.select(col("__graft_pfx"),
+        explode(sequence(col("__graft_bin") - binW,
+          col("__graft_bin") + binW)).as("__graft_bin"))
+      val lBigU = lUnit
+        .withColumn("__graft_pfx", blockKey(col("__graft_lk")))
+        .withColumn("__graft_bin", bin(col("__graft_lk")))
+        .join(catchment, blockCols, "left_semi")
+      val rBigU = rKeys.join(bigBlocks, blockCols, "left_semi")
       // the variant join shuffles ONE 8-byte key (block prefix folded
       // into the hash) plus an 8-byte unit surrogate — row ids when
       // rows are the unit, a key hash otherwise; keys re-attach after
@@ -668,53 +684,72 @@ object Joins {
         if (useDedupKeys) xxhash64(col("__graft_lk")) else col("left_id")
       val rSur =
         if (useDedupKeys) xxhash64(col("__graft_rk")) else col("right_id")
-      // {s} ∪ {s minus one char}, emitted as 64-bit hashes row-locally
-      // inside the projection — variant STRINGS never reach a shuffle.
-      // A 0-length key owns no deletions (sequence(1, 0) would emit a
-      // DESCENDING [1, 0] — the same trap as the sub-q gram guard)
-      def delKeys(key: Column, pfx: Column): Column =
-        when(length(key) === 0, array(xxhash64(pfx, key))).otherwise(
-          concat(array(xxhash64(pfx, key)),
-            transform(sequence(lit(1), length(key)),
-              i => xxhash64(pfx, concat(key.substr(lit(1), i - 1),
-                key.substr(i + 1, length(key)))))))
       // parallelism pinning: AQE coalesces post-shuffle partitions by
       // BYTE size, blind to per-row CPU — and both the variant probe
       // and the verification are CPU-per-row heavy on byte-small rows
       // (measured: AQE squeezed them onto 2-8 of 32 cores). The
       // explicit hash repartition is the exchange the join requires
-      // anyway (no extra shuffle), just pinned against coalescing
+      // anyway (no extra shuffle), just pinned against coalescing —
+      // and SIZED from the routing pass: variant rows ≈ rows + chars
+      // per side (a row-level overestimate when units dedup, which
+      // only adds partitions), ~24 B each, targeting ~32 MB per task
+      // so per-task sorts stay in-memory. The join itself is pinned
+      // to SORT-MERGE: shuffled-hash was measured dying on its
+      // no-spill per-task build ("Can't acquire … to build hash
+      // relation") at 10× even with 32 MB-sized partitions — build
+      // memory divides by in-JVM task concurrency, which the operator
+      // cannot know — while the merge path radix-sorts 16-byte rows
+      // and spills gracefully at any memory budget
       val nShuffle =
         left.sparkSession.sessionState.conf.numShufflePartitions
+      val variantBytes =
+        (math.max(volRow.getLong(3) + volRow.getLong(7),
+          volRow.getLong(5) + volRow.getLong(8))) * 24L
+      val nPart = math.min(
+        math.max(nShuffle.toLong, variantBytes / (32L << 20) + 1L),
+        math.max(4L * nShuffle, 8192L)).toInt
+      val joinHint = "merge"
+      // {s} ∪ {s minus one code point} as 64-bit hashes (block prefix
+      // folded in), via the O(len) rolling-hash kernel — a native
+      // Catalyst expression, zero string allocation per variant
+      // (StringExpressions.scala; the expression-tree form built len
+      // substring concats per key and its allocation churn drove the
+      // GC variance of the first x30 recording)
+      def delKeys64(key: Column, pfx: Column): Column =
+        org.apache.spark.sql.graft.StringExpressions
+          .deletionHashes(key, pfx)
       val lV = lBigU.select(lSur.as("__graft_lu"),
-        explode(delKeys(col("__graft_lk"), col("__graft_pfx")))
+        explode(delKeys64(col("__graft_lk"), col("__graft_pfx")))
           .as("__graft_vh"))
-        .repartition(nShuffle, col("__graft_vh"))
+        .repartition(nPart, col("__graft_vh"))
       val rV = rBigU.select(rSur.as("__graft_ru"),
-        explode(delKeys(col("__graft_rk"), col("__graft_pfx")))
+        explode(delKeys64(col("__graft_rk"), col("__graft_pfx")))
           .as("__graft_vh"))
-        .repartition(nShuffle, col("__graft_vh"))
+        .repartition(nPart, col("__graft_vh"))
       // complete for maxDist <= 1: substitution at i → both delete-at-i
       // variants equal; insert/delete → one side's deletion equals the
       // other's identity; equality → identity variants equal. The
-      // MERGE hint is load-bearing at scale: Catalyst cannot size an
-      // exploded table (it inherits the pre-explode estimate) and
-      // would happily BROADCAST millions of variant rows — a
-      // single-threaded driver build here, a driver OOM at 100 TB.
-      // Sort-merge over shuffled-hash because the build side is
-      // variant-volume-sized: a per-task hash relation hits a hard
-      // memory wall exactly when the data grows (measured at 10×),
-      // while the merge path radix-sorts 16-byte rows and spills
-      val candIds = lV.hint("merge")
-        .join(rV.hint("merge"), Seq("__graft_vh"))
+      // explicit join hint is load-bearing at scale: Catalyst cannot
+      // size an exploded table (it inherits the pre-explode estimate)
+      // and would happily BROADCAST millions of variant rows — a
+      // single-threaded driver build here, a driver OOM at 100 TB
+      val candIds = lV.hint(joinHint)
+        .join(rV.hint(joinHint), Seq("__graft_vh"))
         .select(col("__graft_lu"), col("__graft_ru")).distinct()
         .repartition(nShuffle)
       // re-attach unit payloads: candidate-volume-sized equijoins
-      // against the distinct unit tables (AQE broadcasts the small
-      // candidate side); the prefix re-check restores the blocking
-      // contract structurally under any hash collision
-      val lAttach = lBigU.select(lIdCols :+ lSur.as("__graft_lu"): _*)
-      val rAttach = rBigU.select(rIdCols :+ rSur.as("__graft_ru"): _*)
+      // against the CACHED unit projections (a superset of the routed
+      // units — a surrogate collision against a non-routed key cannot
+      // survive the structural checks: same-prefix + lev ≤ maxDist
+      // forces the key into the routed block's catchment); the prefix
+      // re-check restores the blocking contract structurally under
+      // any hash collision
+      val lAttach =
+        (if (useDedupKeys) lUnit else l0)
+          .select(lIdCols :+ lSur.as("__graft_lu"): _*)
+      val rAttach =
+        (if (useDedupKeys) rUnit else r0)
+          .select(rIdCols :+ rSur.as("__graft_ru"): _*)
       candIds.join(lAttach, Seq("__graft_lu")).join(rAttach, Seq("__graft_ru"))
         .filter(blockKey(col("__graft_lk")) === blockKey(col("__graft_rk")))
         .select(candCols: _*)
