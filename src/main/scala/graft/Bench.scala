@@ -15,7 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Dispatch (round-10 verdict item 1 — the official recording is
+    * the ONLY artifact that kept shipping ghost regressions, three
+    * rounds running, because all six groups shared one JVM and one
+    * machine window):
+    *
+    *   - `SPARK_GRAFT_GROUPS` set → [[record]] measures just those
+    *     groups in THIS JVM (the isolation/reproduction knob, and the
+    *     shape the orchestrator's children run).
+    *   - unset (the official protocol) → [[orchestrated]] runs every
+    *     group in its OWN fresh JVM, sequentially, each launch gated
+    *     on machine idleness and each result gated on the child's
+    *     canary + per-row spread flags, with polluted groups retried
+    *     instead of recorded. `SPARK_GRAFT_ORCHESTRATE=false` forces
+    *     the legacy one-process full recording for A/B comparison.
+    */
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_GROUPS").isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_ORCHESTRATE", "true") != "false")
+      orchestrated()
+    else record()
+  }
+
+  private def record(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // knob for A/B runs; measured ~equal on/off at this scale, so the
@@ -129,12 +151,16 @@ object Bench {
         minPeriods = Some(1))),
       "cumsum" -> (() => evOps.cumsum(col("value"), col("ts"))),
       "cummax" -> (() => evOps.cummax(col("value"), col("ts"))),
+      // DEFAULT path — the fast double-sum twin since round 11
+      // (verdict item 3: users shouldn't pay the decimal-exact 4.6x
+      // for oracle bit-equality they didn't ask for). Was the exact
+      // path in r10 and earlier; compare r11 gb_corr to r10
+      // gb_corr_fast, and gb_corr_exact to r10 gb_corr.
       "gb_corr" -> (() => liGb.corr(col("l_quantity"), col("l_extendedprice"))),
-      // the order-sensitive double-sum twin: measures what the
-      // determinism contract costs on the pair-moment family (the
-      // decimal casts are the one non-codegen-friendly expression)
-      "gb_corr_fast" -> (() => liGb.corr(col("l_quantity"),
-        col("l_extendedprice"), exact = false)),
+      // the determinism-contract twin: decimal accumulation, bit-
+      // identical under any partitioning — what the oracle gate uses
+      "gb_corr_exact" -> (() => liGb.corr(col("l_quantity"),
+        col("l_extendedprice"), exact = true)),
       "rolling_var" -> (() => evOps.rollingVar(col("value"), col("ts"), 50,
         minPeriods = Some(1))),
       "ffill" -> (() => evOps.ffill(col("value"), col("ts"))),
@@ -702,6 +728,22 @@ object Bench {
         Pq.adcTopK(embs10, embs10.filter(col("vec_id") < 100L * xMult),
           col("vec_id"), col("embedding"), 10, model)
       }),
+      // fixed-query-batch twin (round-10 verdict item 4): the stock
+      // row above scales corpus AND query batch together, so its
+      // exponent (r10: 0.997) conflates the two terms — against work
+      // that grows xMult² it is really ~0.5. This row pins the batch
+      // at the x1 row's 100 queries so the exponent isolates the
+      // CORPUS term — the one the 100 TB claim needs (a production
+      // query batch does not grow with the corpus). Scaling base is
+      // the stock pq_adc_topk x1 row: at xMult = 1 the two builds are
+      // the same query (100L * 1 = 100), so the alias in the scaling
+      // table below is exact, not an approximation.
+      s"pq_adc_topk_fixedq$xs" -> (() => {
+        val model = Pq.fit(embs10, col("vec_id"), col("embedding"),
+          dim = 64, m = 8, ksub = 16, iters = 2)
+        Pq.adcTopK(embs10, embs10.filter(col("vec_id") < 100L),
+          col("vec_id"), col("embedding"), 10, model)
+      }),
       // per-key history length scales (userbase fixed per copy but ids
       // shifted -> same-size keys, xMult x more of them): the fold's
       // per-key sequential cost stays flat, the shuffle volume scales
@@ -825,11 +867,17 @@ object Bench {
     // — 1.0 = linear, <1 sublinear (fixed overheads amortizing), >1
     // superlinear (a plan that would not survive 100 TB)
     val byName = all.map(m => m.name -> m.value).toMap
-    val scaling = x10Results.collect {
-      case m if byName.contains(m.name.stripSuffix(xs)) && m.value > 0 =>
-        val t1 = byName(m.name.stripSuffix(xs))
-        "\"" + m.name.stripSuffix(xs) + "\":" +
+    // x1 base-row aliases: rows whose xN build intentionally differs
+    // from the stock op only in what SCALES (the fixedq twin pins the
+    // query batch) share the stock op's x1 time — exact at xMult = 1
+    val scalingAlias = Map("pq_adc_topk_fixedq" -> "pq_adc_topk")
+    val scaling = x10Results.flatMap { m =>
+      val name0 = m.name.stripSuffix(xs)
+      val base = scalingAlias.getOrElse(name0, name0)
+      byName.get(base).filter(_ => m.value > 0).map { t1 =>
+        "\"" + name0 + "\":" +
           (math.log10(m.value / t1) / math.log10(xMult.toDouble) * 10000).round / 10000.0
+      }
     }.mkString("{", ",", "}")
     val samplesJson = all.map(m =>
       "\"" + m.name + "\":[" + m.samples.map(fmt).mkString(",") + "]")
@@ -879,5 +927,331 @@ object Bench {
     println(if (line0.length <= 1900) line0
             else compactLine(all.filterNot(_.name.endsWith(xs))))
     spark.stop()
+  }
+
+  // ---------------------------------------------------------------
+  // Official-protocol orchestrator (round-10 verdict item 1).
+  //
+  // Why: r8/r9/r10 each shipped an official artifact with ghost
+  // regressions (r10: pagerank_2m 11.1 s official vs 2.99 s judge-
+  // isolated on identical code) that cost a verdict cycle each to
+  // re-adjudicate. The clean recordings — the builder's re-records
+  // and the judge's own runs — were ALWAYS the group-at-a-time
+  // fresh-JVM shape. This makes that shape THE official protocol:
+  //
+  //   1. per group, WAIT for machine idleness before launching
+  //      (instantaneous runnable-thread gate from /proc/loadavg
+  //      field 4 — unlike the 1-minute average it does not drag the
+  //      previous group's decaying load into the decision);
+  //   2. launch the group in a fresh child JVM (same java, same
+  //      module opens and heap, same classpath) with
+  //      SPARK_GRAFT_GROUPS=<group> — no other group's fixtures, JIT
+  //      churn, block-manager residue, or GC debt in the process;
+  //   3. gate the child's result: zero per-row spread flags, and the
+  //      child's end-state canary within CANARY_BAND of the cleanest
+  //      accepted canary (all children time the identical fixture in
+  //      equally-deep-JITted end states — r9 measured ±5% across
+  //      recordings, so a >35% excursion is machine, not code);
+  //   4. a gated-out group RETRIES (fresh JVM, after a cooldown) up
+  //      to MAX_ATTEMPTS instead of being recorded; only if every
+  //      attempt fails is the least-polluted attempt recorded, with
+  //      every row flagged so it cannot masquerade as a clean number;
+  //   5. after all groups: any group accepted EARLY against a then-
+  //      weaker reference is re-checked against the final (cleanest)
+  //      canary and re-run once if now out of band — so a polluted
+  //      FIRST group cannot anchor the recording;
+  //   6. the merged artifact carries the full gate manifest: per-
+  //      attempt canaries, pre-launch load, verdicts, thresholds.
+  //
+  // The in-run 1-minute loadavg sentinel is recorded but NOT a gate:
+  // r10 calibration showed it inseparable (clean x10 group 20.3 vs
+  // polluted 27.8 — the bench's own task/GC threads dominate it).
+  // The canary-drift bound and the one-outlier-tolerant row-spread
+  // rule are the discriminators that actually separated clean from
+  // polluted in r8-r10 adjudications.
+  // ---------------------------------------------------------------
+
+  private val AllGroups = Seq("main", "persist", "prodDedup", "zipf", "skew", "x10")
+  private val MaxAttempts = 3
+  private val CanaryBand = 1.35
+  private val PreGateRunnable = 2       // foreign runnable threads tolerated
+  private val PreGateTimeoutMs = 180000L
+  private val CooldownMs = 20000L
+
+  private final case class Row(group: String, name: String, value: Double,
+    samples: Seq[Double], flagged: Boolean)
+  private final case class Attempt(group: String, idx: Int,
+    preLoad: Double, preRunnable: Int, exit: Int,
+    canaryFirst: Double, canaryLast: Double, sentinel: Double,
+    rows: Seq[Row], flagged: Seq[String], reasons: Seq[String],
+    artifact: String) {
+    def ok: Boolean = reasons.isEmpty
+  }
+
+  private def orchestrated(): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    import scala.jdk.CollectionConverters._
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val xMult = sys.env.getOrElse("SPARK_GRAFT_X", "10").toInt
+    val xs = s"_x$xMult"
+    // SPARK_GRAFT_ORCH_GROUPS restricts the orchestrated group list —
+    // a smoke/debug knob for the PROTOCOL itself (SPARK_GRAFT_GROUPS
+    // would bypass orchestration entirely); the official artifact
+    // always runs the full list
+    val Groups: Seq[String] = sys.env.get("SPARK_GRAFT_ORCH_GROUPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(AllGroups)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile
+
+    // child launch ingredients: same JVM binary, same module opens /
+    // heap / -D flags, same classpath as THIS process (sbt's forked
+    // run passes the real classpath on the command line)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = sys.props("java.class.path")
+
+    def loadavgParts(): (Double, Int) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+        (parts(0).toDouble, parts(3).split("/")(0).toInt)
+      } catch { case _: Exception => (-1.0, -1) }
+
+    // pre-launch idleness gate: median instantaneous runnable count
+    // over 5 samples (2 s apart), excluding this thread. Waits up to
+    // PreGateTimeoutMs for a quiet window, then launches regardless
+    // (the post-run gates decide; refusing to launch would burn an
+    // attempt without producing evidence).
+    def preGate(): (Double, Int) = {
+      val deadline = System.nanoTime() + PreGateTimeoutMs * 1000000L
+      var res = (-1.0, Int.MaxValue)
+      var done = false
+      while (!done) {
+        val samples = (1 to 5).map { _ =>
+          Thread.sleep(2000); loadavgParts()
+        }
+        val runnables = samples.map(s => math.max(0, s._2 - 1)).sorted
+        val medianRun = runnables(runnables.size / 2)
+        res = (samples.last._1, medianRun)
+        done = medianRun <= PreGateRunnable || System.nanoTime() > deadline
+      }
+      res
+    }
+
+    def num(v: JValue): Double = v match {
+      case JDouble(d)  => d
+      case JInt(i)     => i.toDouble
+      case JLong(l)    => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case _           => Double.NaN
+    }
+
+    def runChild(group: String, idx: Int, minCanary: Double): Attempt = {
+      val (preLoad, preRun) = preGate()
+      val out = new java.io.File(tmpDir, s"$group-a$idx.json")
+      val log = new java.io.File(tmpDir, s"$group-a$idx.log")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      pb.directory(new java.io.File(sys.props("user.dir")))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      pb.environment().put("SPARK_GRAFT_GROUPS", group)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getPath)
+      pb.environment().put("SPARK_GRAFT_ORCHESTRATE", "false")
+      System.err.println(s"[bench] $group attempt $idx: launching " +
+        s"(pre-gate load=$preLoad runnable=$preRun)")
+      val exit = pb.start().waitFor()
+
+      val reasons = Seq.newBuilder[String]
+      if (exit != 0) reasons += s"exit=$exit"
+      val parsed: Option[(Seq[Row], Seq[String], Double, Double, Double)] =
+        try {
+          val root = JsonMethods.parse(
+            new String(java.nio.file.Files.readAllBytes(out.toPath), "UTF-8"))
+            .asInstanceOf[JObject]
+          def field(n: String): JValue =
+            root.obj.collectFirst { case (k, v) if k == n => v }
+              .getOrElse(JNothing)
+          val samples = field("samples").asInstanceOf[JObject].obj.map {
+            case (k, JArray(vs)) => k -> vs.map(num)
+            case (k, _)          => k -> Nil
+          }.toMap
+          val flagged = field("flagged") match {
+            case JArray(vs) => vs.collect { case JString(s) => s }
+            case _          => Nil
+          }
+          val rows = field("queries").asInstanceOf[JObject].obj.map {
+            case (k, v) => Row(group, k, num(v),
+              samples.getOrElse(k, Nil), flagged.contains(k))
+          }
+          val canary = field("canary").asInstanceOf[JObject].obj
+            .map { case (k, v) => k -> num(v) }.toMap
+          val sentinel = field("loadavg_1m") match {
+            case o: JObject if o.obj.nonEmpty => o.obj.map(f => num(f._2)).max
+            case _                            => -1.0
+          }
+          Some((rows, flagged, canary.getOrElse("first", Double.NaN),
+            canary.getOrElse("last", Double.NaN), sentinel))
+        } catch { case e: Exception =>
+          reasons += s"artifact-unparseable(${e.getClass.getSimpleName})"
+          None
+        }
+      val (rows, flagged, cFirst, cLast, sentinel) =
+        parsed.getOrElse((Nil, Nil, Double.NaN, Double.NaN, -1.0))
+      if (flagged.nonEmpty) reasons += s"flagged=${flagged.mkString("+")}"
+      if (!cLast.isNaN && minCanary < Double.MaxValue &&
+          cLast > CanaryBand * minCanary)
+        reasons += f"canary-drift(${cLast}%.4f > $CanaryBand x $minCanary%.4f)"
+      if (cLast.isNaN && parsed.isDefined) reasons += "canary-missing"
+      val a = Attempt(group, idx, preLoad, preRun, exit, cFirst, cLast,
+        sentinel, rows, flagged, reasons.result(), out.getName)
+      System.err.println(s"[bench] $group attempt $idx: " +
+        (if (a.ok) f"clean (canary ${cLast}%.4f)"
+         else s"polluted [${a.reasons.mkString("; ")}]"))
+      a
+    }
+
+    // pass 1: each group until an attempt passes the gates
+    var minCanary = Double.MaxValue
+    val attemptLog = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Attempt]]()
+    val chosen = scala.collection.mutable.LinkedHashMap[String, Attempt]()
+    for (g <- Groups) {
+      val buf = attemptLog.getOrElseUpdate(g,
+        scala.collection.mutable.ArrayBuffer.empty[Attempt])
+      var accepted: Option[Attempt] = None
+      var i = 1
+      while (accepted.isEmpty && i <= MaxAttempts) {
+        val a = runChild(g, i, minCanary)
+        buf += a
+        if (a.ok) {
+          accepted = Some(a)
+          if (!a.canaryLast.isNaN) minCanary = math.min(minCanary, a.canaryLast)
+        } else if (i < MaxAttempts) Thread.sleep(CooldownMs)
+        i += 1
+      }
+      chosen(g) = accepted.getOrElse {
+        // every attempt failed: record the least-polluted one with
+        // EVERY row flagged — a polluted group must not masquerade
+        val best = buf.filter(_.rows.nonEmpty)
+          .sortBy(a => if (a.canaryLast.isNaN) Double.MaxValue
+                       else a.canaryLast)
+          .headOption.getOrElse(buf.last)
+        best.copy(rows = best.rows.map(_.copy(flagged = true)))
+      }
+    }
+    // pass 2: groups accepted EARLY against a then-weaker reference
+    // re-check against the final (cleanest) canary; one re-run each
+    for (g <- Groups) {
+      val a = chosen(g)
+      if (a.reasons.isEmpty && !a.canaryLast.isNaN &&
+          minCanary < Double.MaxValue &&
+          a.canaryLast > CanaryBand * minCanary) {
+        System.err.println(s"[bench] $g: accepted canary " +
+          f"${a.canaryLast}%.4f now out of band vs final reference " +
+          f"$minCanary%.4f - re-running once")
+        val retry = runChild(g, attemptLog(g).size + 1, minCanary)
+        attemptLog(g) += retry
+        chosen(g) =
+          if (retry.ok) retry
+          else a.copy(rows = a.rows.map(_.copy(flagged = true)),
+            reasons = Seq("post-hoc-canary-drift; retry also polluted"))
+      }
+    }
+
+    val allRows: Seq[Row] = Groups.flatMap(g => chosen(g).rows)
+    val byName = allRows.map(r => r.name -> r.value).toMap
+    val canaryLastOf: Map[String, Double] =
+      Groups.map(g => g -> chosen(g).canaryLast).toMap
+
+    def fmt(d: Double): String =
+      if (d.isNaN) "null" else ((d * 10000).round / 10000.0).toString
+    // headline total: same op set as every prior round (main loop +
+    // dedup_minhash + pipeline_e2e)
+    val total = allRows.filter(r => r.group == "main" ||
+      r.name == "dedup_minhash" || r.name == "pipeline_e2e").map(_.value).sum
+    val qs = allRows.map(r => "\"" + r.name + "\":" + fmt(r.value))
+      .mkString("{", ",", "}")
+    // per-row normalization by the OWN group's end-state canary (each
+    // child is its own drift reference)
+    val qsNorm = allRows.map { r =>
+      val c = canaryLastOf.getOrElse(r.group, Double.NaN)
+      "\"" + r.name + "\":" +
+        (if (c.isNaN || c <= 0) "null" else fmt(r.value / c))
+    }.mkString("{", ",", "}")
+    val scalingAlias = Map("pq_adc_topk_fixedq" -> "pq_adc_topk")
+    val scaling = allRows.filter(_.name.endsWith(xs)).flatMap { r =>
+      val name0 = r.name.stripSuffix(xs)
+      val base = scalingAlias.getOrElse(name0, name0)
+      byName.get(base).filter(_ => r.value > 0).map { t1 =>
+        "\"" + name0 + "\":" + (math.log10(r.value / t1) /
+          math.log10(xMult.toDouble) * 10000).round / 10000.0
+      }
+    }.mkString("{", ",", "}")
+    val samplesJson = allRows.map(r =>
+      "\"" + r.name + "\":[" + r.samples.map(fmt).mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val sentinelJson = Groups.map(g =>
+      "\"" + g + "\":" + fmt(chosen(g).sentinel)).mkString("{", ",", "}")
+    val flaggedRows = allRows.filter(_.flagged).map(_.name)
+    val flaggedJson = flaggedRows.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    // the cross-recording canary: first from the main child, last =
+    // the cleanest end-state canary across children (the reference
+    // every group was gated against)
+    val firstChild = chosen.getOrElse("main", chosen(Groups.head))
+    val canaryJson = s"""{"first":${fmt(firstChild.canaryFirst)},""" +
+      s""""last":${fmt(if (minCanary == Double.MaxValue) Double.NaN
+                       else minCanary)}}"""
+    val manifest = {
+      val gates = s"""{"protocol":"per-group-fresh-jvm/v1",""" +
+        s""""canary_band":$CanaryBand,"pre_gate_runnable":$PreGateRunnable,""" +
+        s""""pre_gate_timeout_sec":${PreGateTimeoutMs / 1000},""" +
+        s""""max_attempts":$MaxAttempts,"cooldown_sec":${CooldownMs / 1000},""" +
+        s""""row_flag_rule":"child spread>1.5x && >0.2s, one-outlier-tolerant",""" +
+        s""""in_run_sentinel":"diagnostic only - r10 calibration: clean 20.3 vs polluted 27.8, inseparable"}"""
+      val groupsJson = Groups.map { g =>
+        val as = attemptLog(g).map { a =>
+          s"""{"attempt":${a.idx},"pre_load":${fmt(a.preLoad)},""" +
+            s""""pre_runnable":${a.preRunnable},"exit":${a.exit},""" +
+            s""""canary_first":${fmt(a.canaryFirst)},""" +
+            s""""canary_last":${fmt(a.canaryLast)},""" +
+            s""""sentinel":${fmt(a.sentinel)},""" +
+            s""""verdict":"${if (a.ok) "clean"
+              else a.reasons.mkString("; ").replace("\"", "'")}"}"""
+        }.mkString("[", ",", "]")
+        s"""{"group":"$g","attempts":$as,""" +
+          s""""recorded_attempt":${chosen(g).idx},""" +
+          s""""recorded_clean":${chosen(g).reasons.isEmpty}}"""
+      }.mkString("[", ",", "]")
+      s"""{"gates":$gates,"groups":$groupsJson,""" +
+        s""""canary_ref":${fmt(if (minCanary == Double.MaxValue) Double.NaN
+                               else minCanary)},""" +
+        s""""logs":"${tmpDir.getPath}"}"""
+    }
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"queries_norm":$qsNorm,"scaling":$scaling,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"sf":"$sfDir","manifest":$manifest}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_builder.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      fullJson.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"bench: could not write $outPath: $e")
+      println(fullJson)
+    }
+    def fmt3(d: Double): String =
+      if (d.isNaN) "null" else ((d * 1000).round / 1000.0).toString
+    def compactLine(rs: Seq[Row]): String = {
+      val q = rs.map(r => "\"" + r.name + "\":" + fmt3(r.value))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$q,"canary":[${fmt3(firstChild.canaryFirst)},${fmt3(if (minCanary == Double.MaxValue) Double.NaN else minCanary)}],"flagged_n":${flaggedRows.size},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
+    }
+    val line0 = compactLine(allRows)
+    println(if (line0.length <= 1900) line0
+            else compactLine(allRows.filterNot(_.name.endsWith(xs))))
   }
 }

@@ -1381,10 +1381,10 @@ object SparkEntry {
       (s, dir) => {
         val g = new GroupBy(T(s, dir, "lineitem"), liKeys)
         val x = col("l_quantity"); val y = col("l_extendedprice")
-        g.cov(x, y, out = "cov_qp")
-          .join(g.cov(x, y, ddof = 0, out = "covp_qp"),
+        g.cov(x, y, out = "cov_qp", exact = true)
+          .join(g.cov(x, y, ddof = 0, out = "covp_qp", exact = true),
             Seq("l_returnflag", "l_linestatus"))
-          .join(g.corr(x, y, out = "corr_qp"),
+          .join(g.corr(x, y, out = "corr_qp", exact = true),
             Seq("l_returnflag", "l_linestatus"))
           .select(col("l_returnflag"), col("l_linestatus"),
             round(col("cov_qp"), 4).as("cov_qp"),

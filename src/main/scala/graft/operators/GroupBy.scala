@@ -476,10 +476,16 @@ final class GroupBy(
     * pandas' rule), `ddof` generalizes the divisor (1 = sample, 0 =
     * population), null for pair-count ≤ ddof. One hash aggregation —
     * partial/final like every algebraic agg, no second pass.
+    *
+    * `exact = true` accumulates the pair moments in decimal so the
+    * statistic is bit-identical under any partitioning (the
+    * determinism contract the oracle gates need); the default is the
+    * plain-double codegen path — measured 4.6× faster on the bench's
+    * corr row, order-sensitive only in the final ulps.
     */
   def cov(x: Column, y: Column, ddof: Int = 1, mask: Option[Column] = None,
       out: String = "cov", observedOnly: Boolean = true,
-      exact: Boolean = true): DataFrame =
+      exact: Boolean = false): DataFrame =
     pairMoment(x, y, mask, observedOnly, exact) { (n, sx, sy, sxy, _, _) =>
       when(n > ddof, (sxy - sx * sy / n) / (n - lit(ddof.toDouble)))
         .otherwise(lit(null).cast(DoubleType)).as(out)
@@ -491,10 +497,14 @@ final class GroupBy(
     * pair count is < 2 (pandas yields NaN there; null is this
     * library's engine-portable NaN throughout). ddof cancels in the
     * ratio, so there is no ddof knob — same as pandas.
+    *
+    * `exact` as in [[cov]]: default is the plain-double codegen path
+    * (4.6× faster, last-ulp order sensitivity); `exact = true` buys
+    * partitioning-independent bit equality via decimal accumulation.
     */
   def corr(x: Column, y: Column, mask: Option[Column] = None,
       out: String = "corr", observedOnly: Boolean = true,
-      exact: Boolean = true): DataFrame =
+      exact: Boolean = false): DataFrame =
     pairMoment(x, y, mask, observedOnly, exact) { (n, sx, sy, sxy, sxx, syy) =>
       val cxy = sxy - sx * sy / n
       val cxx = sxx - sx * sx / n
@@ -582,13 +592,13 @@ final class GroupBy(
       observedOnly: Boolean, exact: Boolean = true)(
       f: (Column, Column, Column, Column, Column, Column) => Column): DataFrame = {
     val both = masked(mask, when(x.isNotNull && y.isNotNull, lit(1)))
-    // exact=false: plain double partial sums — stays inside
-    // whole-stage codegen (the decimal casts are the one expensive
-    // expression in this aggregation, measured ~7x on the bench's
-    // gb_corr row), at the cost of accumulation-order sensitivity in
-    // the last ulps. The default keeps the library-wide determinism
-    // contract; flip it for throughput-critical production scans
-    // where a partitioning-dependent final ulp is acceptable.
+    // exact=false (the cov/corr DEFAULT since round 11): plain double
+    // partial sums — stays inside whole-stage codegen (the decimal
+    // casts are the one expensive expression in this aggregation,
+    // measured 4.6x on the bench's corr row), at the cost of
+    // accumulation-order sensitivity in the last ulps. exact=true is
+    // the determinism-contract path (partitioning-independent bit
+    // equality) — the oracle gate passes it explicitly.
     def s(c: Column, dec: org.apache.spark.sql.types.DecimalType) =
       if (exact)
         F.sum(when(both.isNotNull, c.cast(DoubleType)).cast(dec)).cast(DoubleType)
@@ -1093,8 +1103,12 @@ final class GroupBy(
     * friendly filter over the input.
     */
   def getGroup(label0: Any*): DataFrame = {
-    // `getGroup(null)` resolves the vararg Seq itself to null — read
-    // it as the single null label the caller meant
+    // A literal `getGroup(null)` wraps into Seq(null) (Scala boxes a
+    // null argument to an Any* vararg), so label0 itself is null only
+    // for the explicit spread form `getGroup(null: _*)` — read that
+    // as the single null label the caller most plausibly meant
+    // (round-10 advice: the earlier comment claimed the literal form
+    // hit this branch; it does not).
     val label: Seq[Any] = if (label0 == null) Seq(null) else label0
     require(label.size == keyNames.size,
       s"getGroup needs one label per key (${keyNames.mkString(", ")}), " +

@@ -502,6 +502,14 @@ object Joins {
     // cached routing-side tables (the block-volume table) release with
     // the projections once the verified pair table is materialized
     val aux = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // release-on-failure guard (round-10 advice item): any exception
+    // between the persists above and finish() — the routing head(),
+    // the q-gram percentile action, a localCheckpoint failure, user
+    // cancellation — must not leak the cached blocks for the session
+    // lifetime. The early `return finish(..)` paths bypass the catch
+    // by design: finish() itself releases. (The body keeps its
+    // original indentation; the try adds none.)
+    try {
     // ---- single routing/stats pass (one eager action) ----
     // per-block ROW volumes and per-block approximate key counts in
     // ONE aggregation over the cached projections, summarized by ONE
@@ -601,14 +609,25 @@ object Joins {
     // id-multiplicity re-attachment for the dedup shape (block coords
     // are functions of the key, so the key alone is the correct join
     // condition); the row shape already carries its ids. The verified
-    // pair table (bounded by true matches) is materialized eagerly via
-    // localCheckpoint so the candidate pipeline runs exactly ONCE over
-    // the cached projections, then the projection blocks release; the
-    // dedup shape's expansion joins re-derive l0/r0 lazily at
-    // consumption — one cheap projection recompute, never the
-    // candidate pipeline.
+    // pair table (bounded by true matches) is materialized eagerly so
+    // the candidate pipeline runs exactly ONCE over the cached
+    // projections, then the projection blocks release; the dedup
+    // shape's expansion joins re-derive l0/r0 lazily at consumption —
+    // one cheap projection recompute, never the candidate pipeline.
+    // Materialization picks the RELIABLE checkpoint when the session
+    // has a checkpoint dir (round-10 advice item): localCheckpoint
+    // truncates lineage into executor-local blocks, so a later
+    // executor loss — routine under dynamic allocation or preemption
+    // at the scale this operator targets — fails downstream actions
+    // instead of recomputing. On preemptible clusters set
+    // spark.sparkContext.setCheckpointDir(...) and the pair table
+    // persists to reliable storage instead; without one (local mode,
+    // the tests, the bench) the eager local form stands.
     def finish(pairs0: DataFrame): DataFrame = {
-      val pairs = pairs0.localCheckpoint()
+      val pairs =
+        if (left.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          pairs0.checkpoint()
+        else pairs0.localCheckpoint()
       l0.unpersist(); r0.unpersist(); aux.foreach(_.unpersist())
       val withIds =
         if (useDedupKeys) pairs.join(l0, Seq("__graft_lk"))
@@ -673,17 +692,26 @@ object Joins {
         .join(catchment, blockCols, "left_semi")
       val rBigU = rKeys.join(bigBlocks, blockCols, "left_semi")
       // the variant join shuffles ONE 8-byte key (block prefix folded
-      // into the hash) plus an 8-byte unit surrogate — row ids when
-      // rows are the unit, a key hash otherwise; keys re-attach after
-      // the match-bounded distinct, so strings never ride the
-      // variant-volume shuffle. Any 64-bit collision (variant or
-      // surrogate) only ADDS candidates: verification plus the
-      // structural prefix re-check below remove them — the output
-      // never depends on hash injectivity
+      // into the hash) plus an 8-byte unit surrogate — xxhash64 of
+      // (id, key) when rows are the unit, of the key alone otherwise;
+      // keys re-attach after the match-bounded distinct, so strings
+      // never ride the variant-volume shuffle. The row-unit surrogate
+      // is a HASH, not the raw id (round-10 advice item): a null id
+      // never satisfies the attach equijoin, so raw-id surrogates
+      // silently dropped null-id rows on this path while the plain
+      // and q-gram paths kept them — xxhash64 skips null inputs and
+      // is never null, so routing stays output-invariant. Any 64-bit
+      // collision (variant or surrogate) only ADDS candidates:
+      // verification plus the structural prefix re-check below remove
+      // false ones, and the pre-attach distinct is on the surrogate
+      // pair, so a true pair still emerges exactly once per matching
+      // input row — the output never depends on hash injectivity
       val lSur =
-        if (useDedupKeys) xxhash64(col("__graft_lk")) else col("left_id")
+        if (useDedupKeys) xxhash64(col("__graft_lk"))
+        else xxhash64(col("left_id"), col("__graft_lk"))
       val rSur =
-        if (useDedupKeys) xxhash64(col("__graft_rk")) else col("right_id")
+        if (useDedupKeys) xxhash64(col("__graft_rk"))
+        else xxhash64(col("right_id"), col("__graft_rk"))
       // parallelism pinning: AQE coalesces post-shuffle partitions by
       // BYTE size, blind to per-row CPU — and both the variant probe
       // and the verification are CPU-per-row heavy on byte-small rows
@@ -846,5 +874,9 @@ object Joins {
         smallCand.select(candCols: _*).unionByName(routedCand)
       }
     finish(verified(cand))
+    } catch { case t: Throwable =>
+      l0.unpersist(); r0.unpersist(); aux.foreach(_.unpersist())
+      throw t
+    }
   }
 }

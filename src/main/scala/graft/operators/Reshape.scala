@@ -442,17 +442,25 @@ object Reshape {
       maxBroadcastCategories: Long = 1L << 20): DataFrame = {
     require(maxBroadcastCategories >= 1,
       s"maxBroadcastCategories must be >= 1, got $maxBroadcastCategories")
-    // persist the bounded uniques table: the count below materializes
-    // the cache, so the groupBy + global sort + zipWithIndex lineage
-    // executes exactly ONCE and the join back reads cached blocks —
-    // previously the join-shape count and the join each re-ran the
-    // full pipeline, a deterministic cost only masked by shuffle-file
-    // reuse (round-9 advice item). The table is one row per distinct
-    // value; its blocks release via the ContextCleaner once the
-    // result's lineage is collected.
+    // eager localCheckpoint on the bounded uniques table: the
+    // groupBy + global sort + zipWithIndex lineage executes exactly
+    // ONCE and both the shape-picking count and the join back read
+    // the checkpointed blocks — previously each re-ran the full
+    // pipeline, a deterministic cost only masked by shuffle-file
+    // reuse (round-9 advice item). localCheckpoint, NOT persist:
+    // Dataset.persist registers the plan in the CacheManager, which
+    // holds a strong reference until the session ends, so an
+    // un-unpersisted cache here would leak one uniques table per
+    // factorize call for the session lifetime (round-10 advice item);
+    // checkpoint blocks have no CacheManager entry and release via
+    // the ContextCleaner as soon as the result's RDD is unreferenced.
+    // Caveat (inherent to localCheckpoint): the table's lineage is
+    // truncated, so an executor loss before the result is consumed
+    // fails the downstream action instead of recomputing — acceptable
+    // for a bounded one-row-per-category table.
     val tbl = factorizeTable(df, c, ord, name)
-      .withColumnRenamed("value", "__graft_fv").persist()
-    // one bounded count over the (now cached) uniques table picks the
+      .withColumnRenamed("value", "__graft_fv").localCheckpoint()
+    // one bounded count over the checkpointed uniques table picks the
     // join shape
     val keyed = if (tbl.count() <= maxBroadcastCategories) F.broadcast(tbl)
                 else tbl

@@ -162,10 +162,23 @@ class CurationSpec extends AnyFunSuite {
     val before = sc.getPersistentRDDs.keySet
     val r = GraphOps.pageRank(e, iterations = 12)
     r.count()
-    val leaked = (sc.getPersistentRDDs.keySet -- before).size
-    assert(leaked <= 2,
-      s"$leaked persisted RDDs remain after pageRank — per-round " +
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"${leaked.size} persisted RDDs remain after pageRank — per-round " +
         "checkpoint blocks are accumulating instead of being freed")
+    // storage-status form of the same pin (round-10 verdict item 5):
+    // whatever survives must be AT MOST one round's rank blocks — the
+    // returned result — never an accumulation. One rank round on this
+    // 3-node graph is a handful of rows; 64 KB is orders of magnitude
+    // of headroom above one round and orders below two-rounds-per-
+    // iteration leakage at any realistic width.
+    val survivors = sc.getRDDStorageInfo.filter(i => leaked.contains(i.id))
+    assert(survivors.length <= 2,
+      s"${survivors.length} RDDs still hold blocks after pageRank")
+    val bytes = survivors.map(i => i.memSize + i.diskSize).sum
+    assert(bytes < 64L * 1024,
+      s"$bytes bytes of rank blocks remain after a 12-round run — " +
+        "more than one round's result is still resident")
   }
 
   test("pageRank validates its arguments") {
