@@ -474,6 +474,25 @@ object TextFunctions {
       grams: Seq[Int] = Seq(1, 2)): Column = {
     require(dim >= 2, s"feature dimension must be >= 2, got $dim")
     require(grams.nonEmpty, "at least one n-gram width required")
+    // native codegen'd kernel (round-11): one streaming pass per doc,
+    // zero gram-string allocation — the HOF/polyHash expression tree
+    // it replaces was the dominant term (and the GC-variance driver)
+    // of the quality_train bench row. Bit-equality with the tree form
+    // is spec-pinned (CorpusSpec) on empty/multi-space/surrogate/
+    // >MaxLen inputs; the DuckDB twin (hashFeatureBucketsSql) is
+    // unchanged and replays the same buckets.
+    org.apache.spark.sql.graft.StringExpressions
+      .hashFeatureBuckets(text, dim, grams)
+  }
+
+  /** The pre-round-11 expression-tree form of [[hashFeatureBuckets]]
+    * — kept ONLY as the differential reference the spec pins the
+    * native kernel against (it is definitionally the composition of
+    * [[ngramArray]] and [[PortableHash.polyHash]], each separately
+    * oracle-proven).
+    */
+  private[graft] def hashFeatureBucketsTree(text: Column, dim: Int,
+      grams: Seq[Int] = Seq(1, 2)): Column = {
     val arrs = grams.map(n => ngramArray(text, n))
     val feats = if (arrs.sizeIs == 1) arrs.head else concat(arrs: _*)
     F.transform(feats, g => PortableHash.polyHash(g) % dim)

@@ -5,7 +5,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -104,6 +104,129 @@ case class DeletionHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared kernel for [[HashFeatureBuckets]] — static so both the
+  * interpreted eval and the generated code call the same body.
+  */
+object FeatureBucketUtil {
+  private final val P = 2147483647L // PortableHash.P (Mersenne 2^31-1)
+  private final val MaxLen = 64     // PortableHash.MaxLen
+
+  /** Hashed token-n-gram feature buckets of `text` — bit-identical to
+    * the expression-tree form it replaces
+    * (`transform(concat(ngramArray*), g -> polyHash(g) % dim)`,
+    * TextFunctions.scala), replayed natively in ONE pass:
+    *
+    *   - tokens: `split(text, " ")` semantics — literal single-space
+    *     separator, Java limit −1: empty input → one empty token
+    *     (bucket 0), interior/trailing empty tokens kept (probed,
+    *     not assumed);
+    *   - grams: for each width n, the `count − n + 1` windows of n
+    *     consecutive tokens joined by a single space (none when the
+    *     doc has fewer than n tokens), unigram widths emitting the
+    *     tokens themselves — all widths in caller order, matching the
+    *     `concat` of per-width arrays;
+    *   - hash: the PortableHash Horner fold `(acc·31 + cp) % P` over
+    *     the gram's first [[MaxLen]] CODE POINTS (Spark's `ascii`/
+    *     `substr`/`length` are code-point-based — probed on
+    *     surrogate-pair input), empty gram → 0, then `% dim`.
+    *
+    * The fold runs over the token array directly — the joining space
+    * is hashed as code point 32 in stream — so a document costs one
+    * split plus ~4 long ops per gram code point, with ZERO gram-
+    * string allocation. The expression tree it replaces built every
+    * gram string (slice + array_join), then re-walked it per
+    * character with `substr(i, 1)` + `ascii` inside nested
+    * higher-order functions — non-codegen, one single-char UTF8String
+    * allocation per code point; measured 4.2 s of the quality_train
+    * bench row's ~8 s at sf0.1 (the dominant term and, with its
+    * allocation churn, the row's GC-variance driver).
+    */
+  def buckets(text: UTF8String, dim: Int, grams: Array[Int]): ArrayData = {
+    val s = text.toString
+    // Java limit -1 split: empty input -> [""] (one empty token that
+    // hashes to bucket 0), interior/trailing empties kept — probed
+    // equal to Spark's split() on all the spec's adversarial inputs
+    val toks: Array[String] = s.split(" ", -1)
+    val nT = toks.length
+    var total = 0
+    var gi = 0
+    while (gi < grams.length) {
+      val n = grams(gi)
+      if (nT >= n) total += nT - n + 1
+      gi += 1
+    }
+    val out = new Array[Long](total)
+    var o = 0
+    gi = 0
+    while (gi < grams.length) {
+      val n = grams(gi)
+      var i = 0
+      while (i + n <= nT) {
+        out(o) = gramBucket(toks, i, n, dim)
+        o += 1; i += 1
+      }
+      gi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** polyHash(toks(start..start+n-1) joined by " ") % dim, folding
+    * code points in stream with the MaxLen cap counted over the
+    * JOINED gram (separators included), exactly like `polyHash` of
+    * the materialized gram string.
+    */
+  private def gramBucket(toks: Array[String], start: Int, n: Int,
+      dim: Int): Long = {
+    var h = 0L
+    var budget = MaxLen
+    var k = start
+    while (k < start + n && budget > 0) {
+      if (k > start) { h = (h * 31L + 32L) % P; budget -= 1 }
+      val tk = toks(k)
+      var ci = 0
+      while (ci < tk.length && budget > 0) {
+        val cp = tk.codePointAt(ci)
+        h = (h * 31L + cp) % P
+        ci += Character.charCount(cp)
+        budget -= 1
+      }
+      k += 1
+    }
+    h % dim
+  }
+}
+
+/** `HashFeatureBuckets(text)` → `array<long>`: hashing-trick feature
+  * buckets (token n-grams → polyHash % dim) as a native codegen'd
+  * expression — the featurization kernel behind the quality-model
+  * train/score surface. `dim` and `grams` are literal parameters of
+  * the operator, not data inputs. See [[FeatureBucketUtil.buckets]]
+  * for the exact (probed) semantics contract with the expression
+  * tree it replaces.
+  */
+case class HashFeatureBuckets(child: Expression, dim: Int, grams: Seq[Int])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_feature_buckets"
+
+  @transient private lazy val gramsArr: Array[Int] = grams.toArray
+
+  override protected def nullSafeEval(t: Any): Any =
+    FeatureBucketUtil.buckets(t.asInstanceOf[UTF8String], dim, gramsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gramsRef = ctx.addReferenceObj("grams", gramsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.FeatureBucketUtil" +
+        s".buckets($t, $dim, $gramsRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashFeatureBuckets = copy(child = newChild)
+}
+
 object StringExpressions {
   import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -111,4 +234,8 @@ object StringExpressions {
     ExpressionUtils.column(
       DeletionHashes(ExpressionUtils.expression(key),
         ExpressionUtils.expression(pfx)))
+
+  def hashFeatureBuckets(text: Column, dim: Int, grams: Seq[Int]): Column =
+    ExpressionUtils.column(
+      HashFeatureBuckets(ExpressionUtils.expression(text), dim, grams))
 }

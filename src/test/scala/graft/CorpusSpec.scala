@@ -14,6 +14,38 @@ class CorpusSpec extends AnyFunSuite {
 
   def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+  test("hashFeatureBuckets: native kernel == expression tree, adversarial + corpus") {
+    import graft.functions.TextFunctions
+    // the split/ascii/length contract edges the native kernel must
+    // replicate: empty text (zero tokens), interior/trailing empty
+    // tokens, single token (no bigrams), non-ASCII incl. a surrogate
+    // pair (code-point folding), and a token run past the 64-cp
+    // polyHash truncation (cap counted over the JOINED gram)
+    val tricky = Seq("", " ", "a", "a  b ", " lead", "tail ",
+      "café naïve 中文 " + new String(Character.toChars(0x1D11E)),
+      ("x" * 70) + " " + ("y" * 70), "a b c d e")
+    val trickyDf = tricky.toDF("t")
+    for (grams <- Seq(Seq(1, 2), Seq(1), Seq(2), Seq(1, 2, 3))) {
+      val rows = trickyDf.select(
+        TextFunctions.hashFeatureBuckets(col("t"), 97, grams).as("n"),
+        TextFunctions.hashFeatureBucketsTree(col("t"), 97, grams).as("e"))
+        .collect()
+      rows.zip(tricky).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+          s"native != tree for '$t' grams=$grams") }
+    }
+    // the real corpus at the gate dimension
+    val diff = docs.select(
+        TextFunctions.hashFeatureBuckets(col("text"), 4096).as("n"),
+        TextFunctions.hashFeatureBucketsTree(col("text"), 4096).as("e"))
+      .filter(not(col("n") <=> col("e"))).count()
+    assert(diff === 0L)
+    // null text stays null (explode_outer callers rely on it)
+    val nullRow = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(TextFunctions.hashFeatureBuckets(col("t"), 97).as("n")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   // ------------------------------------------------------------ snapshot
 
   test("corpusDiff: all four statuses, fingerprint-driven change detection") {
