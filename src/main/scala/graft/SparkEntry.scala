@@ -1902,10 +1902,13 @@ object SparkEntry {
       // adds divergence)
       (s, dir) => {
         val y = pmod(col("event_id"), lit(89L)).cast("double")
+        // exact = true: the decimal oracle path (bit equality with the
+        // DuckDB decimal sums); the user default is the fast double
+        // twin, spec-pinned to the exact path at 1e-12 (RollingSpec)
         val d1 = new RollingOps(evGb(s, dir)).rollingCov(
-          col("value"), y, col("ts"), 15, minPeriods = Some(5))
+          col("value"), y, col("ts"), 15, minPeriods = Some(5), exact = true)
         val d2 = new RollingOps(new GroupBy(d1, Seq(col("user_id")))).rollingCorr(
-          col("value"), y, col("ts"), 15, minPeriods = Some(5))
+          col("value"), y, col("ts"), 15, minPeriods = Some(5), exact = true)
         evOut(d2, "rolling_cov", "rolling_corr")
       },
       Some("""WITH f AS (SELECT event_id, user_id,

@@ -625,9 +625,22 @@ object Joins {
     // the tests, the bench) the eager local form stands.
     def finish(pairs0: DataFrame): DataFrame = {
       val pairs =
-        if (left.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          pairs0.checkpoint()
-        else pairs0.localCheckpoint()
+        if (left.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+          // reliable checkpoint runs TWO jobs over the plan: the eager
+          // count, then ReliableRDDCheckpointData's file-writing job —
+          // which would recompute the whole candidate pipeline from
+          // lineage (Spark's documented behavior: "strongly recommended
+          // that this RDD is persisted", RDD.checkpoint scaladoc).
+          // Persisting the pair table first makes job 1 populate the
+          // cache and job 2 read cached blocks — the pipeline still
+          // runs exactly once. The cache is match-bounded (same size
+          // argument as the checkpoint itself) and released as soon as
+          // the checkpoint files are down.
+          pairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try pairs0.checkpoint()
+          finally { try pairs0.unpersist()
+                    catch { case _: Exception => () } }
+        } else pairs0.localCheckpoint()
       l0.unpersist(); r0.unpersist(); aux.foreach(_.unpersist())
       val withIds =
         if (useDedupKeys) pairs.join(l0, Seq("__graft_lk"))
@@ -875,7 +888,14 @@ object Joins {
       }
     finish(verified(cand))
     } catch { case t: Throwable =>
-      l0.unpersist(); r0.unpersist(); aux.foreach(_.unpersist())
+      // best-effort release: an unpersist that itself throws (e.g. the
+      // SparkContext stop that caused the original failure) must not
+      // replace `t` — the root cause always propagates, cleanup
+      // failures ride along as suppressed
+      def release(f: => Unit): Unit =
+        try f catch { case c: Throwable => t.addSuppressed(c) }
+      release(l0.unpersist()); release(r0.unpersist())
+      aux.foreach(a => release(a.unpersist()))
       throw t
     }
   }

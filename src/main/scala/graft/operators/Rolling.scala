@@ -618,14 +618,19 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     * frame rows where BOTH are non-null contribute
     * (pairwise-complete, the [[GroupBy.cov]] rule); `minPeriods`
     * counts those pairs (default = window); null when pairs ≤ ddof.
-    * Decimal-exact pair moments, IEEE closing arithmetic — the same
-    * float policy as the grouped twin, so results are partitioning-
-    * independent and replay bit-exactly unrounded.
+    *
+    * `exact = true` accumulates the pair moments in decimal —
+    * bit-identical replay, the oracle-gate path. The default is the
+    * plain-double codegen path (the grouped [[GroupBy.cov]] twin's
+    * round-11 treatment): window frames accumulate in a deterministic
+    * per-partition order anyway, so the double path here is
+    * RUN-deterministic — exact only buys decimal (order-free)
+    * arithmetic for cross-engine bit equality.
     */
   def rollingCov(x: Column, y: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, ddof: Int = 1,
-      name: String = "rolling_cov"): DataFrame =
-    pairMomentWindow(x, y, ord, window, minPeriods, name) {
+      name: String = "rolling_cov", exact: Boolean = false): DataFrame =
+    pairMomentWindow(x, y, ord, window, minPeriods, name, exact) {
       (n, sx, sy, sxy, _, _) =>
         when(n > ddof, (sxy - sx * sy / n) / (n - lit(ddof.toDouble)))
           .otherwise(lit(null).cast(org.apache.spark.sql.types.DoubleType))
@@ -634,12 +639,13 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
   /** Rolling pairwise Pearson correlation (pandas `rolling().corr()`
     * for one pair): null when either marginal variance of the frame's
     * pairwise-complete rows is non-positive or pairs < 2 (pandas NaN
-    * → this library's null). See [[rollingCov]] for the float policy.
+    * → this library's null). See [[rollingCov]] for the float policy
+    * and the `exact` knob (double-fast default, decimal twin).
     */
   def rollingCorr(x: Column, y: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None,
-      name: String = "rolling_corr"): DataFrame =
-    pairMomentWindow(x, y, ord, window, minPeriods, name) {
+      name: String = "rolling_corr", exact: Boolean = false): DataFrame =
+    pairMomentWindow(x, y, ord, window, minPeriods, name, exact) {
       (n, sx, sy, sxy, sxx, syy) =>
         val cxy = sxy - sx * sy / n
         val cxx = sxx - sx * sx / n
@@ -649,12 +655,15 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     }
 
   /** Shared frame-scoped pair-moment machinery behind
-    * [[rollingCov]]/[[rollingCorr]]: the five decimal-summed sums over
-    * pairwise-complete frame rows plus the pair count, finished
-    * row-locally by `f`.
+    * [[rollingCov]]/[[rollingCorr]]: the five frame sums over
+    * pairwise-complete rows plus the pair count, finished row-locally
+    * by `f`. `exact` picks decimal accumulation (bit-exact replay,
+    * oracle path) over the plain-double default — the same twin shape
+    * as the grouped [[GroupBy]] `pairMoment`.
     */
   private def pairMomentWindow(x: Column, y: Column, ord: Column,
-      window: Int, minPeriods: Option[Int], name: String)(
+      window: Int, minPeriods: Option[Int], name: String,
+      exact: Boolean = false)(
       f: (Column, Column, Column, Column, Column, Column) => Column): DataFrame = {
     val dt = org.apache.spark.sql.types.DoubleType
     val mp = minPeriods.getOrElse(window)
@@ -662,7 +671,9 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
       .rowsBetween(-(window - 1), Window.currentRow)
     val both = when(x.isNotNull && y.isNotNull, lit(1))
     def s(c: Column, dec: org.apache.spark.sql.types.DecimalType) =
-      F.sum(when(both.isNotNull, c.cast(dt)).cast(dec)).over(frame).cast(dt)
+      if (exact)
+        F.sum(when(both.isNotNull, c.cast(dt)).cast(dec)).over(frame).cast(dt)
+      else F.sum(when(both.isNotNull, c.cast(dt))).over(frame)
     val xd = x.cast(dt); val yd = y.cast(dt)
     val n = F.count(both).over(frame).cast(dt)
     val stat = f(n, s(xd, graft.functions.Num.SumDec),

@@ -256,6 +256,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_cosine expects 2 argument"))
   }
 
+  test("docs/sql.md transcript replays verbatim against the live registry") {
+    // round-11 verdict stretch item: the doc's "Verified session
+    // transcript" claims its printed values came from a real run —
+    // this replays the doc's queries against the registered functions
+    // and asserts every printed result line appears VERBATIM in
+    // docs/sql.md, so the doc cannot drift from the registry (a
+    // changed heuristic, hash seed, or ranking order fails here).
+    // The doc's queries carry explicit ORDER BYs so their output is
+    // well-defined; these SQL strings are copies of the doc's.
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("sqlspec_doc_txn")
+    def lines(sql: String): Seq[String] =
+      spark.sql(sql).collect().toSeq.map(_.toSeq.map {
+        case null => "NULL"
+        case v    => v.toString
+      }.mkString("\t"))
+    val computed =
+      lines("""SELECT doc_id,
+               graft_quality_score(text, length(text)) AS q,
+               graft_lang_id_script(text)              AS lang,
+               graft_token_count(text)                 AS toks
+               FROM sqlspec_doc_txn ORDER BY doc_id LIMIT 3""") ++
+      lines("""WITH s AS (
+                 SELECT doc_id, explode(graft_shingles(text, 2)) AS sh
+                 FROM sqlspec_doc_txn)
+               SELECT a.doc_id, b.doc_id, COUNT(*) AS shared
+               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING COUNT(*) > 20
+               ORDER BY shared DESC, 1, 2 LIMIT 3""") ++
+      lines("""SELECT graft_sample(doc_id, 0.01, 42)            AS keep1pct,
+                      graft_split_label(doc_id, 7, 'train', 0.8,
+                                        'val', 0.1, 'test', 0.1) AS split
+               FROM sqlspec_doc_txn ORDER BY doc_id LIMIT 2""")
+    // the regeneration fixture: the doc's transcript result lines are
+    // exactly this file's contents — on drift, paste them back in
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/sql-transcript.txt"),
+      computed.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("docs/sql.md")), "UTF-8")
+    computed.foreach { l =>
+      assert(doc.contains(l),
+        s"docs/sql.md transcript drifted: expected line <$l> not found " +
+          "(regenerate from target/sql-transcript.txt)")
+    }
+    // the DESCRIBE block's usage string ships from the registry too
+    val usage = spark.sql("DESCRIBE FUNCTION graft_quality_score")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(usage.contains("composite [0,1] quality heuristic"))
+    assert(doc.contains("composite [0,1] quality heuristic"))
+  }
+
   test("GraftExtensions injects every function and the builders evaluate") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext)
