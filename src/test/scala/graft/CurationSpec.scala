@@ -328,6 +328,37 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Set((1L, 10L, 1), (3L, 40L, 0)))
   }
 
+  test("fuzzyJoin under a reliable checkpoint dir: same output, all caches released") {
+    // round-11 advice item 1: with a checkpoint dir set, the pair
+    // table is persisted around the eager reliable checkpoint so the
+    // checkpoint-write job reads cached blocks instead of recomputing
+    // the candidate pipeline — and the persist is released in a
+    // finally. This pins (a) output identity with the local path and
+    // (b) zero lingering persisted RDDs (l0/r0/aux AND the pair-table
+    // persist; the checkpoint's own blocks live in the dir, not the
+    // block manager).
+    val sc = spark.sparkContext
+    val left = Seq((1L, "Widget Alpha"), (2L, "Gadget Beta"), (3L, "Gizmo"))
+      .toDF("id", "name")
+    val right = Seq((10L, "widget alpja"), (20L, "Xadget Beta"),
+      (30L, "gizmo XL"), (40L, "GIZMO ")).toDF("id", "name")
+    def run(): Set[(Long, Long, Int)] = graft.operators.Joins.fuzzyJoin(
+        left, col("id"), col("name"), right, col("id"), col("name"),
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val localOut = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val before = sc.getPersistentRDDs.keySet
+      assert(run() === localOut)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty,
+        s"${leaked.size} persisted RDDs remain after a checkpointed " +
+          "fuzzyJoin — the pair-table persist or a projection leaked")
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("fuzzyJoin length-band adjacency: a one-char insertion across a bin boundary still matches") {
     // lengths 8 and 9 straddle the lenBand=4 boundary (bins 2 vs 2? 8/4=2, 9/4=2)
     // use 7 vs 8: bins 1 and 2 — adjacent, must still match at dist 1
