@@ -29,6 +29,12 @@ object Bench {
     *     canary + per-row spread flags, with polluted groups retried
     *     instead of recorded. `SPARK_GRAFT_ORCHESTRATE=false` forces
     *     the legacy one-process full recording for A/B comparison.
+    *   - `SPARK_GRAFT_OPS` (comma list of row names) restricts a
+    *     group run to just those rows — the per-ROW adjudication knob
+    *     (round 12: sampling one suspect row previously cost a full
+    *     group run per fresh-JVM sample). Adjudication-only, never an
+    *     official artifact: the headline total and the warm universe
+    *     change under filtering.
     */
   def main(args: Array[String]): Unit = {
     if (sys.env.get("SPARK_GRAFT_GROUPS").isEmpty &&
@@ -265,6 +271,10 @@ object Bench {
     val groupsOn = sys.env.get("SPARK_GRAFT_GROUPS")
       .map(_.split(",").map(_.trim).toSet)
     def groupOn(g: String): Boolean = groupsOn.forall(_.contains(g))
+    // per-row adjudication filter (scaladoc at main): unset = all rows
+    val opsOn = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def opOn(n: String): Boolean = opsOn.forall(_.contains(n))
 
     // ---- drift canary (round-9 verdict item 3) ----
     // round 9 documented 20-30% UNIFORM machine drift between
@@ -296,10 +306,11 @@ object Bench {
     (1 to 8).foreach(_ => force(canaryBuild()))
     val canaryFirst = timeCanary()
 
+    val mainOps = ops.filter(o => opOn(o._1))
     if (groupOn("main"))
-      ops.foreach { case (_, build) => force(build()); force(build()) }
+      mainOps.foreach { case (_, build) => force(build()); force(build()) }
     sentinels("main") = loadavg()
-    val results = (if (groupOn("main")) ops else Seq.empty).map {
+    val results = (if (groupOn("main")) mainOps else Seq.empty).map {
       case (name, build) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
@@ -808,7 +819,8 @@ object Bench {
     // both runs, and these are exactly the rows the 100 TB evidence
     // (scaling exponents, skew-lever wins) rests on.
     def measureGroup(groupName: String,
-        group: Seq[(String, () => DataFrame)]): Seq[Meas] = {
+        group0: Seq[(String, () => DataFrame)]): Seq[Meas] = {
+      val group = group0.filter(o => opOn(o._1))
       group.foreach { case (_, build) => force(build()) }
       sentinels(groupName) = loadavg()
       group.map { case (name, build) =>
