@@ -63,6 +63,74 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // ---- host fingerprint (round-12 verdict item 7) ----
+    // r10-r12 cross-round adjudications leaned on ad-hoc probes
+    // (single-thread canary ratios, parallel efficiency, disk
+    // bandwidth) reconstructed forensically per round. These fixed
+    // synthetic probes land in every artifact so host comparisons are
+    // mechanical manifest reads:
+    //   st_canary — seconds for a fixed single-thread integer loop
+    //   par_eff32 — single-thread time / 32-way concurrent time of the
+    //               same per-thread workload (1.0 = perfect scaling;
+    //               r12's host measured ~0.67)
+    //   mem_gbps  — 8-thread streaming-read bandwidth over a 512 MB
+    //               heap array (the dimension whose saturation
+    //               inflated r12's x30 rows 2-4.5x)
+    //   disk_mbps — 128 MB fsync'd sequential write to java.io.tmpdir
+    // Probes run FIRST, before any Spark fixture, so they read the
+    // host, not this JVM under its own load (~4 s total).
+    val host: Map[String, Double] = {
+      def work(iters: Long): Long = {
+        var x = 88172645463325252L; var i = 0L
+        while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        x
+      }
+      def timeIt(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val iters = 200000000L
+      sink.addAndGet(work(iters / 10)) // JIT warm
+      val st = (1 to 3).map(_ => timeIt(sink.addAndGet(work(iters)))).min
+      val tPar = timeIt {
+        val ts = (1 to 32).map(_ =>
+          new Thread(() => { sink.addAndGet(work(iters)); () }))
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      val memGbps = {
+        val arr = new Array[Long](64 << 20) // 512 MB
+        java.util.Arrays.fill(arr, 3L)
+        val chunk = arr.length / 8
+        val passes = 4
+        val t = timeIt {
+          val ts = (0 until 8).map(k => new Thread(() => {
+            var p = 0; var s = 0L
+            while (p < passes) {
+              var i = k * chunk; val hi = (k + 1) * chunk
+              while (i < hi) { s += arr(i); i += 1 }
+              p += 1
+            }
+            sink.addAndGet(s); ()
+          }))
+          ts.foreach(_.start()); ts.foreach(_.join())
+        }
+        arr.length.toDouble * 8 * passes / t / 1e9
+      }
+      val diskMbps = try {
+        val f = java.io.File.createTempFile("graft-disk-", ".probe")
+        val buf = new Array[Byte](8 << 20)
+        val t = timeIt {
+          val os = new java.io.FileOutputStream(f)
+          try { (1 to 16).foreach(_ => os.write(buf)); os.getFD.sync() }
+          finally os.close()
+        }
+        f.delete()
+        128.0 / t
+      } catch { case _: Exception => -1.0 }
+      Map("st_canary" -> st, "par_eff32" -> st / math.max(tPar, 1e-9),
+        "mem_gbps" -> memGbps, "disk_mbps" -> diskMbps)
+    }
+
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").persist()
     val ev = spark.read.parquet(s"$sfDir/events.parquet").persist()
     // integral time axis for bucket ops: long-nanos events stay raw
@@ -305,6 +373,53 @@ object Bench {
     // lasts, exposes interference/drift.
     (1 to 8).foreach(_ => force(canaryBuild()))
     val canaryFirst = timeCanary()
+
+    // ---- scale-matched shuffle sentinel (round-12 verdict item 1) ----
+    // Scaling exponents conflate plan scaling with the HOST's
+    // memory-pressure response: on r12's bandwidth-degraded host, x1
+    // rows rode the penalty ~1x while x30 working sets rode it
+    // 2-4.5x, inflating every heavy exponent on byte-identical
+    // bytecode (fuzzy 0.63/0.735 certified on r10's host read
+    // 0.91/0.91 on r12's). The sentinel is a canonical fixed
+    // shuffle+agg whose TRUE exponent is 1.0 by construction: row
+    // count AND distinct keys scale with mult, so map-side combine
+    // cannot shrink it and the shuffle/sort working set is
+    // proportional to scale. Its measured exponent e_s captures the
+    // host's response at matched working sets; the artifact reports
+    // sentinel-normalized exponents alongside raw:
+    //   e_norm = e_raw - (e_s - 1)
+    // The x1 reading runs in EVERY child (a comparable cross-child
+    // probe); the xMult reading runs only in children that run the
+    // x10 group — the same JVM and window as the heavy rows the
+    // normalization corrects. DESIGN.md "Sentinel normalization"
+    // validates the rule against the r10/r12 pair.
+    //
+    // e_ref, NOT an ideal 1.0: at bench scale the sentinel's x1 run
+    // carries a meaningful fixed-overhead fraction, so even a healthy
+    // host reads e_s < 1 (amortization) — normalizing to 1.0 would
+    // INFLATE healthy-host exponents by that amortization. The
+    // committed reference (tools/sentinel_ref.json, keyed by xMult,
+    // recorded with the measuring host's fingerprint) is the sentinel
+    // exponent on a certified-healthy host: there the correction is
+    // zero by construction, and on a degraded host it subtracts
+    // exactly the measured scale-response excess.
+    def sentinelBuild(mult: Int): DataFrame = {
+      val n = 2000000L * mult
+      spark.range(n).select(
+        pmod(col("id") * 2654435761L, lit(n / 2)).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), max(col("payload")).as("mx"))
+    }
+    def timeSentinel(mult: Int, runs: Int): Double = {
+      force(sentinelBuild(mult)) // warm (plan + codegen compile)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        force(sentinelBuild(mult))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val sentinelX1 = timeSentinel(1, 3)
 
     val mainOps = ops.filter(o => opOn(o._1))
     if (groupOn("main"))
@@ -774,6 +889,19 @@ object Bench {
         Seq(col("user_id")))).interpolate(
           when(col("event_type") === "error", lit(null)).otherwise(col("value")),
           col("ts"))),
+      // window-family scaling rows (round-12 verdict item 5): the
+      // r12 fast-double default flipped the rolling pair-moment path;
+      // without exponent rows a future decimal-style regression on
+      // the window path would be invisible to the scaling table.
+      // Expected ~1.0 raw — WindowExec is linear per key, key count
+      // scales xMult x at constant per-key history
+      s"rolling_var$xs" -> (() => new RollingOps(new GroupBy(ev10,
+        Seq(col("user_id")))).rollingVar(col("value"), col("ts"), 50,
+        minPeriods = Some(1))),
+      s"rolling_corr$xs" -> (() => new RollingOps(new GroupBy(ev10,
+        Seq(col("user_id")))).rollingCorr(col("value"),
+        pmod(col("event_id"), lit(89L)).cast("double"), col("ts"), 50,
+        minPeriods = Some(1))),
       // the round-9 fuzzyJoin redesign's scaling row (round-9 verdict
       // item 1: the op had fixture A/B evidence but no exponent).
       // Scales the production (prefix-diverse) shape: rows AND the
@@ -811,17 +939,27 @@ object Bench {
           maxDist = 1)
       }))
 
-    // persist/prod-dedup/skew/x10 groups: heavier inputs, so 1 warm + 2
-    // timed (the JIT universe is already compiled by the main loop —
-    // these reuse the same operators on different data). Rows whose
-    // faster timed run still exceeds 2 s get a third run and report the
-    // MEDIAN: min-of-2 cannot reject a GC/compaction burst spanning
-    // both runs, and these are exactly the rows the 100 TB evidence
-    // (scaling exponents, skew-lever wins) rests on.
+    // persist/prod-dedup/skew/x10 groups — sampling protocol v3
+    // (round-12 verdict item 2, budget fit): NO separate warm pass and
+    // two timed samples per row. v2 (1 warm + 2-3 timed, heavy-row
+    // median-of-3) cost ~4x each group's row sum; the r12 driver
+    // window blew its 2700 s budget at -290 s with x10 left pending
+    // (BENCH_r12.json) — v3's ~35-45% per-group saving is what makes
+    // pending_n = 0 fit. The first sample carries the row's own
+    // plan/codegen compile — one-sided upward noise the min rejects
+    // and the one-outlier-tolerant spread rule absorbs (shared Spark
+    // infrastructure is already deep-JITted by the canary warm and the
+    // fixture builds). Suspect rows still escalate (+2 samples);
+    // escalated HEAVY rows report the median over 4+ samples — the
+    // burst case that motivated v2's median-of-3 triggers escalation
+    // exactly when the samples disagree, so it still gets a
+    // burst-robust statistic, without charging every clean heavy row
+    // a third run. v3 values read ~2-5% below v2's heavy-row medians;
+    // cross-round reads use queries_norm either way (DESIGN.md
+    // "Sampling protocol v3").
     def measureGroup(groupName: String,
         group0: Seq[(String, () => DataFrame)]): Seq[Meas] = {
       val group = group0.filter(o => opOn(o._1))
-      group.foreach { case (_, build) => force(build()) }
       sentinels(groupName) = loadavg()
       group.map { case (name, build) =>
         def timed(): Double = {
@@ -829,14 +967,13 @@ object Bench {
           force(build())
           (System.nanoTime() - t0) / 1e9
         }
-        val t1 = timed(); val t2 = timed()
-        val samples = if (math.min(t1, t2) > 2.0) Seq(t1, t2, timed())
-                      else Seq(t1, t2)
-        // heavy rows report the median (min-of-2 cannot reject a burst
-        // spanning both runs); light rows keep the min — same statistic
-        // after a re-measure extends the sample set
+        val samples = Seq(timed(), timed())
+        // 2 agreeing samples: min (the spread gate bounds them within
+        // 1.5x/0.2s of each other, so min ~ median); escalated heavy
+        // rows: median over the extended set
         def pick(ts: Seq[Double]): Double =
-          if (ts.min > 2.0) ts.sorted.apply(ts.size / 2) else ts.min
+          if (ts.size >= 3 && ts.min > 2.0) ts.sorted.apply(ts.size / 2)
+          else ts.min
         remeasure(name, samples, pick, () => timed())
       }
     }
@@ -860,8 +997,13 @@ object Bench {
       hotLeft.unpersist(true); hotRight.unpersist(true)
       r
     } else Seq.empty
+    // the xMult sentinel reading runs in the same JVM, against the
+    // same materialized fixtures, immediately before the x10 rows —
+    // the host state whose memory-pressure response it corrects for
+    var sentinelXM: Option[Double] = None
     val x10Results = if (groupOn("x10")) {
       docs10.count(); embs10.count(); ev10.count()
+      if (xMult > 1) sentinelXM = Some(timeSentinel(xMult, 2))
       val r = measureGroup("x10", x10Ops)
       docs10.unpersist(true); embs10.unpersist(true); ev10.unpersist(true)
       r
@@ -876,9 +1018,12 @@ object Bench {
     def fmt(d: Double): String = ((d * 10000).round / 10000.0).toString
     val qs = all.map(m => "\"" + m.name + "\":" + fmt(m.value))
       .mkString("{", ",", "}")
-    // same op set as prior rounds' "total" (main loop + dedup_minhash +
-    // pipeline_e2e — NOT the new keep-vs-pairs rows), so the headline
-    // stays comparable round-over-round
+    // headline "total" op set: main loop + dedup_minhash + pipeline_e2e
+    // (NOT the keep-vs-pairs rows). The set grew with the main loop —
+    // r11 split gb_corr into fast/exact, r12 added rolling_var and
+    // rolling_corr — so raw totals are directly comparable only to
+    // rounds sharing the op set (r12+); cross-round reads use the
+    // per-row queries_norm block, never the total (r12 advice item 3)
     val total = (results ++ persistResults.filter(m =>
       m.name == "dedup_minhash" || m.name == "pipeline_e2e")).map(_.value).sum
     // scaling exponent per xMult op: log(t_xMult / t_x1) / log(xMult)
@@ -889,14 +1034,49 @@ object Bench {
     // from the stock op only in what SCALES (the fixedq twin pins the
     // query batch) share the stock op's x1 time — exact at xMult = 1
     val scalingAlias = Map("pq_adc_topk_fixedq" -> "pq_adc_topk")
-    val scaling = x10Results.flatMap { m =>
+    // the combined pq_adc_topk row grows corpus AND query batch
+    // together, so its ratio is a labeled THROUGHPUT row, not an
+    // exponent — the fixedq twin is the certified corpus-scaling row
+    // (round-12 verdict item 4); it stays in queries/samples either way
+    val scalingExclude = Set("pq_adc_topk")
+    val scalingVals: Seq[(String, Double)] = x10Results.flatMap { m =>
       val name0 = m.name.stripSuffix(xs)
       val base = scalingAlias.getOrElse(name0, name0)
-      byName.get(base).filter(_ => m.value > 0).map { t1 =>
-        "\"" + name0 + "\":" +
-          (math.log10(m.value / t1) / math.log10(xMult.toDouble) * 10000).round / 10000.0
+      if (scalingExclude.contains(name0)) None
+      else byName.get(base).filter(_ => m.value > 0).map { t1 =>
+        name0 -> math.log10(m.value / t1) / math.log10(xMult.toDouble)
       }
+    }
+    def expJson(vs: Seq[(String, Double)]): String = vs.map { case (n, e) =>
+      "\"" + n + "\":" + (e * 10000).round / 10000.0
     }.mkString("{", ",", "}")
+    val scaling = expJson(scalingVals)
+    // sentinel-normalized exponents (doc at sentinelBuild): subtract
+    // the host's measured scale-response EXCESS over the certified
+    // reference host, e_norm = e_raw - (e_s - e_ref)
+    val sentinelExp = sentinelXM.map(tM =>
+      math.log10(tM / sentinelX1) / math.log10(xMult.toDouble))
+    val sentinelRefPath = sys.env.getOrElse("SPARK_GRAFT_SENTINEL_REF",
+      "tools/sentinel_ref.json")
+    val sentinelRef: Option[Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sentinelRefPath)), "UTF-8")
+      // flat {"10": e, "30": e, ...} — a one-key regex read keeps
+      // record() free of a JSON dependency
+      val m = ("\"" + xMult + "\"\\s*:\\s*(-?[0-9.]+)").r
+        .findFirstMatchIn(txt)
+      m.map(_.group(1).toDouble)
+    } catch { case _: Exception => None }
+    val scalingNorm = sentinelExp.map { es =>
+      val ref = sentinelRef.getOrElse(1.0)
+      expJson(scalingVals.map { case (n, e) => n -> (e - (es - ref)) })
+    }.getOrElse("{}")
+    val sentinelJson2 = "{\"x1\":" + fmt(sentinelX1) +
+      sentinelXM.map(tM => ",\"x" + xMult + "\":" + fmt(tM)).getOrElse("") +
+      sentinelExp.map(es => ",\"exponent\":" + fmt(es)).getOrElse("") +
+      sentinelRef.map(r => ",\"ref\":" + fmt(r)).getOrElse("") + "}"
+    val hostJson = host.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val samplesJson = all.map(m =>
       "\"" + m.name + "\":[" + m.samples.map(fmt).mkString(",") + "]")
       .mkString("{", ",", "}")
@@ -917,10 +1097,20 @@ object Bench {
       fmt(m.value / math.max(canaryBase, 1e-9))).mkString("{", ",", "}")
     val canaryJson =
       s"""{"first":${fmt(canaryFirst)},"last":${fmt(canaryLast)}}"""
+    // SPARK_GRAFT_OPS adjudication runs must be distinguishable from
+    // official artifacts (r12 advice item 2): the filter lands in the
+    // artifact, the headline total is nulled (it is computed over a
+    // filtered row set), and the default output path changes so a
+    // filtered run cannot silently overwrite BENCH_full_builder.json
+    val opsFilterJson = opsOn.map(s =>
+      s.toSeq.sorted.map("\"" + _ + "\"").mkString(",\"ops_filter\":[", ",", "]"))
+      .getOrElse("")
+    val totalJson = if (opsOn.isDefined) "null" else fmt(total)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"queries_norm":$qsNorm,"scaling":$scaling,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"scale_sentinel":$sentinelJson2,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson$opsFilterJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_full_builder.json")
+      if (opsOn.isDefined) "BENCH_opsfilter_builder.json"
+      else "BENCH_full_builder.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
     catch { case e: Exception =>
@@ -939,7 +1129,8 @@ object Bench {
       def fmt3(d: Double): String = ((d * 1000).round / 1000.0).toString
       val q = ms.map(m => "\"" + m.name + "\":" + fmt3(m.value))
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$q,"canary":[${fmt3(canaryFirst)},${fmt3(canaryLast)}],"flagged_n":${all.count(_.flagged)},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
+      val t = if (opsOn.isDefined) "null" else fmt3(total)
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"canary":[${fmt3(canaryFirst)},${fmt3(canaryLast)}],"flagged_n":${all.count(_.flagged)},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
     }
     val line0 = compactLine(all)
     println(if (line0.length <= 1900) line0
@@ -1017,7 +1208,9 @@ object Bench {
     preLoad: Double, preRunnable: Int, exit: Int,
     canaryFirst: Double, canaryLast: Double, sentinel: Double,
     rows: Seq[Row], flagged: Seq[String], reasons: Seq[String],
-    notes: Seq[String], durSec: Double, artifact: String) {
+    notes: Seq[String], durSec: Double, artifact: String,
+    host: Map[String, Double] = Map.empty,
+    scaleSentinel: Map[String, Double] = Map.empty) {
     def ok: Boolean = reasons.isEmpty
   }
 
@@ -1029,13 +1222,44 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val xMult = sys.env.getOrElse("SPARK_GRAFT_X", "10").toInt
     val xs = s"_x$xMult"
+    // history-fed per-group cost estimates (round-12 verdict item 2):
+    // r12's est(g) bootstrapped from nothing and underestimated early
+    // groups badly enough that the budget was spent before the last
+    // two (x10 pending, arithmetic at -290 s). The orchestrator now
+    // reads the previous recording's per-group durations from a small
+    // history file (written back at the end of every run) and scales
+    // them by THIS host's observed/estimated ratio as groups complete.
+    val estPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EST",
+      "bench-history.json")
+    val estHist: Map[String, Double] =
+      try {
+        JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(estPath)), "UTF-8")) match {
+          case o: JObject => o.obj.collect {
+            case (k, JDouble(d))  => k -> d
+            case (k, JInt(i))     => k -> i.toDouble
+            case (k, JDecimal(d)) => k -> d.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Exception => Map.empty }
     // SPARK_GRAFT_ORCH_GROUPS restricts the orchestrated group list —
     // a smoke/debug knob for the PROTOCOL itself (SPARK_GRAFT_GROUPS
     // would bypass orchestration entirely); the official artifact
-    // always runs the full list
-    val Groups: Seq[String] = sys.env.get("SPARK_GRAFT_ORCH_GROUPS")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(AllGroups)
+    // always runs the full list. Groups run main-first (the headline
+    // group, and the canary reference anchor), then cheapest-first by
+    // history (round-12 verdict item 2): when the budget degrades
+    // mid-run anyway, the maximum number of groups is already
+    // recorded and the forced pending lands on the single most
+    // expensive group — the one a per-group adjudication re-run can
+    // reproduce in isolation.
+    val Groups: Seq[String] = {
+      val g0 = sys.env.get("SPARK_GRAFT_ORCH_GROUPS")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(AllGroups)
+      val (mains, rest) = g0.partition(_ == "main")
+      mains ++ rest.sortBy(g => estHist.getOrElse(g, Double.MaxValue))
+    }
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-bench-").toFile
 
     // Total wall budget (round-11 verdict item 1b): the r11 official
@@ -1051,12 +1275,23 @@ object Bench {
     val startNanos = System.nanoTime()
     def remainingSec: Double =
       budgetSec - (System.nanoTime() - startNanos) / 1e9
-    // per-attempt cost estimate: the group's own last attempt when
-    // seen, else the costliest attempt observed so far (+25% — an
-    // unseen group, e.g. x10, tends to run longer), else 150 s
+    // per-attempt cost estimate, best evidence first: the group's own
+    // last attempt THIS run; else its history duration scaled by this
+    // host's observed median (observed / history) ratio over completed
+    // groups; else the costliest attempt observed so far +25%; else
+    // 150 s. The host scale is what makes a slower-than-history
+    // machine degrade EARLY (before the reserve goes negative) instead
+    // of after (r12's failure shape).
     val lastDurSec = scala.collection.mutable.Map[String, Double]()
+    def hostScale: Double = {
+      val ratios = lastDurSec.toSeq.flatMap { case (g, d) =>
+        estHist.get(g).filter(_ > 0).map(d / _)
+      }.sorted
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    }
     def estSec(g: String): Double = lastDurSec.getOrElse(g,
-      if (lastDurSec.nonEmpty) lastDurSec.values.max * 1.25 else 150.0)
+      estHist.get(g).map(_ * hostScale).getOrElse(
+        if (lastDurSec.nonEmpty) lastDurSec.values.max * 1.25 else 150.0))
     val budgetNotes = scala.collection.mutable.LinkedHashMap[String, String]()
 
     // child launch ingredients: same JVM binary, same module opens /
@@ -1120,13 +1355,28 @@ object Bench {
       System.err.println(s"[bench] $group attempt $idx: launching " +
         s"(pre-gate load=$preLoad runnable=$preRun)")
       val t0 = System.nanoTime()
-      val exit = pb.start().waitFor()
+      // hard child timeout (round-12 verdict item 2): a child may not
+      // spend past the remaining budget plus a small grace — the r12
+      // driver run went to -290 s because overruns were unbounded.
+      // A killed child leaves no artifact, so it gates out below and
+      // the budget arithmetic at every later decision stays funded.
+      val proc = pb.start()
+      val graceSec = 60.0
+      val timeoutMs = math.max(60000L,
+        ((remainingSec + graceSec) * 1000).toLong)
+      val finished = proc.waitFor(timeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      val timedOut = !finished
+      if (timedOut) { proc.destroyForcibly(); proc.waitFor() }
+      val exit = proc.exitValue()
       val durSec = (System.nanoTime() - t0) / 1e9
       lastDurSec(group) = durSec
 
       val reasons = Seq.newBuilder[String]
       if (exit != 0) reasons += s"exit=$exit"
-      val parsed: Option[(Seq[Row], Seq[String], Double, Double, Double)] =
+      if (timedOut) reasons += "budget-timeout"
+      val parsed: Option[(Seq[Row], Seq[String], Double, Double, Double,
+          Map[String, Double], Map[String, Double])] =
         try {
           val root = JsonMethods.parse(
             new String(java.nio.file.Files.readAllBytes(out.toPath), "UTF-8"))
@@ -1152,14 +1402,20 @@ object Bench {
             case o: JObject if o.obj.nonEmpty => o.obj.map(f => num(f._2)).max
             case _                            => -1.0
           }
+          def numMap(n: String): Map[String, Double] = field(n) match {
+            case o: JObject => o.obj.map { case (k, v) => k -> num(v) }.toMap
+            case _          => Map.empty
+          }
           Some((rows, flagged, canary.getOrElse("first", Double.NaN),
-            canary.getOrElse("last", Double.NaN), sentinel))
+            canary.getOrElse("last", Double.NaN), sentinel,
+            numMap("host"), numMap("scale_sentinel")))
         } catch { case e: Exception =>
           reasons += s"artifact-unparseable(${e.getClass.getSimpleName})"
           None
         }
-      val (rows, flagged, cFirst, cLast, sentinel) =
-        parsed.getOrElse((Nil, Nil, Double.NaN, Double.NaN, -1.0))
+      val (rows, flagged, cFirst, cLast, sentinel, hostMap, scaleSent) =
+        parsed.getOrElse((Nil, Nil, Double.NaN, Double.NaN, -1.0,
+          Map.empty[String, Double], Map.empty[String, Double]))
       if (flagged.nonEmpty) reasons += s"flagged=${flagged.mkString("+")}"
       // recalibrated canary backstop (constants doc above): reject a
       // row-clean attempt only past RowCleanBand; annotate inside
@@ -1174,7 +1430,7 @@ object Bench {
       if (cLast.isNaN && parsed.isDefined) reasons += "canary-missing"
       val a = Attempt(group, idx, preLoad, preRun, exit, cFirst, cLast,
         sentinel, rows, flagged, reasons.result(), notes.result(), durSec,
-        out.getName)
+        out.getName, hostMap, scaleSent)
       System.err.println(s"[bench] $group attempt $idx: " +
         (if (a.ok) f"clean (canary ${cLast}%.4f" +
            (if (a.notes.nonEmpty) s"; ${a.notes.mkString("; ")}" else "") + ")"
@@ -1210,8 +1466,11 @@ object Bench {
       val byName = allRows.map(r => r.name -> r.value).toMap
       val canaryLastOf: Map[String, Double] =
         decided.map(g => g -> chosen(g).canaryLast).toMap
-      // headline total: same op set as every prior round (main loop +
-      // dedup_minhash + pipeline_e2e)
+      // headline total: main loop + dedup_minhash + pipeline_e2e. The
+      // main-loop op set grew in r11 (gb_corr fast/exact split) and
+      // r12 (+rolling_var, rolling_corr), so raw totals compare only
+      // to rounds sharing the set (r12+); cross-round reads use the
+      // per-row queries_norm block (r12 advice item 3)
       val total = allRows.filter(r => r.group == "main" ||
         r.name == "dedup_minhash" || r.name == "pipeline_e2e").map(_.value).sum
       val qs = allRows.map(r => "\"" + r.name + "\":" + fmt(r.value))
@@ -1224,14 +1483,44 @@ object Bench {
           (if (c.isNaN || c <= 0) "null" else fmt(r.value / c))
       }.mkString("{", ",", "}")
       val scalingAlias = Map("pq_adc_topk_fixedq" -> "pq_adc_topk")
-      val scaling = allRows.filter(_.name.endsWith(xs)).flatMap { r =>
-        val name0 = r.name.stripSuffix(xs)
-        val base = scalingAlias.getOrElse(name0, name0)
-        byName.get(base).filter(_ => r.value > 0).map { t1 =>
-          "\"" + name0 + "\":" + (math.log10(r.value / t1) /
-            math.log10(xMult.toDouble) * 10000).round / 10000.0
+      // combined pq_adc_topk grows corpus AND query batch — a labeled
+      // throughput row, never an exponent (round-12 verdict item 4);
+      // pq_adc_topk_fixedq is the certified corpus-scaling row
+      val scalingExclude = Set("pq_adc_topk")
+      val scalingVals: Seq[(String, Double)] =
+        allRows.filter(_.name.endsWith(xs)).flatMap { r =>
+          val name0 = r.name.stripSuffix(xs)
+          val base = scalingAlias.getOrElse(name0, name0)
+          if (scalingExclude.contains(name0)) None
+          else byName.get(base).filter(_ => r.value > 0).map { t1 =>
+            name0 -> math.log10(r.value / t1) / math.log10(xMult.toDouble)
+          }
         }
+      def expJson(vs: Seq[(String, Double)]): String = vs.map { case (n, e) =>
+        "\"" + n + "\":" + (e * 10000).round / 10000.0
       }.mkString("{", ",", "}")
+      val scaling = expJson(scalingVals)
+      // sentinel normalization (doc at sentinelBuild in record()): the
+      // x10 child's own scale-matched shuffle sentinel supplies e_s
+      // and the committed reference e_ref (the child embeds both);
+      // e_norm = e_raw - (e_s - e_ref). The x10 child is the right
+      // source: the same JVM and window as every xMult exponent row.
+      val sentMap: Map[String, Double] = chosen.get("x10")
+        .map(_.scaleSentinel).getOrElse(Map.empty)
+      val sentExp: Option[Double] = sentMap.get("exponent")
+      val scalingNorm = sentExp.map { es =>
+        val ref = sentMap.getOrElse("ref", 1.0)
+        expJson(scalingVals.map { case (n, e) => n -> (e - (es - ref)) })
+      }.getOrElse("{}")
+      val sentinel2Json = sentMap.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      // host fingerprint: the main child's probes (first decided child
+      // as the fallback) — per-attempt fingerprints stay in the
+      // per-group artifacts under manifest.logs
+      val hostMap: Map[String, Double] = chosen.get("main")
+        .orElse(chosen.values.headOption).map(_.host).getOrElse(Map.empty)
+      val hostJson = hostMap.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val samplesJson = allRows.map(r =>
         "\"" + r.name + "\":[" + r.samples.map(fmt).mkString(",") + "]")
         .mkString("{", ",", "}")
@@ -1283,13 +1572,17 @@ object Bench {
             s""","budget_note":"${n.replace("\"", "'")}"""").getOrElse("")
           s"""{"group":"$g","attempts":$as,$status$bn}"""
         }.mkString("[", ",", "]")
+        val estJson = Groups.map(g =>
+          "\"" + g + "\":" + fmt(estSec(g))).mkString("{", ",", "}")
         s"""{"gates":$gates,"groups":$groupsJson,""" +
           s""""canary_ref":${fmt(cRef)},""" +
+          s""""est_source":"$estPath","host_scale":${fmt(hostScale)},""" +
+          s""""est_sec":$estJson,""" +
           s""""elapsed_sec":${fmt(budgetSec - remainingSec)},""" +
           s""""logs":"${tmpDir.getPath}"}"""
       }
       val fullJson =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"queries_norm":$qsNorm,"scaling":$scaling,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"pending":$pendingJson,"sf":"$sfDir","manifest":$manifest}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"scale_sentinel":$sentinel2Json,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"pending":$pendingJson,"sf":"$sfDir","manifest":$manifest}"""
       // atomic replace: write a temp sibling then move over the target,
       // so a kill DURING a flush can't leave a truncated artifact
       try {
@@ -1326,9 +1619,11 @@ object Bench {
         scala.collection.mutable.ArrayBuffer.empty[Attempt])
       // reserve: one attempt for every group still waiting after this
       def reserveSec: Double = Groups.drop(gi + 1).map(estSec).sum
-      if (remainingSec < math.min(estSec(g), 60.0)) {
-        // cannot fund even one attempt: leave the group pending — the
-        // flushed artifact says so instead of an rc=124 hole
+      if (remainingSec < estSec(g)) {
+        // cannot fund one full attempt: leave the group pending rather
+        // than launch into a guaranteed overrun (r12 launched skew
+        // with est > remaining and drove the arithmetic to -290 s) —
+        // the flushed artifact says so instead of an rc=124 hole
         budgetNotes(g) = f"pending: budget exhausted before first attempt " +
           f"(${remainingSec}%.0f s left, est ${estSec(g)}%.0f s)"
         System.err.println(s"[bench] $g: ${budgetNotes(g)}")
@@ -1400,6 +1695,17 @@ object Bench {
             budgetNotes(g) = budgetNotes.get(g).map(_ + "; ").getOrElse("") +
               f"post-hoc canary re-check skipped by budget (${remainingSec}%.0f s left)"
             System.err.println(s"[bench] $g: ${budgetNotes(g)}")
+            // a canary-out-of-band group whose re-run the budget cannot
+            // fund must NOT masquerade as clean (r12 advice item 1:
+            // BENCH_X30_r12's main group read canary 4.26x the final
+            // reference yet recorded_clean:true because this branch
+            // left reasons empty) — flag its rows and set the reason,
+            // exactly like the pass-1 all-attempts-failed fallback;
+            // the budget_note stays as the explanation
+            chosen(g) = a.copy(
+              rows = a.rows.map(_.copy(flagged = true)),
+              reasons = Seq("post-hoc-canary-drift; re-check budget-skipped"))
+            writeMerged(finalWrite = false)
           } else {
             System.err.println(s"[bench] $g: accepted canary " +
               f"${a.canaryLast}%.4f now out of band vs final reference " +
@@ -1417,5 +1723,17 @@ object Bench {
       }
     }
     writeMerged(finalWrite = true)
+    // write back this run's per-group durations (raw seconds on THIS
+    // host; a future run on a different host corrects via hostScale)
+    // so the next recording's estimates are history-fed from the start
+    try {
+      val merged = estHist ++ lastDurSec
+      val json = merged.toSeq.sortBy(_._1).map { case (g, d) =>
+        "\"" + g + "\":" + fmt(d) }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(estPath),
+        json.getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not write $estPath: $e")
+    }
   }
 }
