@@ -40,6 +40,23 @@ final class SelectionOps(val gb: GroupBy) extends AnyVal {
     * per-key-unique (position must be well-defined across slices),
     * non-null (fails loudly in-expression instead of silently
     * diverging from the unsplit path, which sorts nulls first).
+    *
+    * WHEN TO USE: almost never — measured round 13 (DESIGN.md "sel
+    * split lever crossover"), the UNSPLIT path wins or ties at every
+    * probed shape because Spark plans `row_number <= n` as a
+    * TWO-PHASE WindowGroupLimit: a Partial pass caps every input
+    * partition's contribution at n rows BEFORE the shuffle, so the
+    * hot key is never materialized, shuffled, or sorted whole —
+    * positional selection already has a built-in skew lever. On an
+    * 80%-hot key: n=5 plain 0.96 s vs split 4.31 s at 10M rows
+    * (2.87 vs 14.05 at 40M — the ratio is scale-stable, there is no
+    * data-size crossover); the gap closes as n grows (n=5000: tie)
+    * but plain still edges split at n=500k. Unlike the rolling/asof
+    * levers (no pushdown equivalent exists for window aggregates or
+    * as-of matching, so slicing is the only skew escape), sliceWidth
+    * here is API symmetry, not a performance tool — prefer the plain
+    * path unless a future Spark version drops the rank-limit
+    * pushdown.
     */
   private def slicedPos(maxPos: Int, ordCol: Column, descending: Boolean,
       wdt: Long, posName: String): DataFrame = {

@@ -626,6 +626,22 @@ final class RollingOps(val gb: GroupBy) extends AnyVal {
     * per-partition order anyway, so the double path here is
     * RUN-deterministic — exact only buys decimal (order-free)
     * arithmetic for cross-engine bit equality.
+    *
+    * CONDITIONING (measured, pinned in RollingSpec "ill-conditioned"):
+    * neither path is robust to a large common offset with small
+    * variance, and `exact` is NOT the more accurate leg there —
+    * decimal buys order-free replay determinism, never conditioning.
+    * With unit variance and window 50:
+    *   - fast (double): relative arithmetic — ~1e-9 of a centered
+    *     reference at offset 1e3, accurate until true moment
+    *     cancellation at eps·n·offset² ≈ variance (offset ≳ 4e6·sd),
+    *     total breakdown by 1e8 (even the null pattern diverges);
+    *   - exact (decimal, scale 6): its fixed ABSOLUTE quantum enters
+    *     corr through sx²/n scaled by the offset, so error grows
+    *     ∝ offset — already ~2.5e-4 at offset 1e3.
+    * Rule: if |mean| ≳ 1e3 × the frame standard deviation, center the
+    * series first (subtract any per-key constant; cov/corr are
+    * shift-invariant), then either path is accurate.
     */
   def rollingCov(x: Column, y: Column, ord: Column, window: Int,
       minPeriods: Option[Int] = None, ddof: Int = 1,

@@ -272,23 +272,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
         case null => "NULL"
         case v    => v.toString
       }.mkString("\t"))
-    val computed =
+    val blocks: Seq[Seq[String]] = Seq(
       lines("""SELECT doc_id,
                graft_quality_score(text, length(text)) AS q,
                graft_lang_id_script(text)              AS lang,
                graft_token_count(text)                 AS toks
-               FROM sqlspec_doc_txn ORDER BY doc_id LIMIT 3""") ++
+               FROM sqlspec_doc_txn ORDER BY doc_id LIMIT 3"""),
       lines("""WITH s AS (
                  SELECT doc_id, explode(graft_shingles(text, 2)) AS sh
                  FROM sqlspec_doc_txn)
                SELECT a.doc_id, b.doc_id, COUNT(*) AS shared
                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
                GROUP BY 1, 2 HAVING COUNT(*) > 20
-               ORDER BY shared DESC, 1, 2 LIMIT 3""") ++
+               ORDER BY shared DESC, 1, 2 LIMIT 3"""),
       lines("""SELECT graft_sample(doc_id, 0.01, 42)            AS keep1pct,
                       graft_split_label(doc_id, 7, 'train', 0.8,
                                         'val', 0.1, 'test', 0.1) AS split
-               FROM sqlspec_doc_txn ORDER BY doc_id LIMIT 2""")
+               FROM sqlspec_doc_txn ORDER BY doc_id LIMIT 2"""))
+    val computed = blocks.flatten
     // the regeneration fixture: the doc's transcript result lines are
     // exactly this file's contents — on drift, paste them back in
     java.nio.file.Files.write(
@@ -296,10 +297,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       computed.mkString("", "\n", "\n").getBytes("UTF-8"))
     val doc = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("docs/sql.md")), "UTF-8")
-    computed.foreach { l =>
-      assert(doc.contains(l),
-        s"docs/sql.md transcript drifted: expected line <$l> not found " +
-          "(regenerate from target/sql-transcript.txt)")
+    // each query's result lines must appear as one CONTIGUOUS block
+    // (round-12 advice item 5: per-line whole-file containment let a
+    // short generic line match stale text elsewhere in the doc, and
+    // never enforced ordering within a block)
+    blocks.foreach { b =>
+      val blk = b.mkString("\n")
+      assert(doc.contains(blk),
+        s"docs/sql.md transcript drifted: expected contiguous block\n" +
+          s"<$blk>\nnot found (regenerate from target/sql-transcript.txt)")
     }
     // the DESCRIBE block's usage string ships from the registry too
     val usage = spark.sql("DESCRIBE FUNCTION graft_quality_score")
