@@ -974,7 +974,28 @@ object Bench {
         def pick(ts: Seq[Double]): Double =
           if (ts.size >= 3 && ts.min > 2.0) ts.sorted.apply(ts.size / 2)
           else ts.min
-        remeasure(name, samples, pick, () => timed())
+        if (samples.min <= 2.0) {
+          // LIGHT rows, v3.1 corroboration rule: under v3 the first
+          // sample carries the op's own plan/codegen compile BY
+          // DESIGN, and in a heavy group's fresh JVM the C2 tail can
+          // span sample 2 as well — the r13 builder recording burned
+          // two x10 retries on exactly that shape (emb_dup_pairs_x10
+          // [1.53, 0.43, 0.33, 0.31]: spread-flagged, yet the min is
+          // solid). A light row's reported statistic is the MIN, so
+          // the trust condition is that the min is REPRODUCED: >= 2
+          // samples within 1.2x of it. Escalate once (+2 samples) if
+          // not; flag only if still uncorroborated — one-sided slow
+          // samples are expected warm-up, a min nobody reproduced is
+          // not a number. (Real interference keeps failing this:
+          // r8's polluted [3.6, 24.6, 29.9, 35.9, 25.1] has a lone
+          // min — flagged.) Heavy rows keep the spread rule: their
+          // medians use every sample, so outliers there must flag.
+          def corroborated(ts: Seq[Double]): Boolean =
+            ts.count(_ <= ts.min * 1.2) >= 2
+          val all = if (corroborated(samples)) samples
+                    else samples ++ Seq(timed(), timed())
+          Meas(name, all.min, all, flagged = !corroborated(all))
+        } else remeasure(name, samples, pick, () => timed())
       }
     }
     // each group's fixtures materialize immediately before its
@@ -1546,7 +1567,7 @@ object Bench {
           s""""pre_gate_runnable":$PreGateRunnable,""" +
           s""""pre_gate_timeout_sec":${PreGateTimeoutMs / 1000},""" +
           s""""max_attempts":$MaxAttempts,"cooldown_sec":${CooldownMs / 1000},""" +
-          s""""row_flag_rule":"child spread>1.5x && >0.2s, one-outlier-tolerant",""" +
+          s""""row_flag_rule":"heavy rows: spread>1.5x && >0.2s one-outlier-tolerant; light rows (v3.1): min corroborated by >=2 samples within 1.2x",""" +
           s""""in_run_sentinel":"diagnostic only - r10 calibration: clean 20.3 vs polluted 27.8, inseparable"}"""
         val groupsJson = Groups.map { g =>
           val as = attemptLog.getOrElse(g,
