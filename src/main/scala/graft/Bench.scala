@@ -939,27 +939,28 @@ object Bench {
           maxDist = 1)
       }))
 
-    // persist/prod-dedup/skew/x10 groups — sampling protocol v3
-    // (round-12 verdict item 2, budget fit): NO separate warm pass and
-    // two timed samples per row. v2 (1 warm + 2-3 timed, heavy-row
+    // persist/prod-dedup/skew/x10 groups — sampling protocol v3.2
+    // (round-12 verdict item 2, budget fit): ONE warm pass, then two
+    // timed samples per row. v2 (1 warm + 2-3 timed, heavy-row
     // median-of-3) cost ~4x each group's row sum; the r12 driver
     // window blew its 2700 s budget at -290 s with x10 left pending
-    // (BENCH_r12.json) — v3's ~35-45% per-group saving is what makes
-    // pending_n = 0 fit. The first sample carries the row's own
-    // plan/codegen compile — one-sided upward noise the min rejects
-    // and the one-outlier-tolerant spread rule absorbs (shared Spark
-    // infrastructure is already deep-JITted by the canary warm and the
-    // fixture builds). Suspect rows still escalate (+2 samples);
-    // escalated HEAVY rows report the median over 4+ samples — the
-    // burst case that motivated v2's median-of-3 triggers escalation
-    // exactly when the samples disagree, so it still gets a
-    // burst-robust statistic, without charging every clean heavy row
-    // a third run. v3 values read ~2-5% below v2's heavy-row medians;
-    // cross-round reads use queries_norm either way (DESIGN.md
-    // "Sampling protocol v3").
+    // (BENCH_r12.json). Dropping the third sample (~25%) funds
+    // pending_n = 0. The warm pass STAYS: a warm-less variant (v3.0,
+    // measured r13) charged first-of-family rows their whole
+    // plan/codegen/C2 ramp in BOTH samples — fuzzy_join read 2.3x its
+    // r12 steady state ([3.88, 3.19] vs post-warm 1.38) and pagerank's
+    // escalated median mixed the ramp into the value — fake
+    // regressions that would cost an adjudication cycle each. Post-
+    // warm, min-of-2 sits within a few % of v2's median-of-3; suspect
+    // rows still escalate (+2 samples, heavy rows report the median
+    // over 4+ — the burst case that motivated v2's median-of-3
+    // triggers escalation exactly when samples disagree). Cross-round
+    // reads use queries_norm either way (DESIGN.md "Sampling protocol
+    // v3.2").
     def measureGroup(groupName: String,
         group0: Seq[(String, () => DataFrame)]): Seq[Meas] = {
       val group = group0.filter(o => opOn(o._1))
+      group.foreach { case (_, build) => force(build()) }
       sentinels(groupName) = loadavg()
       group.map { case (name, build) =>
         def timed(): Double = {
@@ -990,8 +991,14 @@ object Bench {
           // r8's polluted [3.6, 24.6, 29.9, 35.9, 25.1] has a lone
           // min — flagged.) Heavy rows keep the spread rule: their
           // medians use every sample, so outliers there must flag.
+          // The corroboration band matches the spread rule's own 1.5x
+          // (+50 ms absolute slack for ~0.1 s rows): a first cut at
+          // 1.2x flagged honest sub-second scatter like join_asof_x10
+          // [2.63, 1.22, 1.14, 0.93] — 25-35% run-to-run spread is
+          // normal for light rows in a 60M-row-fixture JVM, and the
+          // reported min is still reproduced there.
           def corroborated(ts: Seq[Double]): Boolean =
-            ts.count(_ <= ts.min * 1.2) >= 2
+            ts.count(_ <= ts.min * 1.5 + 0.05) >= 2
           val all = if (corroborated(samples)) samples
                     else samples ++ Seq(timed(), timed())
           Meas(name, all.min, all, flagged = !corroborated(all))
@@ -1560,14 +1567,14 @@ object Bench {
       val cRef = if (minCanary == Double.MaxValue) Double.NaN else minCanary
       val canaryJson = s"""{"first":${fmt(cFirst)},"last":${fmt(cRef)}}"""
       val manifest = {
-        val gates = s"""{"protocol":"per-group-fresh-jvm/v2",""" +
+        val gates = s"""{"protocol":"per-group-fresh-jvm/v3.2",""" +
           s""""canary_band":$CanaryBand,"row_clean_band":$RowCleanBand,""" +
           s""""canary_rule":"row flags primary; canary rejects row-clean only past row_clean_band, annotates past canary_band (r11 calibration, DESIGN.md)",""" +
           s""""budget_sec":${budgetSec.toLong},""" +
           s""""pre_gate_runnable":$PreGateRunnable,""" +
           s""""pre_gate_timeout_sec":${PreGateTimeoutMs / 1000},""" +
           s""""max_attempts":$MaxAttempts,"cooldown_sec":${CooldownMs / 1000},""" +
-          s""""row_flag_rule":"heavy rows: spread>1.5x && >0.2s one-outlier-tolerant; light rows (v3.1): min corroborated by >=2 samples within 1.2x",""" +
+          s""""row_flag_rule":"heavy rows: spread>1.5x && >0.2s one-outlier-tolerant; light rows (v3.2): min corroborated by >=2 samples within 1.5x+0.05s",""" +
           s""""in_run_sentinel":"diagnostic only - r10 calibration: clean 20.3 vs polluted 27.8, inseparable"}"""
         val groupsJson = Groups.map { g =>
           val as = attemptLog.getOrElse(g,
