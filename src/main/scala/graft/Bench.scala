@@ -185,7 +185,7 @@ object Bench {
     // still suspect after dropping its worst). 2-sample rows keep the
     // plain check so they re-measure and the extended set decides.
     def spread1(ts: Seq[Double]): Boolean =
-      ts.max / math.max(ts.min, 1e-9) > 1.5 && ts.max - ts.min > 0.2
+      ts.max / math.max(ts.min, 1e-9) > SpreadRel && ts.max - ts.min > SpreadAbsSec
     def suspect(ts: Seq[Double]): Boolean =
       spread1(ts) && (ts.size <= 2 || spread1(ts.sorted.dropRight(1)))
     def loadavg(): Double =
@@ -204,7 +204,7 @@ object Bench {
         // stays a min, so values remain comparable round-over-round).
         // Still-disagreeing samples flag the row: its value must not
         // be quoted without the samples
-        val all = samples0 ++ Seq(timed(), timed())
+        val all = samples0 ++ Seq.fill(EscalationSamples)(timed())
         Meas(name, pick(all), all, flagged = suspect(all))
       }
     }
@@ -968,14 +968,14 @@ object Bench {
           force(build())
           (System.nanoTime() - t0) / 1e9
         }
-        val samples = Seq(timed(), timed())
+        val samples = Seq.fill(TimedSamples)(timed())
         // 2 agreeing samples: min (the spread gate bounds them within
         // 1.5x/0.2s of each other, so min ~ median); escalated heavy
         // rows: median over the extended set
         def pick(ts: Seq[Double]): Double =
-          if (ts.size >= 3 && ts.min > 2.0) ts.sorted.apply(ts.size / 2)
+          if (ts.size >= 3 && ts.min > HeavyRowFloorSec) ts.sorted.apply(ts.size / 2)
           else ts.min
-        if (samples.min <= 2.0) {
+        if (samples.min <= HeavyRowFloorSec) {
           // LIGHT rows, v3.1 corroboration rule: under v3 the first
           // sample carries the op's own plan/codegen compile BY
           // DESIGN, and in a heavy group's fresh JVM the C2 tail can
@@ -998,9 +998,10 @@ object Bench {
           // normal for light rows in a 60M-row-fixture JVM, and the
           // reported min is still reproduced there.
           def corroborated(ts: Seq[Double]): Boolean =
-            ts.count(_ <= ts.min * 1.5 + 0.05) >= 2
+            ts.count(_ <= ts.min * LightCorroborationRel +
+              LightCorroborationAbsSec) >= 2
           val all = if (corroborated(samples)) samples
-                    else samples ++ Seq(timed(), timed())
+                    else samples ++ Seq.fill(EscalationSamples)(timed())
           Meas(name, all.min, all, flagged = !corroborated(all))
         } else remeasure(name, samples, pick, () => timed())
       }
@@ -1067,14 +1068,19 @@ object Bench {
     // exponent — the fixedq twin is the certified corpus-scaling row
     // (round-12 verdict item 4); it stays in queries/samples either way
     val scalingExclude = Set("pq_adc_topk")
-    val scalingVals: Seq[(String, Double)] = x10Results.flatMap { m =>
+    // (name, exponent, tM): the xMult runtime rides along for the
+    // overhead-dominated floor (doc at OverheadFloorSec)
+    val scalingRows: Seq[(String, Double, Double)] = x10Results.flatMap { m =>
       val name0 = m.name.stripSuffix(xs)
       val base = scalingAlias.getOrElse(name0, name0)
       if (scalingExclude.contains(name0)) None
       else byName.get(base).filter(_ => m.value > 0).map { t1 =>
-        name0 -> math.log10(m.value / t1) / math.log10(xMult.toDouble)
+        (name0, math.log10(m.value / t1) / math.log10(xMult.toDouble), m.value)
       }
     }
+    val scalingVals: Seq[(String, Double)] = scalingRows.map(r => r._1 -> r._2)
+    val overheadDominated = scalingRows.collect {
+      case (n, _, tM) if tM < OverheadFloorSec => n }
     def expJson(vs: Seq[(String, Double)]): String = vs.map { case (n, e) =>
       "\"" + n + "\":" + (e * 10000).round / 10000.0
     }.mkString("{", ",", "}")
@@ -1095,10 +1101,41 @@ object Bench {
         .findFirstMatchIn(txt)
       m.map(_.group(1).toDouble)
     } catch { case _: Exception => None }
-    val scalingNorm = sentinelExp.map { es =>
-      val ref = sentinelRef.getOrElse(1.0)
+    // normalization REQUIRES a committed reference for this xMult:
+    // defaulting a missing ref to 1.0 silently inflated every
+    // normalized exponent by the sentinel's own amortization (~0.3)
+    // — exactly the ideal-1.0 failure e_ref exists to avoid (r13
+    // advice item 1). With no ref the norm column is omitted, the raw
+    // column stands, and the note says why.
+    val scalingNorm = (for { es <- sentinelExp; ref <- sentinelRef } yield
       expJson(scalingVals.map { case (n, e) => n -> (e - (es - ref)) })
-    }.getOrElse("{}")
+    ).getOrElse("{}")
+    val scalingNormNote =
+      if (sentinelExp.isDefined && sentinelRef.isEmpty)
+        s""","scaling_norm_note":"no committed sentinel reference for x$xMult in $sentinelRefPath - normalization omitted, raw scaling stands""""
+      else ""
+    // mechanical excursion bracket (r13 verdict item 3, doc at
+    // SentinelExcursionBand): when e_s departs e_ref, norm is a lower
+    // bound and raw an upper bound — the artifact emits the bounds
+    // itself so the next excursion adjudicates without hand-derived
+    // DESIGN.md prose.
+    val excursionOpt: Option[Boolean] =
+      for { es <- sentinelExp; ref <- sentinelRef }
+        yield math.abs(es - ref) > SentinelExcursionBand
+    val excursionJson = excursionOpt.map(b =>
+      s""","sentinel_excursion":$b""").getOrElse("")
+    val scalingBoundsJson = (for {
+      es <- sentinelExp; ref <- sentinelRef
+      if math.abs(es - ref) > SentinelExcursionBand
+    } yield ",\"scaling_bounds\":" + scalingVals.map { case (n, e) =>
+      val norm = e - (es - ref)
+      "\"" + n + "\":[" + fmt(math.min(e, norm)) + "," +
+        fmt(math.max(e, norm)) + "]"
+    }.mkString("{", ",", "}")).getOrElse("")
+    val overheadJson =
+      if (scalingRows.isEmpty) ""
+      else ",\"scaling_overhead_dominated\":" +
+        overheadDominated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sentinelJson2 = "{\"x1\":" + fmt(sentinelX1) +
       sentinelXM.map(tM => ",\"x" + xMult + "\":" + fmt(tM)).getOrElse("") +
       sentinelExp.map(es => ",\"exponent\":" + fmt(es)).getOrElse("") +
@@ -1135,7 +1172,7 @@ object Bench {
       .getOrElse("")
     val totalJson = if (opsOn.isDefined) "null" else fmt(total)
     val fullJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"scale_sentinel":$sentinelJson2,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson$opsFilterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"host_class":"${hostClassOf(host)}","scale_sentinel":$sentinelJson2,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm$scalingNormNote$excursionJson$scalingBoundsJson$overheadJson,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson$opsFilterJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (opsOn.isDefined) "BENCH_opsfilter_builder.json"
       else "BENCH_full_builder.json")
@@ -1230,6 +1267,63 @@ object Bench {
   private val PreGateTimeoutMs = 180000L
   private val CooldownMs = 20000L
 
+  // ---- sampling-protocol constants, pinned by BenchProtocolSpec ----
+  // The v3.0 detour (DESIGN.md "Round-16 official recording" item 1)
+  // proved the warm pass is load-bearing by measurement: dropping it
+  // charged first-of-family rows their whole plan/codegen/C2 ramp in
+  // BOTH samples (fuzzy_join read 2.3x steady state — a fake
+  // regression costing an adjudication cycle). These constants ARE
+  // the protocol: measureGroup and the spread/corroboration rules
+  // read them, the manifest's "protocol" string embeds the version,
+  // and BenchProtocolSpec fails if any value changes without
+  // ProtocolVersion (and DESIGN.md "Sampling protocol") bumping.
+  private[graft] val ProtocolVersion = "v3.2"
+  private[graft] val TimedSamples = 2       // per row, after the group warm pass
+  private[graft] val EscalationSamples = 2  // extra samples for suspect rows
+  private[graft] val SpreadRel = 1.5        // heavy-row spread: max/min beyond this...
+  private[graft] val SpreadAbsSec = 0.2     // ...AND max-min beyond this => suspect
+  private[graft] val HeavyRowFloorSec = 2.0 // escalated rows at/above report median
+  private[graft] val LightCorroborationRel = 1.5   // light-row min must be reproduced
+  private[graft] val LightCorroborationAbsSec = 0.05 // within rel x min + abs
+
+  // Scaling-artifact interpretation thresholds (round-14, verdict
+  // items 3 and 5):
+  // - a row whose xMult runtime never clears OverheadFloorSec is
+  //   fixed-overhead dominated — its exponent measures JVM/stage
+  //   latency, not data scaling (r13: emb_dup_pairs x30 = 0.61 s read
+  //   a meaningless -0.009). The x1 time alone cannot separate these
+  //   (emb_dup_pairs x1 0.63 s vs dedup_minhash x1 0.62 s whose x30
+  //   grew to 3.4 s) — what certifies an exponent is that the xM run
+  //   actually outgrew fixed overhead. Flagged rows stay in `scaling`
+  //   but are excluded from certification reading.
+  // - when the sentinel's own exponent departs the committed
+  //   reference by more than SentinelExcursionBand, the normalized
+  //   exponent over-corrects ops with smaller working sets than the
+  //   3.4 GB-shuffle sentinel (r13: diverse raw 0.801, norm 0.419,
+  //   truth bracketed between). Healthy windows agree with the
+  //   reference to ~±0.002 (r13: 0.6273/0.6287 vs 0.628); 0.05 is
+  //   ~25x that agreement yet far under the smallest real excursion
+  //   observed (+0.38).
+  private[graft] val OverheadFloorSec = 1.0
+  private[graft] val SentinelExcursionBand = 0.05
+
+  // Host-class match (round-14, verdict item 6): the fingerprint
+  // bands observed r10–r13, tabulated in DESIGN.md "Host classes".
+  // Stamped into every artifact so adjudications stop re-deriving
+  // "healthy vs volatile" from folklore. Bands key on the two probes
+  // that predicted row inflation in practice: st_canary (r12's
+  // bandwidth-starved host read 1.5x single-thread) and par_eff32
+  // (the volatile fleet class swung 0.43–0.74 within minutes while
+  // healthy windows held >= 0.8).
+  private[graft] def hostClassOf(h: Map[String, Double]): String = {
+    val st = h.getOrElse("st_canary", Double.NaN)
+    val pe = h.getOrElse("par_eff32", Double.NaN)
+    if (st.isNaN || pe.isNaN) "unknown"
+    else if (st <= 0.55 && pe >= 0.80) "fleet-healthy"
+    else if (st <= 0.55 && pe >= 0.55) "fleet-loaded"
+    else "fleet-volatile"
+  }
+
   private final case class Row(group: String, name: String, value: Double,
     samples: Seq[Double], flagged: Boolean)
   private final case class Attempt(group: String, idx: Int,
@@ -1311,6 +1405,13 @@ object Bench {
     // machine degrade EARLY (before the reserve goes negative) instead
     // of after (r12's failure shape).
     val lastDurSec = scala.collection.mutable.Map[String, Double]()
+    // groups whose best duration evidence is a truncated (killed) or
+    // failed attempt: their lastDurSec is a LOWER bound on the true
+    // cost, good enough as an in-run launch-gate floor but poison for
+    // bench-history.json — writing it back would make the next run
+    // underestimate exactly the group that needed more budget (r13
+    // advice item 3). Cleared when a finished exit-0 attempt lands.
+    val durTainted = scala.collection.mutable.Set[String]()
     def hostScale: Double = {
       val ratios = lastDurSec.toSeq.flatMap { case (g, d) =>
         estHist.get(g).filter(_ > 0).map(d / _)
@@ -1398,7 +1499,15 @@ object Bench {
       if (timedOut) { proc.destroyForcibly(); proc.waitFor() }
       val exit = proc.exitValue()
       val durSec = (System.nanoTime() - t0) / 1e9
-      lastDurSec(group) = durSec
+      if (!timedOut && exit == 0) {
+        lastDurSec(group) = durSec
+        durTainted -= group
+      } else {
+        // truncated/failed duration: keep only as a floor for in-run
+        // estimates, and mark the group so it never reaches history
+        durTainted += group
+        lastDurSec(group) = math.max(durSec, lastDurSec.getOrElse(group, durSec))
+      }
 
       val reasons = Seq.newBuilder[String]
       if (exit != 0) reasons += s"exit=$exit"
@@ -1515,15 +1624,20 @@ object Bench {
       // throughput row, never an exponent (round-12 verdict item 4);
       // pq_adc_topk_fixedq is the certified corpus-scaling row
       val scalingExclude = Set("pq_adc_topk")
-      val scalingVals: Seq[(String, Double)] =
+      // (name, exponent, tM) — tM feeds the overhead-dominated floor
+      val scalingRows: Seq[(String, Double, Double)] =
         allRows.filter(_.name.endsWith(xs)).flatMap { r =>
           val name0 = r.name.stripSuffix(xs)
           val base = scalingAlias.getOrElse(name0, name0)
           if (scalingExclude.contains(name0)) None
           else byName.get(base).filter(_ => r.value > 0).map { t1 =>
-            name0 -> math.log10(r.value / t1) / math.log10(xMult.toDouble)
+            (name0, math.log10(r.value / t1) / math.log10(xMult.toDouble),
+              r.value)
           }
         }
+      val scalingVals: Seq[(String, Double)] = scalingRows.map(r => r._1 -> r._2)
+      val overheadDominated = scalingRows.collect {
+        case (n, _, tM) if tM < OverheadFloorSec => n }
       def expJson(vs: Seq[(String, Double)]): String = vs.map { case (n, e) =>
         "\"" + n + "\":" + (e * 10000).round / 10000.0
       }.mkString("{", ",", "}")
@@ -1536,10 +1650,35 @@ object Bench {
       val sentMap: Map[String, Double] = chosen.get("x10")
         .map(_.scaleSentinel).getOrElse(Map.empty)
       val sentExp: Option[Double] = sentMap.get("exponent")
-      val scalingNorm = sentExp.map { es =>
-        val ref = sentMap.getOrElse("ref", 1.0)
+      // no committed reference for this xMult => omit the norm column
+      // (never default ref to 1.0 — r13 advice item 1; doc at the
+      // record()-path twin of this block)
+      val sentRef: Option[Double] = sentMap.get("ref")
+      val scalingNorm = (for { es <- sentExp; ref <- sentRef } yield
         expJson(scalingVals.map { case (n, e) => n -> (e - (es - ref)) })
-      }.getOrElse("{}")
+      ).getOrElse("{}")
+      val scalingNormNote =
+        if (sentExp.isDefined && sentRef.isEmpty)
+          s""","scaling_norm_note":"no committed sentinel reference for x$xMult - normalization omitted, raw scaling stands""""
+        else ""
+      // mechanical excursion bracket (r13 verdict item 3; doc at
+      // SentinelExcursionBand): bounds emitted by the instrument, not
+      // hand-derived in DESIGN.md prose
+      val excursionJson = (for { es <- sentExp; ref <- sentRef } yield
+        s""","sentinel_excursion":${math.abs(es - ref) > SentinelExcursionBand}"""
+      ).getOrElse("")
+      val scalingBoundsJson = (for {
+        es <- sentExp; ref <- sentRef
+        if math.abs(es - ref) > SentinelExcursionBand
+      } yield ",\"scaling_bounds\":" + scalingVals.map { case (n, e) =>
+        val norm = e - (es - ref)
+        "\"" + n + "\":[" + fmt(math.min(e, norm)) + "," +
+          fmt(math.max(e, norm)) + "]"
+      }.mkString("{", ",", "}")).getOrElse("")
+      val overheadJson =
+        if (scalingRows.isEmpty) ""
+        else ",\"scaling_overhead_dominated\":" +
+          overheadDominated.map("\"" + _ + "\"").mkString("[", ",", "]")
       val sentinel2Json = sentMap.toSeq.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       // host fingerprint: the main child's probes (first decided child
@@ -1558,6 +1697,21 @@ object Bench {
       val flaggedJson = flaggedRows.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
       val pendingJson = pending.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // degraded-window redirect (r13 verdict item 4): an artifact
+      // carrying pending groups or flagged rows points its reader at
+      // the clean same-round artifact machine-readably, instead of
+      // leaving pending_n + flags as the file's last word. Explicit
+      // env override first; else BENCH_r{N}.json redirects to its
+      // builder twin when that file exists in the cwd (the builder
+      // records before the driver's round-end run).
+      val authoritative: Option[String] =
+        if (pending.isEmpty && flaggedRows.isEmpty) None
+        else sys.env.get("SPARK_GRAFT_AUTHORITATIVE").orElse {
+          "^BENCH_r(\\d+)\\.json$".r
+            .findFirstMatchIn(new java.io.File(outPath).getName)
+            .map(m => s"BENCH_r${m.group(1)}_builder.json")
+            .filter(p => new java.io.File(p).isFile)
+        }
       // the cross-recording canary: first from the main child, last =
       // the cleanest end-state canary across children (the reference
       // every group was gated against)
@@ -1567,7 +1721,7 @@ object Bench {
       val cRef = if (minCanary == Double.MaxValue) Double.NaN else minCanary
       val canaryJson = s"""{"first":${fmt(cFirst)},"last":${fmt(cRef)}}"""
       val manifest = {
-        val gates = s"""{"protocol":"per-group-fresh-jvm/v3.2",""" +
+        val gates = s"""{"protocol":"per-group-fresh-jvm/$ProtocolVersion",""" +
           s""""canary_band":$CanaryBand,"row_clean_band":$RowCleanBand,""" +
           s""""canary_rule":"row flags primary; canary rejects row-clean only past row_clean_band, annotates past canary_band (r11 calibration, DESIGN.md)",""" +
           s""""budget_sec":${budgetSec.toLong},""" +
@@ -1598,19 +1752,26 @@ object Bench {
           }
           val bn = budgetNotes.get(g).map(n =>
             s""","budget_note":"${n.replace("\"", "'")}"""").getOrElse("")
-          s"""{"group":"$g","attempts":$as,$status$bn}"""
+          // a pending or flagged group carries the redirect per-group
+          // too (r13 verdict item 4's "or per-group superseded_by")
+          val gDegraded = !chosen.contains(g) ||
+            chosen(g).rows.exists(_.flagged)
+          val sup = if (gDegraded) authoritative.map(p =>
+            s""","superseded_by":"$p"""").getOrElse("") else ""
+          s"""{"group":"$g","attempts":$as,$status$bn$sup}"""
         }.mkString("[", ",", "]")
         val estJson = Groups.map(g =>
           "\"" + g + "\":" + fmt(estSec(g))).mkString("{", ",", "}")
         s"""{"gates":$gates,"groups":$groupsJson,""" +
           s""""canary_ref":${fmt(cRef)},""" +
+          authoritative.map(p => s""""authoritative":"$p",""").getOrElse("") +
           s""""est_source":"$estPath","host_scale":${fmt(hostScale)},""" +
           s""""est_sec":$estJson,""" +
           s""""elapsed_sec":${fmt(budgetSec - remainingSec)},""" +
           s""""logs":"${tmpDir.getPath}"}"""
       }
       val fullJson =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"scale_sentinel":$sentinel2Json,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"pending":$pendingJson,"sf":"$sfDir","manifest":$manifest}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"host_class":"${hostClassOf(hostMap)}","scale_sentinel":$sentinel2Json,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm$scalingNormNote$excursionJson$scalingBoundsJson$overheadJson,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson,"pending":$pendingJson,"sf":"$sfDir","manifest":$manifest}"""
       // atomic replace: write a temp sibling then move over the target,
       // so a kill DURING a flush can't leave a truncated artifact
       try {
@@ -1755,7 +1916,10 @@ object Bench {
     // host; a future run on a different host corrects via hostScale)
     // so the next recording's estimates are history-fed from the start
     try {
-      val merged = estHist ++ lastDurSec
+      // tainted groups keep their prior history value (or stay absent)
+      // — a killed child's truncated duration must not become the
+      // group's cost estimate (r13 advice item 3)
+      val merged = estHist ++ lastDurSec.filterNot(kv => durTainted(kv._1))
       val json = merged.toSeq.sortBy(_._1).map { case (g, d) =>
         "\"" + g + "\":" + fmt(d) }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(estPath),
