@@ -127,8 +127,32 @@ object Bench {
         f.delete()
         128.0 / t
       } catch { case _: Exception => -1.0 }
+      // sched_lat_ms — median latency of a trivial 32-task job (15
+      // runs, first 3 discarded as scheduler/JIT warm): the per-job
+      // dispatch cost that a many-small-stages shape is bound on,
+      // invisible to the four probes above. Added by the round-14
+      // fuzzy_join-control adjudication: the row (31 jobs of <= 0.6 s
+      // over 20 k rows) read 2.8–4.7 s across healthy AND volatile
+      // fingerprint classes on bytecode identical to the r11/r12 era
+      // that read 1.4–1.6 s — the discriminating dimension was never
+      // in the fingerprint. Runs last (after the CPU/mem/disk probes,
+      // still before any fixture); ~0.5 s.
+      // (15 full warm jobs first: in a cold JVM the scheduler path's
+      // own JIT dominates the first dozen jobs — a 3-job discard read
+      // 116 ms where the steady state is ~25 ms)
+      val schedLatMs = try {
+        def lat(): Double = {
+          val t0 = System.nanoTime()
+          spark.sparkContext.parallelize(0 until 32, 32).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to 15).foreach(_ => lat())
+        val ts = (1 to 15).map(_ => lat()).sorted
+        ts(ts.size / 2) * 1000
+      } catch { case _: Exception => -1.0 }
       Map("st_canary" -> st, "par_eff32" -> st / math.max(tPar, 1e-9),
-        "mem_gbps" -> memGbps, "disk_mbps" -> diskMbps)
+        "mem_gbps" -> memGbps, "disk_mbps" -> diskMbps,
+        "sched_lat_ms" -> schedLatMs)
     }
 
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").persist()
