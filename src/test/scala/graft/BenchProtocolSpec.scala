@@ -45,6 +45,39 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.SentinelExcursionBand === 0.05)
   }
 
+  test("sentinel reference file is well-formed and carries its contracts") {
+    // tools/sentinel_ref.json is load-bearing: Bench omits the
+    // scaling_norm column when the xMult key is missing or the file
+    // is unparseable (r13 advice item 1), so a malformed edit would
+    // silently downgrade every future scaling artifact to raw-only.
+    // Guard the shape here: it must parse, carry each landed
+    // multiplier's reference in a sane band, and keep the documented
+    // provenance/contract prose a future re-reference must update.
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val path = java.nio.file.Paths.get("tools/sentinel_ref.json")
+    assert(java.nio.file.Files.exists(path), s"missing $path")
+    val j = JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+    val refs = j.asInstanceOf[JObject].obj.collect {
+      case (k, JDouble(v)) if k.forall(_.isDigit) => k -> v
+    }.toMap
+    assert(refs.keySet === Set("10", "30", "64"),
+      "landed multipliers changed: re-pin this spec with the new set")
+    // in-context exponents live well inside (0, 2); a value outside
+    // means a raw runtime or a typo landed in a reference slot
+    refs.foreach { case (k, v) =>
+      assert(v > 0.3 && v < 1.5, s"x$k reference $v outside sane band")
+    }
+    val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    for (key <- Seq("_doc", "_x30_provenance", "_x64_provenance"))
+      assert(text.contains("\"" + key + "\""), s"provenance $key missing")
+    // the x64 advisory contract (DESIGN.md "x64"): point reference
+    // unstable, certification rests on paired marginal slopes
+    assert(text.contains("paired same-window marginal"),
+      "x64 advisory contract dropped from the provenance")
+  }
+
   test("host-class bands match the DESIGN.md table") {
     def h(st: Double, pe: Double) =
       Map("st_canary" -> st, "par_eff32" -> pe)
