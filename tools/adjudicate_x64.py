@@ -28,17 +28,25 @@ cliff (adjudicate in the operator's stage graph).
 """
 import json
 import math
+import os
+import signal
 import sys
+
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # survive `| head`
 
 
 def arg(i, default):
     return sys.argv[i] if len(sys.argv) > i else default
 
 
+def load(path):
+    return json.load(open(path)) if path and os.path.exists(path) else None
+
+
 a64 = json.load(open(arg(1, "BENCH_X64_r14.json")))
 a30 = json.load(open(arg(2, "BENCH_X30_r14.json")))
-p30 = json.load(open(arg(3, "/tmp/probe_x30_samewindow.json"))) if len(sys.argv) > 3 else None
-p64 = json.load(open(arg(4, "/tmp/probe_x64_samewindow.json"))) if len(sys.argv) > 4 else None
+p30 = load(arg(3, "bench-archive/PROBE_X30_samewindow_r14.json"))
+p64 = load(arg(4, "bench-archive/PROBE_X64_samewindow_r14.json"))
 
 LOG = math.log10(64 / 30)
 
