@@ -183,6 +183,25 @@ object Bench {
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // SPARK_GRAFT_EXPLAIN_DIR (diagnostic, unset in official runs):
+    // write each measured row's `explain("formatted")` to
+    // <dir>/<row>.txt before its warm pass — the plan evidence the
+    // optimization rounds commit (plans/r14/). Reuses the exact
+    // builder the timing loop forces, so the committed plan IS the
+    // measured plan; explain never executes the query, so timings are
+    // unaffected (and the knob stays off in official recordings).
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    def dumpPlan(name: String, df: DataFrame): Unit = explainDir.foreach { d =>
+      try {
+        val dir = new java.io.File(d); dir.mkdirs()
+        val w = new java.io.PrintWriter(new java.io.File(dir, s"$name.txt"))
+        try w.write(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        finally w.close()
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] explain dump failed for $name: $e") }
+    }
+
     // ---- self-diagnosing measurement (VERDICT r6 item 1) ----
     // Round 6's official recording was polluted by external process
     // interference spanning its first two secondary groups, and
@@ -447,7 +466,8 @@ object Bench {
 
     val mainOps = ops.filter(o => opOn(o._1))
     if (groupOn("main"))
-      mainOps.foreach { case (_, build) => force(build()); force(build()) }
+      mainOps.foreach { case (name, build) =>
+        dumpPlan(name, build()); force(build()); force(build()) }
     sentinels("main") = loadavg()
     val results = (if (groupOn("main")) mainOps else Seq.empty).map {
       case (name, build) =>
@@ -984,7 +1004,8 @@ object Bench {
     def measureGroup(groupName: String,
         group0: Seq[(String, () => DataFrame)]): Seq[Meas] = {
       val group = group0.filter(o => opOn(o._1))
-      group.foreach { case (_, build) => force(build()) }
+      group.foreach { case (name, build) =>
+        dumpPlan(name, build()); force(build()) }
       sentinels(groupName) = loadavg()
       group.map { case (name, build) =>
         def timed(): Double = {
