@@ -191,6 +191,23 @@ object Pq {
     df.select(df.columns.map(col).toIndexedSeq ++ cols: _*)
   }
 
+  /** [[encode]] with each code projection behind the
+    * [[org.apache.spark.sql.graft.OncePerRow]] evaluation barrier —
+    * the scan-path form: when the coded corpus feeds the stream side
+    * of a broadcast join in the same codegen stage, the barrier pins
+    * each NearestSubCode loop to once per corpus row instead of once
+    * per join candidate. Values are identical to [[encode]].
+    */
+  private def encodeEager(df: DataFrame, vec: Column,
+      model: PqModel): DataFrame = {
+    val cols = model.codebooks.zipWithIndex.map { case (cb, j) =>
+      org.apache.spark.sql.graft.VectorExpressions.oncePerRow(
+        nearestCode(vec, j, model.dim, model.dsub, cb, exact = false)
+          .cast(IntegerType)).as(s"code$j")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ cols: _*)
+  }
+
   /** Asymmetric-distance top-k: corpus rows are ranked for each query
     * by `Σⱼ ‖q[j] − codebookⱼ[codeⱼ]‖²` — the query stays exact, the
     * corpus contributes only its codes. The corpus never shuffles:
@@ -203,16 +220,53 @@ object Pq {
       vec: Column, k: Int, model: PqModel,
       exact: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val enc = encode(
-      corpus.select(id.as("nid"), vec.as("nv")), col("nv"), model,
-      exact = exact).drop("nv")
     val q = queries.select(id.as("qid"), vec.as("qv"))
-    // invalid corpus rows carry null codes — drop them BEFORE ranking
-    // (a null distance would sort nulls-first into the top-k)
-    val valid = enc.filter(
-      (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
-    val cand = valid.join(broadcast(q), col("qid") =!= col("nid"))
-    rankByAdc(cand, model, k, exact)
+    if (exact) {
+      val enc = encode(
+        corpus.select(id.as("nid"), vec.as("nv")), col("nv"), model,
+        exact = true).drop("nv")
+      // invalid corpus rows carry null codes — drop them BEFORE ranking
+      // (a null distance would sort nulls-first into the top-k)
+      val valid = enc.filter(
+        (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
+      val cand = valid.join(broadcast(q), col("qid") =!= col("nid"))
+      rankByAdc(cand, model, k, exact = true)
+    } else {
+      // production path, two scan-cost fixes (round-14, measured on the
+      // pq_adc_topk rows — plans/r14/):
+      //  1. the validity screen runs on the RAW vector (size/null/NaN —
+      //     provably the exact condition under which NearestSubCode
+      //     yields a null code), not on isNotNull(code_j): the code
+      //     filter pushes below the encode projection and re-evaluates
+      //     all m nearestSubCode loops per row (the duplicated-
+      //     expression trap, optimization guide §4.4) — the raw-vector
+      //     screen is one cheap array scan and halves encode cost;
+      //  2. ADC distances come from per-query lookup tables
+      //     ([[org.apache.spark.sql.graft.PqAdcLutDistance]]), so the
+      //     broadcast side of the candidate scan carries ONLY qid —
+      //     the query vectors stop being copied per candidate row and
+      //     the per-candidate cost drops from dim multiply-adds to m
+      //     lookups. The table build collects the query batch once on
+      //     the driver — the same rows (and bytes) broadcast(q)
+      //     already collected there, bounded by the broadcast contract.
+      val validCorpus = corpus.select(id.as("nid"), vec.as("nv"))
+        .filter(size(col("nv")) === model.dim &&
+          !exists(col("nv"), x => x.isNull || isnan(x)))
+      //  3. each code projection is wrapped in
+      //     [[org.apache.spark.sql.graft.OncePerRow]]: whole-stage-
+      //     codegen'd broadcast joins DEFER the stream side's projected
+      //     expressions to their consume site INSIDE the per-build-row
+      //     loop, so unwrapped every candidate re-runs all m
+      //     NearestSubCode loops — measured 8× the entire remaining
+      //     scan cost (ratio matches the reference count exactly; see
+      //     OPTIMIZATION_r14.md "pq_adc_topk"). The barrier pins the
+      //     encode to once per CORPUS row; the corpus still never
+      //     shuffles.
+      val enc = encodeEager(validCorpus, col("nv"), model).drop("nv")
+      val cand = enc.join(broadcast(q.select(col("qid"))),
+        col("qid") =!= col("nid"))
+      rankByAdc(cand, model, k, exact = false, luts = Some(buildLuts(q, model)))
+    }
   }
 
   /** IVF-PQ (the Jégou 2011 composition): corpus rows are coded AND
@@ -233,26 +287,119 @@ object Pq {
     require(k >= 1, s"k must be >= 1, got $k")
     val cents = Similarity.ivfCentroids(corpus, id, vec, nCentroids,
       ivfIters, exact, seedHash)
-    val enc = encode(corpus.select(id.as("nid"), vec.as("nv")), col("nv"),
-        model, exact = exact)
+    // the scan path uses the eager (OncePerRow) encode so the coded
+    // projection cannot be deferred into the bucket join's per-match
+    // loop (see [[adcTopK]]); the exact oracle path keeps the plain
+    // declarative form untouched
+    val enc0 = corpus.select(id.as("nid"), vec.as("nv"))
+    val enc = (if (exact) encode(enc0, col("nv"), model, exact = true)
+               else encodeEager(enc0, col("nv"), model))
       .withColumn("cid", Similarity.assignCentroid(col("nv"), cents, exact))
       .drop("nv")
     val valid = enc.filter(col("cid").isNotNull &&
       (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
-    val probes = queries.select(id.as("qid"), vec.as("qv"),
-      explode(Similarity.probeCentroids(vec, cents, nProbe, exact)).as("cid"))
-    val cand = valid.join(broadcast(probes), Seq("cid"))
-      .filter(col("qid") =!= col("nid"))
-    rankByAdc(cand, model, k, exact)
+    if (exact) {
+      val probes = queries.select(id.as("qid"), vec.as("qv"),
+        explode(Similarity.probeCentroids(vec, cents, nProbe, exact)).as("cid"))
+      val cand = valid.join(broadcast(probes), Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+      rankByAdc(cand, model, k, exact = true)
+    } else {
+      // production path: lookup-table ADC (see [[adcTopK]]) — the
+      // probe broadcast carries (qid, cid) only, never the vectors
+      val q = queries.select(id.as("qid"), vec.as("qv"))
+      val probes = queries.select(id.as("qid"),
+        explode(Similarity.probeCentroids(vec, cents, nProbe, exact)).as("cid"))
+      val cand = valid.join(broadcast(probes), Seq("cid"))
+        .filter(col("qid") =!= col("nid"))
+      rankByAdc(cand, model, k, exact = false, luts = Some(buildLuts(q, model)))
+    }
+  }
+
+  /** Driver-side ADC lookup tables, one per query row: `lut[j·ksub+c]`
+    * = the decimal-free per-subspace distance `‖q[j] − booksⱼ[c]‖²`
+    * (left-to-right double fold over the sub-slice — the same
+    * element order as the fused scan loop). Invalid query rows (null
+    * vector, wrong length, null elements) store a null table, which
+    * [[org.apache.spark.sql.graft.PqAdcLutDistance]] turns into the
+    * null distance the fused loop produced for them; NaN elements ride
+    * through as NaN cells (total NaN → null, same verdict). Keys are
+    * the qid's INTERNAL Catalyst value (executeCollect), so lookups
+    * from generated code compare like-for-like for any id type.
+    * Collecting the query batch is bounded by the same contract that
+    * already broadcasts it to every executor.
+    */
+  private def buildLuts(q: DataFrame,
+      model: PqModel): java.util.HashMap[Any, Array[Double]] = {
+    val dsub = model.dsub
+    val qidType = q.schema("qid").dataType
+    val rows = q.queryExecution.executedPlan.executeCollect()
+    val luts = new java.util.HashMap[Any, Array[Double]](rows.length * 2)
+    val isFloat = q.schema("qv").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    rows.foreach { r =>
+      val qid = r.get(0, qidType)
+      if (qid != null) {
+        val lut: Array[Double] =
+          if (r.isNullAt(1)) null
+          else {
+            val qv = r.getArray(1)
+            if (qv.numElements() != model.dim) null
+            else {
+              var anyNull = false
+              var i = 0
+              while (i < model.dim && !anyNull) {
+                if (qv.isNullAt(i)) anyNull = true
+                i += 1
+              }
+              if (anyNull) null
+              else {
+                val out = new Array[Double](model.m * model.ksub)
+                var j = 0
+                while (j < model.m) {
+                  val book = model.codebooks(j)
+                  var c = 0
+                  while (c < model.ksub) {
+                    val cv = book(c)._2
+                    var d = 0.0
+                    var t = 0
+                    while (t < dsub) {
+                      val x = if (isFloat) qv.getFloat(j * dsub + t).toDouble
+                        else qv.getDouble(j * dsub + t)
+                      val diff = x - cv(t)
+                      d += diff * diff
+                      t += 1
+                    }
+                    out(j * model.ksub + book(c)._1) = d
+                    c += 1
+                  }
+                  j += 1
+                }
+                out
+              }
+            }
+          }
+        luts.put(qid, lut)
+      }
+    }
+    luts
   }
 
   /** Shared ADC ranking tail: distance per (qid, nid) candidate, then
     * a deterministic (distance, nid) per-query rank.
     */
   private def rankByAdc(cand: DataFrame, model: PqModel, k: Int,
-      exact: Boolean): DataFrame = {
+      exact: Boolean,
+      luts: Option[java.util.HashMap[Any, Array[Double]]] = None): DataFrame = {
     val adist =
-      if (exact) {
+      if (luts.isDefined && !exact)
+        org.apache.spark.sql.graft.VectorExpressions.pqAdcLutDistance(
+          col("qid"), array((0 until model.m).map(j => col(s"code$j")): _*),
+          model.m, model.ksub, luts.get)
+      else if (exact) {
         // per-subspace decimal distance looked up by code, then an
         // order-free decimal sum across subspaces (each dist is a
         // scale-8 value already; the re-cast is exact round-tripping)

@@ -418,6 +418,111 @@ case class PqAdcDistance(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** [[PqAdcDistance]] with the classic ADC lookup-table factorization
+  * (Jégou 2011 §IV.A): the per-query sub-distance table
+  * `lut[j·ksub + c] = ‖q[j] − booksⱼ[c]‖²` is precomputed ONCE per
+  * query on the driver (m·ksub doubles — the same data volume the
+  * query broadcast already ships), so the corpus-side scan reduces
+  * from `dim` multiply-adds over the full query vector to `m` array
+  * lookups per candidate — and the scan's join no longer has to carry
+  * (and copy, per candidate row) the query vector at all, only the
+  * query id the table is keyed by.
+  *
+  * Null semantics mirror [[PqAdcDistance]] exactly: null when the
+  * query id has no table (the query row was null / not `dim` long /
+  * had null elements — the builder stores a null table for those),
+  * when the codes array is null, wrong length, or has null entries,
+  * when a code is out of range, or when the total is NaN (NaN query
+  * components make their subspace's table cells NaN, so the total is
+  * NaN for every code — same verdict as the fused loop).
+  *
+  * The one deliberate divergence (scaladoc'd on
+  * [[graft.operators.Pq.adcTopK]]): each table cell is the per-
+  * subspace partial sum, so the total is a sum of m partials rather
+  * than one 64-term left fold — values can differ from the fused loop
+  * in the last ulp. PqSpec pins rank-identity on the bench fixture
+  * shape; the decimal `exact` path (the oracle's) is untouched.
+  */
+case class PqAdcLutDistance(left: Expression, right: Expression,
+    m: Int, ksub: Int, luts: java.util.HashMap[Any, Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(m >= 1 && ksub >= 1, s"m ($m) and ksub ($ksub) must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(AnyDataType, ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Shared by eval and the generated code (called via reference). */
+  def distance(qid: Any, codes: ArrayData): Any = {
+    val lut = luts.get(qid)
+    if (lut == null || codes.numElements() != m) return null
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val code = codes.getInt(j)
+      if (code < 0 || code >= ksub) return null
+      total += lut(j * ksub + code)
+      j += 1
+    }
+    if (java.lang.Double.isNaN(total)) null else total
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    distance(a, b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("pqAdcLutDistance", this,
+        classOf[PqAdcLutDistance].getName)
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.distance($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcLutDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Evaluation barrier: forwards its child unchanged but reports
+  * `deterministic = false`, which whole-stage codegen treats as
+  * "cannot be deferred" — `ProjectExec` evaluates such projections
+  * eagerly, once per input row, instead of inlining them into a
+  * downstream consume site. That matters when an expensive projection
+  * feeds the STREAM side of a codegen'd broadcast join: deferred, the
+  * expression re-evaluates inside the per-build-row loop — once per
+  * CANDIDATE instead of once per row (measured 8× the entire
+  * remaining ADC scan cost on pq_adc_topk; OPTIMIZATION_r14.md).
+  * The child still evaluates through its own codegen, values and
+  * nullability are untouched, and the nondeterminism flag's only
+  * other effect at a Project site is blocking pushdown/collapse
+  * rewrites that would re-order or duplicate the call — exactly the
+  * rewrites an expensive expression wants blocked (the §4.4
+  * "mark expensive UDFs nondeterministic" playbook, applied to a
+  * native expression). Use ONLY at projection sites; nondeterministic
+  * expressions are rejected in grouping/join keys by analysis.
+  */
+case class OncePerRow(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): OncePerRow =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the vector expressions. */
 object VectorExpressions {
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -445,4 +550,12 @@ object VectorExpressions {
     ExpressionUtils.column(PqAdcDistance(ExpressionUtils.expression(q),
       ExpressionUtils.expression(codes), dim,
       books.map(_.map(_._2.toArray).toArray).toArray))
+
+  def pqAdcLutDistance(qid: Column, codes: Column, m: Int, ksub: Int,
+      luts: java.util.HashMap[Any, Array[Double]]): Column =
+    ExpressionUtils.column(PqAdcLutDistance(ExpressionUtils.expression(qid),
+      ExpressionUtils.expression(codes), m, ksub, luts))
+
+  def oncePerRow(c: Column): Column =
+    ExpressionUtils.column(OncePerRow(ExpressionUtils.expression(c)))
 }

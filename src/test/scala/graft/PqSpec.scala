@@ -175,6 +175,62 @@ class PqSpec extends AnyFunSuite {
     assert(rank(false) === rank(true))
   }
 
+  test("LUT scan equals the fused-loop distance formulation: ranks, values, invalid-query verdicts (round-14 internals pin)") {
+    // The production scan computes adist from per-query lookup tables
+    // (PqAdcLutDistance) instead of re-walking the query vector per
+    // candidate (PqAdcDistance). Totals are sums of m per-subspace
+    // partials rather than one dim-term fold, so values may differ in
+    // the last ulp — this differential pins that (a) the (qid, nid,
+    // rank) output is IDENTICAL to the fused formulation on a seeded
+    // random fixture, (b) values agree to 1e-12 relative, and (c) an
+    // invalid query still yields k null-adist rows (the fused loop's
+    // verdict for a query with no scorable distance).
+    val rnd = new scala.util.Random(1234)
+    val n = 300
+    val base = (0 until n).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 4f - 2f))
+    }
+    val c = base.toDF("vec_id", "embedding")
+    val model = Pq.fit(c, col("vec_id"), col("embedding"), dim = 8, m = 4,
+      ksub = 8, iters = 2)
+    val qs = c.filter(col("vec_id") < 15L)
+    val got = Pq.adcTopK(c, qs, col("vec_id"), col("embedding"), k = 6, model)
+    // fused-loop reference: same candidates, PqAdcDistance per row
+    val enc = Pq.encode(c.select(col("vec_id").as("nid"),
+      col("embedding").as("nv")), col("nv"), model).drop("nv")
+    val valid = enc.filter(
+      (0 until model.m).map(j => col(s"code$j").isNotNull).reduce(_ && _))
+    val q = qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val ref = valid.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        org.apache.spark.sql.graft.VectorExpressions.pqAdcDistance(
+          col("qv"), array((0 until model.m).map(j => col(s"code$j")): _*),
+          model.dim, model.codebooks).as("adist"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("adist"), col("nid"))))
+      .filter(col("rank") <= 6)
+    val g = got.select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val r = ref.select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(g === r)
+    val vals = got.select(col("qid"), col("nid"), col("adist").as("a"))
+      .join(ref.select(col("qid"), col("nid"), col("adist").as("b")),
+        Seq("qid", "nid"))
+      .select(max(abs(col("a") - col("b")) /
+        greatest(abs(col("b")), lit(1e-30)))).head().getDouble(0)
+    assert(vals < 1e-12, s"relative adist divergence $vals")
+    // invalid query (NaN component): k null-adist rows, like the
+    // fused loop produced
+    val withBad = c.union(Seq((9999L, Array(Float.NaN, 0f, 0f, 0f, 0f, 0f,
+      0f, 0f))).toDF("vec_id", "embedding"))
+    val bad = Pq.adcTopK(withBad, withBad.filter(col("vec_id") === 9999L),
+      col("vec_id"), col("embedding"), k = 4, model)
+    val badRows = bad.collect()
+    assert(badRows.length === 4 && badRows.forall(_.isNullAt(2)))
+  }
+
   test("ivfPqTopK equals ADC restricted to the probed buckets (pruning differential)") {
     import graft.operators.Similarity
     val pts = Seq(
