@@ -93,34 +93,17 @@ object Ewm {
     val sub = gb.base
       .select(keyC :+ checkedOrd.as("__ord") :+
         value.cast(DoubleType).as("__v"): _*)
-    val init = struct(lit(null).cast(DoubleType).as("y"),
-      lit(0.0).as("w"),
-      lit(Array.empty[Double]).cast(ArrayType(DoubleType)).as("outs"))
-    // the fold as a function of the sorted rows array, so the per-key
-    // select can reference the SAME collected array for both the ords
-    // and the outputs
-    def outsOf(rows: Column): Column = F.aggregate(rows, init, (acc, e) => {
-      val y = acc.getField("y"); val w = acc.getField("w")
-      val cur = e.getField("__v")
-      val isObs = cur.isNotNull
-      // no mean yet: seed on the first non-null value
-      val fresh = struct(cur.as("y"),
-        when(isObs, lit(1.0)).otherwise(lit(0.0)).as("w"))
-      // one decay step per row (absolute positions) or per value
-      // (relative positions, ignore_na)
-      val w1 = when(isObs || lit(!ignoreNa), w * lit(f)).otherwise(w)
-      val yNew = when(isObs,
-          when(cur === y, y) // pandas skips the no-op blend
-            .otherwise((w1 * y + lit(nw) * cur) / (w1 + lit(nw))))
-        .otherwise(y)
-      val wNew = when(isObs,
-          if (adjust) w1 + lit(nw) else lit(1.0))
-        .otherwise(w1)
-      val next = when(y.isNull, fresh)
-        .otherwise(struct(yNew.as("y"), wNew.as("w")))
-      struct(next.getField("y").as("y"), next.getField("w").as("w"),
-        concat(acc.getField("outs"), array(next.getField("y"))).as("outs"))
-    }).getField("outs")
+    // the per-key fold runs as ONE native O(n) pass
+    // ([[org.apache.spark.sql.graft.EwmMeanFold]], round-14): the
+    // previous declarative `aggregate` lambda appended each output
+    // with an array concat — O(n²) copies per key — and executed
+    // interpreted per element. The native fold is the same IEEE
+    // operation sequence (seed / stepwise decay / blend), so outputs
+    // are bit-identical (EwmSpec pins the equality; the DuckDB replay
+    // [[meanSql]] is unchanged).
+    def outsOf(rows: Column): Column =
+      org.apache.spark.sql.graft.FoldExpressions.ewmMeanFold(
+        rows, alpha, adjust, ignoreNa)
     val perKey = sub.groupBy(keyC: _*)
       .agg(sort_array(F.collect_list(struct(col("__ord"), col("__v"))))
         .as("__rows"))

@@ -34,6 +34,13 @@ object LangModel {
       .filter(col("token") =!= "")
       .groupBy("token")
       .agg(F.count(lit(1)).as("cnt"))
+      // the LM is a reused artifact: [[totalTokens]]'s action plus
+      // one or two broadcast lookups per scorer ([[scoreByBigram]]
+      // probes it for the token AND its predecessor) — a lazy
+      // localCheckpoint runs the reference-corpus count pass once per
+      // model instead of once per consumer (round-14); the table is
+      // vocabulary-sized
+      .localCheckpoint(false)
 
   /** Total token count of a counts table (one tiny aggregation —
     * an action; pass the result into [[scoreByUnigram]] so the scorer
@@ -111,6 +118,10 @@ object LangModel {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(F.count(lit(1)).as("cnt"))
+      // no materialization: unlike [[unigramCounts]] this table has a
+      // single consumer (the scorer's broadcast), so a checkpoint is
+      // pure write/read overhead (round-14, measured +25% on the
+      // bigram row at x10)
   }
 
   /** Score every document under a BIGRAM LM with stupid backoff

@@ -60,7 +60,16 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: Column,
       vec: Column, k: Int, exact: Boolean = false): DataFrame = {
     val q = queries.select(id.as("qid"), vec.as("qv"), norm(vec).as("__qn"))
-    val c = corpus.select(id.as("nid"), vec.as("nv"), norm(vec).as("__nn"))
+    // the corpus norm rides the STREAM side of a codegen'd broadcast
+    // join: unwrapped, whole-stage codegen defers the projection into
+    // the per-build-row loop and the norm recomputes per CANDIDATE —
+    // exactly the flop doubling the precompute exists to avoid. The
+    // OncePerRow barrier pins it to once per corpus row (round-14;
+    // same trap as Pq.adcTopK, see OPTIMIZATION_r14.md). The exact
+    // path never reads __nn, so it is wrapped only where consumed.
+    val c = corpus.select(id.as("nid"), vec.as("nv"),
+      org.apache.spark.sql.graft.VectorExpressions.oncePerRow(
+        norm(vec)).as("__nn"))
     val cand = c.join(broadcast(q), col("qid") =!= col("nid"))
     val scored =
       if (exact) exactCosScores(cand)
@@ -270,8 +279,13 @@ object Similarity {
     require(dim.forall(_ > 0), s"dim must be positive, got $dim")
     val d = dim.getOrElse(corpus.select(F.size(vec)).head().getInt(0))
     val hp = hyperplanes(planes, d, seed)
+    // corpus norm behind the OncePerRow barrier — the stream side of
+    // the bucket broadcast join would otherwise re-derive it per
+    // candidate (the bruteForceTopK/Pq.adcTopK deferral trap); the
+    // bucket needs no barrier, join keys evaluate before the probe
     val c = corpus.select(id.as("nid"), vec.as("nv"),
-      norm(vec).as("__nn"), lshBucket(vec, hp, exact).as("bucket"))
+      org.apache.spark.sql.graft.VectorExpressions.oncePerRow(
+        norm(vec)).as("__nn"), lshBucket(vec, hp, exact).as("bucket"))
     val q = queries.select(id.as("qid"), vec.as("qv"),
       norm(vec).as("__qn"), explode(lshProbes(vec, hp, nProbe, exact)).as("bucket"))
     val cand = c.join(broadcast(q), Seq("bucket"))
