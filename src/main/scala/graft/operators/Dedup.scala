@@ -110,21 +110,31 @@ object Dedup {
         sh0.join(keep, "shingle").select(col("doc_id"), col("shingle"))
       case scala.None => sh0
     }
-    // the (doc, shingle) table has 3+ consumers downstream (both sides
-    // of the self-join and the per-doc counts; 5 on the prefix path) —
-    // unmaterialized, each re-runs the explode + corpus-wide distinct +
-    // cap lineage: the round-14 plan audit read the Generate/
-    // HashAggregate subtree FOUR times in the executed dedup_ngram
-    // plan. A LAZY localCheckpoint materializes it once per call and —
-    // unlike the minHashPairs persist() contract — registers nothing
-    // in the CacheManager, so a repeated invocation (a re-run, a
-    // benchmark sample) pays its own full cost instead of silently
-    // reading the previous call's cache; blocks release via the
-    // ContextCleaner when the result plan is collected. Pass false to
-    // keep the fully-lazy composable plan (streaming, or when managing
-    // materialization yourself).
+    // the capped and prefix-filtered paths re-derive the (doc,
+    // shingle) table through consumers with DIFFERENT partitionings
+    // (the cap join and doc-freq agg by shingle, per-doc counts and
+    // the prefix window by doc_id, verification by id+shingle) —
+    // unmaterialized, each re-runs the explode + corpus-wide distinct
+    // lineage: the round-14 plan audit read the Generate/HashAggregate
+    // subtree FOUR times in the executed dedup_ngram plan. A LAZY
+    // localCheckpoint materializes it once per call and — unlike the
+    // minHashPairs persist() contract — registers nothing in the
+    // CacheManager, so a repeated invocation (a re-run, a benchmark
+    // sample) pays its own full cost instead of silently reading the
+    // previous call's cache; blocks release via the ContextCleaner
+    // when the result plan is collected. The PLAIN CAPLESS path
+    // (maxDocFreq = None, no prefix filter — the explicit small-corpus
+    // verification shape) is deliberately left unmaterialized: its
+    // only consumers are the two identical self-join sides (one
+    // shared exchange via reuse) plus the cheap counts agg, and the
+    // checkpoint measured as pure overhead there (the minHashKeep
+    // lesson: materialize only when consumers' partitionings differ).
+    // Pass cacheShingles = false to keep the fully-lazy composable
+    // plan everywhere (streaming, or managing materialization
+    // yourself).
     val sh =
-      if (cacheShingles) sh1.localCheckpoint(false)
+      if (cacheShingles && (maxDocFreq.isDefined || prefixFilter))
+        sh1.localCheckpoint(false)
       else sh1
     val counts = sh.groupBy("doc_id").agg(F.count(lit(1)).as("n_sh"))
     val inter =
