@@ -183,6 +183,63 @@ object Bench {
     def force(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    // ---- storage/spill audit (round-14 verdict item 3) ----
+    // The r14 driver window read 8-12x "regressions" on untouched
+    // skew/sort rows; the hypothesized mechanism was block-manager
+    // residue (per-invocation localCheckpoint blocks from earlier
+    // groups) shrinking execution memory exactly when 32 concurrent
+    // sorts want buffers. Every row now records (a) the resident
+    // block-manager bytes IMMEDIATELY BEFORE its timed samples and
+    // (b) the spill its samples incurred — so a residue-vs-engine
+    // adjudication is a manifest read, not a forensic reconstruction.
+    // Spill deltas ride the async listener bus; jobs are blocking so
+    // the counts are complete by the time the row's last sample
+    // returns (same-thread actions), modulo a final-task race that is
+    // noise at audit granularity.
+    val spillMemB = new java.util.concurrent.atomic.AtomicLong()
+    val spillDiskB = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMemB.addAndGet(m.memoryBytesSpilled)
+            spillDiskB.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    def storageMb(): (Double, Double) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum / 1048576.0,
+        infos.map(_.diskSize).sum / 1048576.0)
+    }
+    // name -> (storage MB pre (mem, disk), spill MB over samples (mem, disk))
+    final case class Audit(storageMemMb: Double, storageDiskMb: Double,
+      spillMemMb: Double, spillDiskMb: Double)
+    val audits = scala.collection.mutable.LinkedHashMap[String, Audit]()
+    def audited[T](name: String)(body: => T): T = {
+      val (sm, sd) = storageMb()
+      val (m0, d0) = (spillMemB.get(), spillDiskB.get())
+      val r = body
+      audits(name) = Audit(sm, sd,
+        (spillMemB.get() - m0) / 1048576.0,
+        (spillDiskB.get() - d0) / 1048576.0)
+      r
+    }
+    // residue drain between groups: dead fixture/checkpoint blocks
+    // release via the ASYNC ContextCleaner only after their RDDs are
+    // GC'd — without a collection point, one group's blocks survive
+    // into the next group's measurement window (the exact mechanism
+    // suspected in the r14 32-core skew-row collapse). An explicit GC
+    // at each group boundary makes "no group measures under another's
+    // residue" (the round-5 design intent) actually hold for
+    // checkpoint blocks, not just explicit unpersists.
+    def drainResidue(): Unit = {
+      System.gc()
+      Thread.sleep(300)
+    }
+
     // SPARK_GRAFT_EXPLAIN_DIR (diagnostic, unset in official runs):
     // write each measured row's `explain("formatted")` to
     // <dir>/<row>.txt before its warm pass — the plan evidence the
@@ -386,6 +443,21 @@ object Bench {
     val opsOn = sys.env.get("SPARK_GRAFT_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def opOn(n: String): Boolean = opsOn.forall(_.contains(n))
+    // SPARK_GRAFT_TIME_OPS (round-14 verdict item 2 — the per-ROW
+    // retry knob): the group still BUILDS AND WARMS every row — so the
+    // warm universe, sibling persist caches (the keep-vs-pairs
+    // coupling documented in OPTIMIZATION_r14.md "A/B validity"), and
+    // JIT state match the full protocol — but only the listed rows are
+    // TIMED. The orchestrator uses this to re-measure just a polluted
+    // attempt's flagged rows at ~warm-pass cost instead of re-running
+    // the whole group (two consecutive driver windows ran out of
+    // budget after attempt 1 and never reached x10). Like
+    // SPARK_GRAFT_OPS it marks the artifact and nulls the headline
+    // total; UNLIKE it, the values are group-comparable by
+    // construction.
+    val timeOpsOn = sys.env.get("SPARK_GRAFT_TIME_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def timeOn(n: String): Boolean = timeOpsOn.forall(_.contains(n))
 
     // ---- drift canary (round-9 verdict item 3) ----
     // round 9 documented 20-30% UNIFORM machine drift between
@@ -466,20 +538,29 @@ object Bench {
 
     val mainOps = ops.filter(o => opOn(o._1))
     if (groupOn("main"))
+      // v3.3: ONE warm force per op (was two). The warm pass itself is
+      // load-bearing (the v3.0 detour, BenchProtocolSpec) but the
+      // SECOND force of these known-sub-second rows bought nothing the
+      // min-of-3 statistic doesn't already reject — dropping it funds
+      // driver-budget headroom (round-14 verdict item 2: "drop the
+      // second warm pass for sub-second rows").
       mainOps.foreach { case (name, build) =>
-        dumpPlan(name, build()); force(build()); force(build()) }
+        dumpPlan(name, build()); force(build()) }
     sentinels("main") = loadavg()
-    val results = (if (groupOn("main")) mainOps else Seq.empty).map {
+    val results = (if (groupOn("main")) mainOps.filter(o => timeOn(o._1))
+                   else Seq.empty).map {
       case (name, build) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         force(build())
         (System.nanoTime() - t0) / 1e9
       }
-      val samples = Seq(timed(), timed(), timed())
-      // light rows keep min (JIT/GC noise is one-sided upward); the
-      // spread check still re-measures and flags an unstable row
-      remeasure(name, samples, _.min, () => timed())
+      audited(name) {
+        val samples = Seq(timed(), timed(), timed())
+        // light rows keep min (JIT/GC noise is one-sided upward); the
+        // spread check still re-measures and flags an unstable row
+        remeasure(name, samples, _.min, () => timed())
+      }
     }
 
     // hot-key skew fixture: one user holds 80% of 10M left rows — the
@@ -1003,16 +1084,21 @@ object Bench {
     // v3.2").
     def measureGroup(groupName: String,
         group0: Seq[(String, () => DataFrame)]): Seq[Meas] = {
+      // group boundary: collect the previous group's dead blocks so
+      // this group never measures under checkpoint/cache residue (doc
+      // at drainResidue)
+      drainResidue()
       val group = group0.filter(o => opOn(o._1))
       group.foreach { case (name, build) =>
         dumpPlan(name, build()); force(build()) }
       sentinels(groupName) = loadavg()
-      group.map { case (name, build) =>
+      group.filter(o => timeOn(o._1)).map { case (name, build) =>
         def timed(): Double = {
           val t0 = System.nanoTime()
           force(build())
           (System.nanoTime() - t0) / 1e9
         }
+        audited(name) {
         val samples = Seq.fill(TimedSamples)(timed())
         // 2 agreeing samples: min (the spread gate bounds them within
         // 1.5x/0.2s of each other, so min ~ median); escalated heavy
@@ -1049,6 +1135,7 @@ object Bench {
                     else samples ++ Seq.fill(EscalationSamples)(timed())
           Meas(name, all.min, all, flagged = !corroborated(all))
         } else remeasure(name, samples, pick, () => timed())
+        }
       }
     }
     // each group's fixtures materialize immediately before its
@@ -1215,11 +1302,26 @@ object Bench {
     val opsFilterJson = opsOn.map(s =>
       s.toSeq.sorted.map("\"" + _ + "\"").mkString(",\"ops_filter\":[", ",", "]"))
       .getOrElse("")
-    val totalJson = if (opsOn.isDefined) "null" else fmt(total)
+    // a TIME_OPS run is group-comparable per row but its headline
+    // total would cover only the timed subset — null it, and mark the
+    // artifact (mirrors the SPARK_GRAFT_OPS contract)
+    val timeOpsJson = timeOpsOn.map(s =>
+      s.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(",\"time_ops_filter\":[", ",", "]"))
+      .getOrElse("")
+    val totalJson =
+      if (opsOn.isDefined || timeOpsOn.isDefined) "null" else fmt(total)
+    val auditJson = audits.map { case (n, a) =>
+      "\"" + n + "\":{\"storage_mem_mb\":" + fmt(a.storageMemMb) +
+        ",\"storage_disk_mb\":" + fmt(a.storageDiskMb) +
+        ",\"spill_mem_mb\":" + fmt(a.spillMemMb) +
+        ",\"spill_disk_mb\":" + fmt(a.spillDiskMb) + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"host_class":"${hostClassOf(host)}","scale_sentinel":$sentinelJson2,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm$scalingNormNote$excursionJson$scalingBoundsJson$overheadJson,"samples":$samplesJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson$opsFilterJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":$qs,"canary":$canaryJson,"host":$hostJson,"host_class":"${hostClassOf(host)}","scale_sentinel":$sentinelJson2,"queries_norm":$qsNorm,"scaling":$scaling,"scaling_norm":$scalingNorm$scalingNormNote$excursionJson$scalingBoundsJson$overheadJson,"samples":$samplesJson,"audit":$auditJson,"loadavg_1m":$sentinelJson,"flagged":$flaggedJson$opsFilterJson$timeOpsJson,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (opsOn.isDefined) "BENCH_opsfilter_builder.json"
+      else if (timeOpsOn.isDefined) "BENCH_timeops_builder.json"
       else "BENCH_full_builder.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
@@ -1239,7 +1341,8 @@ object Bench {
       def fmt3(d: Double): String = ((d * 1000).round / 1000.0).toString
       val q = ms.map(m => "\"" + m.name + "\":" + fmt3(m.value))
         .mkString("{", ",", "}")
-      val t = if (opsOn.isDefined) "null" else fmt3(total)
+      val t = if (opsOn.isDefined || timeOpsOn.isDefined) "null"
+              else fmt3(total)
       s"""{"metric":"total","value":$t,"unit":"sec","queries":$q,"canary":[${fmt3(canaryFirst)},${fmt3(canaryLast)}],"flagged_n":${all.count(_.flagged)},"sf":"${new java.io.File(sfDir).getName}","detail":"${new java.io.File(outPath).getName}"}"""
     }
     val line0 = compactLine(all)
@@ -1322,7 +1425,11 @@ object Bench {
   // read them, the manifest's "protocol" string embeds the version,
   // and BenchProtocolSpec fails if any value changes without
   // ProtocolVersion (and DESIGN.md "Sampling protocol") bumping.
-  private[graft] val ProtocolVersion = "v3.2"
+  // v3.3 (round 15): main group warms each op ONCE (was twice; the
+  // min-of-3 statistic already rejects first-sample residue), and
+  // flagged-only attempts salvage via per-row TIME_OPS retries instead
+  // of full-group re-runs. Sample counts and flag rules unchanged.
+  private[graft] val ProtocolVersion = "v3.3"
   private[graft] val TimedSamples = 2       // per row, after the group warm pass
   private[graft] val EscalationSamples = 2  // extra samples for suspect rows
   private[graft] val SpreadRel = 1.5        // heavy-row spread: max/min beyond this...
@@ -1514,7 +1621,8 @@ object Bench {
     }
 
     def runChild(group: String, idx: Int, minCanary: Double,
-        preWaitMs: Long = PreGateTimeoutMs): Attempt = {
+        preWaitMs: Long = PreGateTimeoutMs,
+        timeOps: Option[Seq[String]] = None): Attempt = {
       val (preLoad, preRun) = preGate(preWaitMs)
       val out = new java.io.File(tmpDir, s"$group-a$idx.json")
       val log = new java.io.File(tmpDir, s"$group-a$idx.log")
@@ -1526,8 +1634,14 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_GROUPS", group)
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getPath)
       pb.environment().put("SPARK_GRAFT_ORCHESTRATE", "false")
-      System.err.println(s"[bench] $group attempt $idx: launching " +
-        s"(pre-gate load=$preLoad runnable=$preRun)")
+      // per-row retry (round-14 verdict item 2): the child warms the
+      // full group but times only these rows — group-comparable values
+      // at a fraction of a full attempt's budget
+      timeOps.foreach(ts =>
+        pb.environment().put("SPARK_GRAFT_TIME_OPS", ts.mkString(",")))
+      System.err.println(s"[bench] $group attempt $idx: launching" +
+        timeOps.map(ts => s" [row-retry: ${ts.mkString("+")}]").getOrElse("") +
+        s" (pre-gate load=$preLoad runnable=$preRun)")
       val t0 = System.nanoTime()
       // hard child timeout (round-12 verdict item 2): a child may not
       // spend past the remaining budget plus a small grace — the r12
@@ -1544,7 +1658,11 @@ object Bench {
       if (timedOut) { proc.destroyForcibly(); proc.waitFor() }
       val exit = proc.exitValue()
       val durSec = (System.nanoTime() - t0) / 1e9
-      if (!timedOut && exit == 0) {
+      if (timeOps.isDefined) {
+        // a row-retry's duration covers the full warm but a subset of
+        // the timed loop — neither a full-attempt cost nor a taint;
+        // keep it out of the estimate machinery entirely
+      } else if (!timedOut && exit == 0) {
         lastDurSec(group) = durSec
         durTainted -= group
       } else {
@@ -1625,6 +1743,38 @@ object Bench {
     val attemptLog = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Attempt]]()
     val chosen = scala.collection.mutable.LinkedHashMap[String, Attempt]()
+
+    // ---- per-row retry machinery (round-14 verdict item 2) ----
+    // an attempt disqualified ONLY by row-spread flags (exit 0, canary
+    // in band, artifact parsed) is salvageable row by row
+    def onlyFlagged(a: Attempt): Boolean =
+      a.reasons.nonEmpty && a.reasons.forall(_.startsWith("flagged="))
+    // cost of a row-retry child: the group's fixture/warm overhead
+    // (attempt duration minus its timed loop) + a full sample-and-
+    // escalation budget for just the retried rows, +25% margin
+    def rowRetryEst(a: Attempt): Double = {
+      val rowSum = a.rows.map(_.value).sum
+      val retrySum = a.rows.filter(r => a.flagged.contains(r.name))
+        .map(_.value).sum
+      val overhead = math.max(a.durSec - (TimedSamples + 1) * rowSum, 30.0)
+      (overhead + rowSum +
+        (TimedSamples + EscalationSamples) * retrySum) * 1.25
+    }
+    // merge a row-retry child into its base attempt: re-measured rows
+    // replace their originals (values, samples, flags); the merged
+    // attempt is clean only when nothing stays flagged and the retry
+    // child passed its own canary gate
+    def mergedRowRetry(base: Attempt, rr: Attempt): Attempt = {
+      val byName = rr.rows.map(r => r.name -> r).toMap
+      val rows2 = base.rows.map(r => byName.getOrElse(r.name, r))
+      val flagged2 = rows2.filter(_.flagged).map(_.name)
+      val reasons2 =
+        (if (flagged2.nonEmpty) Seq(s"flagged=${flagged2.mkString("+")}")
+         else Nil) ++ rr.reasons.filterNot(_.startsWith("flagged="))
+      base.copy(rows = rows2, flagged = flagged2, reasons = reasons2,
+        notes = base.notes :+
+          s"row-retry(a${rr.idx}: ${byName.keys.toSeq.sorted.mkString("+")})")
+    }
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_full_builder.json")
@@ -1863,6 +2013,9 @@ object Bench {
         System.err.println(s"[bench] $g: ${budgetNotes(g)}")
       } else {
         var accepted: Option[Attempt] = None
+        // best row-retry-merged partial (some rows salvaged): a better
+        // degraded record than an all-flagged raw attempt
+        var partial: Option[Attempt] = None
         var i = 1
         var budgetStop = false
         while (accepted.isEmpty && i <= MaxAttempts && !budgetStop) {
@@ -1882,20 +2035,41 @@ object Bench {
             val preWait = math.max(10000L, math.min(PreGateTimeoutMs, slackMs))
             val a = runChild(g, i, minCanary, preWait)
             buf += a
-            if (a.ok) {
-              accepted = Some(a)
-              if (!a.canaryLast.isNaN)
-                minCanary = math.min(minCanary, a.canaryLast)
-            } else if (i < MaxAttempts &&
-                       remainingSec > estSec(g) + reserveSec + CooldownMs / 1000.0)
-              Thread.sleep(CooldownMs)
             i += 1
+            var cur = a
+            // per-row retries (doc at rowRetryEst): an attempt whose
+            // ONLY gate failure is row-spread flags re-measures just
+            // those rows — the r12-r14 driver windows could never fund
+            // full-group retries and shipped flagged rows three rounds
+            // running; a row-retry costs ~warm-pass money
+            while (!cur.ok && onlyFlagged(cur) && i <= MaxAttempts &&
+                   remainingSec >
+                     rowRetryEst(cur) + reserveSec + CooldownMs / 1000.0) {
+              Thread.sleep(CooldownMs)
+              val rr = runChild(g, i, minCanary, preWait,
+                timeOps = Some(cur.flagged))
+              buf += rr
+              cur = mergedRowRetry(cur, rr)
+              i += 1
+            }
+            if (cur.ok) {
+              accepted = Some(cur)
+              if (!cur.canaryLast.isNaN)
+                minCanary = math.min(minCanary, cur.canaryLast)
+            } else {
+              if (!(cur eq a)) partial = Some(cur)
+              if (i <= MaxAttempts &&
+                  remainingSec > estSec(g) + reserveSec + CooldownMs / 1000.0)
+                Thread.sleep(CooldownMs)
+            }
           }
         }
-        chosen(g) = accepted.getOrElse {
+        chosen(g) = accepted.orElse(partial).getOrElse {
           // every attempt failed (or budget stopped retries): record
           // the least-polluted one with EVERY row flagged — a polluted
-          // group must not masquerade
+          // group must not masquerade. A row-retry partial is the
+          // preferred degraded record: its per-row flags are accurate
+          // (salvaged rows clean, unsalvaged rows flagged).
           val best = buf.filter(_.rows.nonEmpty)
             .sortBy(a => if (a.canaryLast.isNaN) Double.MaxValue
                          else a.canaryLast)

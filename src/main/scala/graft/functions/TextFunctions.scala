@@ -103,6 +103,19 @@ object TextFunctions {
   private def nonWsChars(text: Column): Column =
     length(regexp_replace(text, "\\s", ""))
 
+  /** One-pass native per-code-point counts in ScriptClasses order +
+    * garbage + non-ws (slots doc at
+    * [[org.apache.spark.sql.graft.ScriptCountUtil]]). Round-15: the
+    * regex formulation below ([[scriptFractionsTree]], retained as
+    * the spec reference) paid one java.util.regex scan of the whole
+    * document per class per consumer — 13 scans per text_signals row.
+    */
+  private def scriptCounts(text: Column): Column =
+    org.apache.spark.sql.graft.StringExpressions.scriptCharCounts(text)
+
+  private def scriptIdx(name: String): Int =
+    ScriptClasses.indexWhere(_._1 == name)
+
   /** Per-script character fractions (over non-whitespace characters)
     * plus the garbage fraction, as a struct
     * `(f_latin, f_cyrillic, f_arabic, f_han, f_kana, f_hangul,
@@ -110,6 +123,19 @@ object TextFunctions {
     * (0/0), matching [[Num.safeDiv]] everywhere else.
     */
   def scriptFractions(text: Column): Column = {
+    val c = scriptCounts(text)
+    val denom = c.getItem(7).cast(DoubleType)
+    val fields = ScriptClasses.zipWithIndex.map { case ((name, _), i) =>
+      Num.safeDiv(c.getItem(i).cast(DoubleType), denom).as(s"f_$name")
+    } :+ Num.safeDiv(c.getItem(6).cast(DoubleType), denom).as("f_garbage")
+    struct(fields: _*)
+  }
+
+  /** The pre-round-15 regex formulation of [[scriptFractions]] — kept
+    * ONLY as the differential reference CorpusSpec pins the native
+    * counter against (each regexp_count is separately oracle-proven).
+    */
+  private[graft] def scriptFractionsTree(text: Column): Column = {
     val denom = nonWsChars(text).cast(DoubleType)
     val fields = ScriptClasses.map { case (name, cls) =>
       Num.safeDiv(regexp_count(text, lit(cls)).cast(DoubleType), denom)
@@ -125,14 +151,17 @@ object TextFunctions {
     * script→language collapse, each threshold on the dominant script
     * of that language's writing system), and Latin-script text falls
     * through to the [[langId]] marker heuristic. Deterministic,
-    * row-local, oracle-replayable.
+    * row-local, oracle-replayable. All five fractions come from ONE
+    * [[scriptCounts]] pass — and whole-stage codegen's subexpression
+    * elimination shares that pass with [[scriptFractions]] when both
+    * run in the same projection (the text_signals shape).
     */
   def langIdScript(text: Column,
       markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
-    val denom = nonWsChars(text).cast(DoubleType)
-    val cls = ScriptClasses.toMap
+    val c = scriptCounts(text)
+    val denom = c.getItem(7).cast(DoubleType)
     def frac(name: String): Column =
-      Num.safeDiv(regexp_count(text, lit(cls(name))).cast(DoubleType), denom)
+      Num.safeDiv(c.getItem(scriptIdx(name)).cast(DoubleType), denom)
     when(frac("hangul") > 0.3, lit("ko"))
       .when(frac("kana") > 0.05, lit("ja"))
       .when(frac("han") > 0.3, lit("zh"))
@@ -143,9 +172,21 @@ object TextFunctions {
 
   /** 64-bit-ish document fingerprint: rolling polynomial hash over
     * per-word hashes (md5-prefix ints), mod 1e9+7 — deterministic and
-    * reproducible in any engine with a fold primitive.
+    * reproducible in any engine with a fold primitive. Round-15: runs
+    * as ONE native pass over the UTF-8 bytes
+    * ([[org.apache.spark.sql.graft.FingerprintFold]] — the md5 stays,
+    * the per-word hex string / substring / string-conv round-trip
+    * goes); values are identical by construction and CorpusSpec pins
+    * the equality against [[fingerprintTree]].
     */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.StringExpressions.fingerprintFold(text)
+
+  /** The pre-round-15 expression-tree form of [[fingerprint]] — kept
+    * ONLY as the differential reference CorpusSpec pins the native
+    * fold against (it is the form the oracle SQL mirrors literally).
+    */
+  private[graft] def fingerprintTree(text: Column): Column =
     F.aggregate(split(text, " "), lit(0L),
       (acc, w) =>
         (acc * 31 + conv(substring(md5(w), 1, 8), 16, 10).cast(LongType))
@@ -275,6 +316,19 @@ object TextFunctions {
     * subset so other engines replay them verbatim.
     */
   def normalizeForDedup(text: Column): Column =
+    // round-15: one native pass over the lowercased bytes
+    // ([[org.apache.spark.sql.graft.NormalizeForDedup]]) replaces
+    // three regex passes + four intermediate strings per document;
+    // identical output by construction (semantics contract at
+    // [[org.apache.spark.sql.graft.NormalizeUtil]]), CorpusSpec pins
+    // the equality against [[normalizeForDedupTree]]
+    org.apache.spark.sql.graft.StringExpressions.normalizeForDedup(text)
+
+  /** The pre-round-15 regex-chain form of [[normalizeForDedup]] —
+    * kept ONLY as the differential reference CorpusSpec pins the
+    * native pass against (it is the form the oracle SQL mirrors).
+    */
+  private[graft] def normalizeForDedupTree(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 

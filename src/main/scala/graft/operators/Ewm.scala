@@ -146,11 +146,45 @@ object Ewm {
     val sub = gb.base
       .select(keyC :+ checkedOrd.as("__ord") :+
         value.cast(DoubleType).as("__v"): _*)
+    // ONE native O(n) pass ([[org.apache.spark.sql.graft.EwmVarFold]],
+    // round-15 — the EwmMeanFold treatment): the declarative
+    // `aggregate` lambda below is retained ONLY as the differential
+    // reference (DifferentialSpec pins bit-equality on randomized null
+    // patterns; the 6-field state is where operation-order risk
+    // concentrates, so the pin is the proof).
+    def outsOf(rows: Column): Column =
+      org.apache.spark.sql.graft.FoldExpressions.ewmVarFold(
+        rows, alpha, adjust, ignoreNa, bias, minPeriods)
+    val perKey = sub.groupBy(keyC: _*)
+      .agg(sort_array(F.collect_list(struct(col("__ord"), col("__v"))))
+        .as("__rows"))
+      .select(keyC :+ explode(zip_with(col("__rows"), outsOf(col("__rows")),
+        (r, o) => struct(r.getField("__ord").as("__ord"), o.as(name)))).as("__e"): _*)
+      .select(keyC :+ col("__e.__ord").as("__ord") :+ col(s"__e.$name"): _*)
+    gb.dfWithKeys
+      .withColumn("__ord", ord)
+      .join(perKey, gb.keyNames :+ "__ord", "left")
+      .drop("__ord")
+  }
+
+  /** The pre-round-15 declarative fold of [[variance]] — kept ONLY as
+    * the differential reference DifferentialSpec pins
+    * [[org.apache.spark.sql.graft.EwmVarFold]] against (the
+    * hashFeatureBucketsTree pattern): given the sorted
+    * `array<struct<__ord, __v:double>>` of one key, returns the
+    * per-row output array under the identical recurrence.
+    */
+  private[graft] def varianceOutsDeclarative(rows: Column, alpha: Double,
+      adjust: Boolean, ignoreNa: Boolean, bias: Boolean,
+      minPeriods: Int): Column = {
+    val f = 1.0 - alpha
+    val nw = if (adjust) 1.0 else alpha
+    val minp = math.max(minPeriods, 1)
     val init = struct(lit(null).cast(DoubleType).as("m"),
       lit(0.0).as("cv"), lit(1.0).as("swt"), lit(1.0).as("swt2"),
       lit(1.0).as("owt"), lit(0L).as("nobs"),
       lit(Array.empty[Double]).cast(ArrayType(DoubleType)).as("outs"))
-    def outsOf(rows: Column): Column = F.aggregate(rows, init, (acc, e) => {
+    F.aggregate(rows, init, (acc, e) => {
       val m = acc.getField("m"); val cv = acc.getField("cv")
       val swt = acc.getField("swt"); val swt2 = acc.getField("swt2")
       val owt = acc.getField("owt"); val nobs = acc.getField("nobs")
@@ -198,16 +232,6 @@ object Ewm {
         nobsNew.as("nobs"),
         concat(acc.getField("outs"), array(out)).as("outs"))
     }).getField("outs")
-    val perKey = sub.groupBy(keyC: _*)
-      .agg(sort_array(F.collect_list(struct(col("__ord"), col("__v"))))
-        .as("__rows"))
-      .select(keyC :+ explode(zip_with(col("__rows"), outsOf(col("__rows")),
-        (r, o) => struct(r.getField("__ord").as("__ord"), o.as(name)))).as("__e"): _*)
-      .select(keyC :+ col("__e.__ord").as("__ord") :+ col(s"__e.$name"): _*)
-    gb.dfWithKeys
-      .withColumn("__ord", ord)
-      .join(perKey, gb.keyNames :+ "__ord", "left")
-      .drop("__ord")
   }
 
   /** `sqrt` of [[variance]] — pandas `ewm(alpha).std()`. */

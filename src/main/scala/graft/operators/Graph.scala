@@ -22,6 +22,10 @@ object GraphOps {
   /** `iterations` rounds of damped PageRank over `edges` (columns
     * `src`, `dst`; parallel edges collapse to simple edges). Returns
     * `(node, rank)` for every node appearing as a source or target.
+    * NOTE (round-14 key-type change): when BOTH edge columns are
+    * integral, `node` comes back as `long` (keys stay 8-byte through
+    * every per-round shuffle); any other typing keeps the historical
+    * string normalization. CurationSpec pins both shapes.
     *
     * Semantics (the standard formulation, dangling mass
     * redistributed uniformly):

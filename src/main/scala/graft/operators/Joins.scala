@@ -555,7 +555,8 @@ object Joins {
           coalesce(sum(col("__graft_cr")), lit(0L)),     // 5: right rows
           coalesce(sum(col("__graft_kr")), lit(0L)),     // 6: ~right keys
           coalesce(sum(col("__graft_ll")), lit(0L)),     // 7: left chars
-          coalesce(sum(col("__graft_lr")), lit(0L))      // 8: right chars
+          coalesce(sum(col("__graft_lr")), lit(0L)),     // 8: right chars
+          coalesce(min(col("__graft_vol")), lit(0L))     // 9: min volume
         ).head()))
       }
     // the verification-unit decision (approximate distinct is fine —
@@ -670,12 +671,17 @@ object Joins {
       return finish(verified(lProbe.join(rKeys, blockCols)))
     val bigBlocks = blockCounts.filter(col("__graft_vol") > tau)
       .select(blockCols.map(col): _*)
-    // small-branch pruning: one tiny aggregate on the cached block
-    // table — when the routed blocks carry ALL the volume (the
-    // low-diversity corpora this guard exists for), the anti-join /
-    // small-block join / union stages drop out of the plan entirely
-    val smallVol = blockCounts.filter(col("__graft_vol") <= tau)
-      .agg(coalesce(sum(col("__graft_vol")), lit(0L))).head().getLong(0)
+    // small-branch pruning: when the routed blocks carry ALL the
+    // volume (the low-diversity corpora this guard exists for), the
+    // anti-join / small-block join / union stages drop out of the plan
+    // entirely. Every block's volume is >= 1 (the count join is
+    // inner), so "some block is small" is exactly min(vol) <= tau —
+    // read from the SAME one-row routing action above; the previous
+    // shape paid a second driver-blocking job for a sum whose only
+    // consumer was this zero test (round-14 verdict: the x1 control's
+    // cost is ~31 sequential job dispatches — every removed action
+    // counts).
+    val hasSmall = volRow.getLong(9) <= tau
     val lBig = lProbe.join(bigBlocks, blockCols, "left_semi")
     val rBig = rKeys.join(bigBlocks, blockCols, "left_semi")
     val rIdCols = if (useDedupKeys) Seq(col("__graft_rk"))
@@ -774,10 +780,22 @@ object Joins {
       // size an exploded table (it inherits the pre-explode estimate)
       // and would happily BROADCAST millions of variant rows — a
       // single-threaded driver build here, a driver OOM at 100 TB
+      // dedup + downstream layout in ONE exchange: the distinct needs
+      // the data clustered by (lu, ru) and the attach join right after
+      // needs it clustered by lu — hash partitioning on lu alone
+      // satisfies BOTH (a subset partitioning clusters every superset
+      // key), so the explicit lu repartition is the only exchange on
+      // this match-bounded table and the attach join reuses it. The
+      // previous shape paid three: the distinct's (lu, ru) exchange, a
+      // keyless round-robin repartition (plus its sort-before-
+      // repartition local sort), and the attach join re-exchanging by
+      // lu (guide §2.4: two operations keyed the same way share one
+      // exchange).
       val candIds = lV.hint(joinHint)
         .join(rV.hint(joinHint), Seq("__graft_vh"))
-        .select(col("__graft_lu"), col("__graft_ru")).distinct()
-        .repartition(nShuffle)
+        .select(col("__graft_lu"), col("__graft_ru"))
+        .repartition(nShuffle, col("__graft_lu"))
+        .distinct()
       // re-attach unit payloads: candidate-volume-sized equijoins
       // against the CACHED unit projections (a superset of the routed
       // units — a surrogate collision against a non-routed key cannot
@@ -880,7 +898,7 @@ object Joins {
     // path admits a pair only when the right unit's OWN block is
     // routed, which excludes it from smallCand by the anti-join)
     val cand =
-      if (smallVol == 0L) routedCand
+      if (!hasSmall) routedCand
       else {
         val lSmall = lProbe.join(bigBlocks, blockCols, "left_anti")
         val smallCand = lSmall.join(rKeys, blockCols)

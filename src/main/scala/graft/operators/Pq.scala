@@ -243,12 +243,17 @@ object Pq {
       //     screen is one cheap array scan and halves encode cost;
       //  2. ADC distances come from per-query lookup tables
       //     ([[org.apache.spark.sql.graft.PqAdcLutDistance]]), so the
-      //     broadcast side of the candidate scan carries ONLY qid —
-      //     the query vectors stop being copied per candidate row and
-      //     the per-candidate cost drops from dim multiply-adds to m
-      //     lookups. The table build collects the query batch once on
-      //     the driver — the same rows (and bytes) broadcast(q)
-      //     already collected there, bounded by the broadcast contract.
+      //     broadcast side of the candidate scan carries ONLY (qid,
+      //     batch index) — the query vectors stop being copied per
+      //     candidate row and the per-candidate cost drops from dim
+      //     multiply-adds to m lookups. The table build collects the
+      //     query batch ONCE on the driver ([[queryBatch]]) — the same
+      //     rows (and bytes) broadcast(q) previously collected there,
+      //     bounded by the broadcast contract — and the broadcast side
+      //     is rebuilt FROM that collected batch (a LocalRelation), so
+      //     the queries plan executes exactly once and a
+      //     nondeterministic queries input cannot broadcast qids the
+      //     tables never saw (round-14 advice item).
       val validCorpus = corpus.select(id.as("nid"), vec.as("nv"))
         .filter(size(col("nv")) === model.dim &&
           !exists(col("nv"), x => x.isNull || isnan(x)))
@@ -263,9 +268,10 @@ object Pq {
       //     encode to once per CORPUS row; the corpus still never
       //     shuffles.
       val enc = encodeEager(validCorpus, col("nv"), model).drop("nv")
-      val cand = enc.join(broadcast(q.select(col("qid"))),
+      val (qLocal, luts) = queryBatch(q, model)
+      val cand = enc.join(broadcast(qLocal.select(col("qid"), col(LutIdx))),
         col("qid") =!= col("nid"))
-      rankByAdc(cand, model, k, exact = false, luts = Some(buildLuts(q, model)))
+      rankByAdc(cand, model, k, exact = false, luts = Some(luts))
     }
   }
 
@@ -306,86 +312,112 @@ object Pq {
       rankByAdc(cand, model, k, exact = true)
     } else {
       // production path: lookup-table ADC (see [[adcTopK]]) — the
-      // probe broadcast carries (qid, cid) only, never the vectors
+      // probe broadcast carries (qid, lut index, cid) only, never the
+      // vectors; probes derive from the ONE collected batch, so the
+      // queries plan executes exactly once (round-14 advice item)
       val q = queries.select(id.as("qid"), vec.as("qv"))
-      val probes = queries.select(id.as("qid"),
-        explode(Similarity.probeCentroids(vec, cents, nProbe, exact)).as("cid"))
+      val (qLocal, luts) = queryBatch(q, model)
+      val probes = qLocal.select(col("qid"), col(LutIdx),
+        explode(Similarity.probeCentroids(col("qv"), cents, nProbe, exact))
+          .as("cid"))
       val cand = valid.join(broadcast(probes), Seq("cid"))
         .filter(col("qid") =!= col("nid"))
-      rankByAdc(cand, model, k, exact = false, luts = Some(buildLuts(q, model)))
+      rankByAdc(cand, model, k, exact = false, luts = Some(luts))
     }
   }
 
-  /** Driver-side ADC lookup tables, one per query row: `lut[j·ksub+c]`
-    * = the decimal-free per-subspace distance `‖q[j] − booksⱼ[c]‖²`
-    * (left-to-right double fold over the sub-slice — the same
-    * element order as the fused scan loop). Invalid query rows (null
-    * vector, wrong length, null elements) store a null table, which
+  /** Column name of the dense query-batch index joined onto the
+    * broadcast side and consumed by the LUT expression. Positional
+    * keying works for ANY qid type — the previous qid-keyed HashMap
+    * missed every lookup for id types whose internal Catalyst form
+    * lacks value equality (binary, array, struct) and silently nulled
+    * the whole top-k (round-14 advice item).
+    */
+  private val LutIdx = "__graft_lutidx"
+
+  /** Collect the query batch ONCE and derive from it (a) the per-query
+    * ADC lookup tables and (b) a driver-local `(qid, qv, __graft_lutidx)`
+    * DataFrame the scan's broadcast side is built from — so the
+    * caller-supplied queries plan executes exactly once and the tables
+    * ship in a Spark BROADCAST variable (per-executor) instead of the
+    * expression tree (per-task). Collecting is bounded by the same
+    * contract that already broadcast the batch to every executor.
+    *
+    * `lut[j·ksub+c]` = the decimal-free per-subspace distance
+    * `‖q[j] − booksⱼ[c]‖²` (left-to-right double fold over the
+    * sub-slice — the same element order as the fused scan loop).
+    * Invalid query rows (null vector, wrong length, null elements)
+    * store a null table, which
     * [[org.apache.spark.sql.graft.PqAdcLutDistance]] turns into the
     * null distance the fused loop produced for them; NaN elements ride
-    * through as NaN cells (total NaN → null, same verdict). Keys are
-    * the qid's INTERNAL Catalyst value (executeCollect), so lookups
-    * from generated code compare like-for-like for any id type.
-    * Collecting the query batch is bounded by the same contract that
-    * already broadcasts it to every executor.
+    * through as NaN cells (total NaN → null, same verdict). The query
+    * vector is cast to array<double> BEFORE collection, so integral /
+    * decimal query vectors read correctly (lossless to 2^53 — the
+    * VecFoldExpression convention; the raw internal array was
+    * previously read with getDouble blind to the element type,
+    * round-14 advice item).
     */
-  private def buildLuts(q: DataFrame,
-      model: PqModel): java.util.HashMap[Any, Array[Double]] = {
+  private def queryBatch(q: DataFrame, model: PqModel): (DataFrame,
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
+    val spark = q.sparkSession
+    val qd = q.select(col("qid"), col("qv")
+      .cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("qv"))
+    val qidType = qd.schema("qid").dataType
+    val rows = qd.queryExecution.executedPlan.executeCollect()
     val dsub = model.dsub
-    val qidType = q.schema("qid").dataType
-    val rows = q.queryExecution.executedPlan.executeCollect()
-    val luts = new java.util.HashMap[Any, Array[Double]](rows.length * 2)
-    val isFloat = q.schema("qv").dataType match {
-      case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.FloatType, _) => true
-      case _ => false
-    }
-    rows.foreach { r =>
-      val qid = r.get(0, qidType)
-      if (qid != null) {
-        val lut: Array[Double] =
-          if (r.isNullAt(1)) null
-          else {
-            val qv = r.getArray(1)
-            if (qv.numElements() != model.dim) null
-            else {
-              var anyNull = false
-              var i = 0
-              while (i < model.dim && !anyNull) {
-                if (qv.isNullAt(i)) anyNull = true
-                i += 1
-              }
-              if (anyNull) null
-              else {
-                val out = new Array[Double](model.m * model.ksub)
-                var j = 0
-                while (j < model.m) {
-                  val book = model.codebooks(j)
-                  var c = 0
-                  while (c < model.ksub) {
-                    val cv = book(c)._2
-                    var d = 0.0
-                    var t = 0
-                    while (t < dsub) {
-                      val x = if (isFloat) qv.getFloat(j * dsub + t).toDouble
-                        else qv.getDouble(j * dsub + t)
-                      val diff = x - cv(t)
-                      d += diff * diff
-                      t += 1
-                    }
-                    out(j * model.ksub + book(c)._1) = d
-                    c += 1
-                  }
-                  j += 1
-                }
-                out
-              }
-            }
+    val luts = new Array[Array[Double]](rows.length)
+    val localRows = new Array[Array[Any]](rows.length)
+    var idx = 0
+    while (idx < rows.length) {
+      val r = rows(idx)
+      val qv = if (r.isNullAt(1)) null else r.getArray(1)
+      val lut: Array[Double] =
+        if (qv == null || qv.numElements() != model.dim) null
+        else {
+          var anyNull = false
+          var i = 0
+          while (i < model.dim && !anyNull) {
+            if (qv.isNullAt(i)) anyNull = true
+            i += 1
           }
-        luts.put(qid, lut)
-      }
+          if (anyNull) null
+          else {
+            val out = new Array[Double](model.m * model.ksub)
+            var j = 0
+            while (j < model.m) {
+              val book = model.codebooks(j)
+              var c = 0
+              while (c < model.ksub) {
+                val cv = book(c)._2
+                var d = 0.0
+                var t = 0
+                while (t < dsub) {
+                  val x = qv.getDouble(j * dsub + t)
+                  val diff = x - cv(t)
+                  d += diff * diff
+                  t += 1
+                }
+                out(j * model.ksub + book(c)._1) = d
+                c += 1
+              }
+              j += 1
+            }
+            out
+          }
+        }
+      luts(idx) = lut
+      localRows(idx) = Array[Any](r.get(0, qidType), qv, idx)
+      idx += 1
     }
-    luts
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", qidType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(DoubleType)),
+      org.apache.spark.sql.types.StructField(LutIdx, IntegerType,
+        nullable = false)))
+    val local = org.apache.spark.sql.graft.LocalBatch.of(
+      spark, schema, localRows.toIndexedSeq)
+    (local, spark.sparkContext.broadcast(luts))
   }
 
   /** Shared ADC ranking tail: distance per (qid, nid) candidate, then
@@ -393,11 +425,12 @@ object Pq {
     */
   private def rankByAdc(cand: DataFrame, model: PqModel, k: Int,
       exact: Boolean,
-      luts: Option[java.util.HashMap[Any, Array[Double]]] = None): DataFrame = {
+      luts: Option[org.apache.spark.broadcast.Broadcast[
+        Array[Array[Double]]]] = None): DataFrame = {
     val adist =
       if (luts.isDefined && !exact)
         org.apache.spark.sql.graft.VectorExpressions.pqAdcLutDistance(
-          col("qid"), array((0 until model.m).map(j => col(s"code$j")): _*),
+          col(LutIdx), array((0 until model.m).map(j => col(s"code$j")): _*),
           model.m, model.ksub, luts.get)
       else if (exact) {
         // per-subspace decimal distance looked up by code, then an

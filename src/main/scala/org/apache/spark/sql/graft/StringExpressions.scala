@@ -227,6 +227,218 @@ case class HashFeatureBuckets(child: Expression, dim: Int, grams: Seq[Int])
       newChild: Expression): HashFeatureBuckets = copy(child = newChild)
 }
 
+/** Shared kernel for [[ScriptCharCounts]] — static so both the
+  * interpreted eval and the generated code call the same body.
+  *
+  * Counts per code point, exactly what `regexp_count(text, cls)`
+  * counts for the single-character classes of
+  * [[graft.functions.TextFunctions.ScriptClasses]] (each match is one
+  * code point; all classes are BMP-only, so surrogate halves match
+  * nothing), plus Java `\s` (the ASCII set `[ \t\n\x0B\f\r]` —
+  * java.util.regex without UNICODE_CHARACTER_CLASS) and the total —
+  * so `nonws = total − ws` equals
+  * `length(regexp_replace(text, "\\s", ""))` (Spark `length` counts
+  * code points). Round-15: the regex formulation paid THIRTEEN
+  * java.util.regex scans of every document per text_signals row (6
+  * script classes + garbage + non-ws for scriptFractions, and 5
+  * fractions recomputed by langIdScript); this is ONE pass, and
+  * whole-stage codegen's common-subexpression elimination shares the
+  * single call between both consumers in the same projection.
+  */
+object ScriptCountUtil {
+  // slots: 0..5 = ScriptClasses order (latin, cyrillic, arabic, han,
+  // kana, hangul), 6 = garbage, 7 = non-whitespace total
+  final val NSlots = 8
+
+  def counts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new Array[Long](NSlots)
+    var total = 0L
+    var ws = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      // the classes below are mutually exclusive EXCEPT garbage ∩ \s
+      // = {0x0B, 0x0C}: regexp_count over GarbageClass counts those
+      // two while nonWsChars excludes them from its denominator, so
+      // ws and garbage are tallied independently
+      if (cp == 0x20 || (cp >= 0x09 && cp <= 0x0D)) ws += 1
+      if (cp <= 0x08 || cp == 0x0B || cp == 0x0C ||
+        (cp >= 0x0E && cp <= 0x1F) || cp == 0xFFFD) out(6) += 1
+      else if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0x00C0 && cp <= 0x024F)) out(0) += 1
+      else if (cp >= 0x0400 && cp <= 0x04FF) out(1) += 1
+      else if ((cp >= 0x0600 && cp <= 0x06FF) ||
+        (cp >= 0x0750 && cp <= 0x077F)) out(2) += 1
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+        (cp >= 0x3400 && cp <= 0x4DBF)) out(3) += 1
+      else if (cp >= 0x3040 && cp <= 0x30FF) out(4) += 1
+      else if ((cp >= 0xAC00 && cp <= 0xD7AF) ||
+        (cp >= 0x1100 && cp <= 0x11FF)) out(5) += 1
+    }
+    out(7) = total - ws
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** One-pass per-code-point script/charset counts (see
+  * [[ScriptCountUtil]] for the exact regexp_count semantics
+  * contract). Output: `array<long>` in [[ScriptCountUtil]] slot
+  * order. CorpusSpec pins equality against the retired regex
+  * formulation on mixed-script/surrogate/control fixtures.
+  */
+case class ScriptCharCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "script_char_counts"
+
+  override protected def nullSafeEval(t: Any): Any =
+    ScriptCountUtil.counts(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.ScriptCountUtil.counts($t);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ScriptCharCounts = copy(child = newChild)
+}
+
+/** Shared kernel for [[FingerprintFold]]. Reproduces
+  * `aggregate(split(text, " "), 0L, (acc, w) =>
+  *   (acc*31 + conv(substring(md5(w),1,8),16,10)::long) % 1000000007)`
+  * byte-for-byte: split on every single 0x20 (a UTF-8 space byte
+  * never occurs inside a multi-byte sequence, so byte splitting IS
+  * character splitting; Java split with limit −1 keeps leading /
+  * interior / trailing empty tokens, and so does this scan — n
+  * separators always yield n+1 tokens), md5 over each token's UTF-8
+  * bytes, first 4 digest bytes as the unsigned 32-bit value
+  * `conv(first-8-hex-chars, 16, 10)` parses, same fold arithmetic
+  * (no intermediate exceeds 2^36, so Long math is exact). What it
+  * deletes vs the expression tree: the per-word 32-char hex string,
+  * the substring, and the string→decimal→long conv round-trip.
+  */
+object FingerprintUtil {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def fingerprint(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val md = mdLocal.get()
+    var acc = 0L
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val h = md.digest()
+        val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        acc = (acc * 31 + v) % 1000000007L
+        start = i + 1
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native twin of [[graft.functions.TextFunctions.fingerprint]]'s
+  * fold (see [[FingerprintUtil]] for the semantics contract).
+  * CorpusSpec pins equality against the retained tree form.
+  */
+case class FingerprintFold(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint_fold"
+
+  override protected def nullSafeEval(t: Any): Any =
+    FingerprintUtil.fingerprint(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.FingerprintUtil.fingerprint($t);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FingerprintFold = copy(child = newChild)
+}
+
+/** Shared kernel for [[NormalizeForDedup]]. Reproduces
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]",
+  * " "), "\\s+", " "))` in one pass over the lowercased bytes:
+  *
+  *  - lowercasing FIRST via the same UTF8String.toLowerCase Spark's
+  *    `lower` uses (Unicode one-to-many expansions like İ → i +
+  *    combining dot must see the same intermediate);
+  *  - every code point outside [a-z0-9] — whether original \s or a
+  *    replaced char — becomes whitespace; since the kept set is pure
+  *    ASCII, BYTE-level classification is exact (all bytes of a
+  *    multi-byte sequence are ≥ 0x80 and each such sequence collapses
+  *    into the surrounding run);
+  *  - maximal non-kept runs emit one 0x20 (regex pass 2 collapses
+  *    every \s+ run of the pass-1 output, whose non-kept chars are
+  *    all \s by then), leading/trailing runs emit nothing (trim).
+  *
+  * What it deletes vs the chain: three full regex engine passes and
+  * four intermediate string allocations per document.
+  */
+object NormalizeUtil {
+  def normalize(text: UTF8String): UTF8String = {
+    val lowered = text.toLowerCase
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val kept = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+      if (kept) {
+        if (pendingSpace && o > 0) { out(o) = 0x20; o += 1 }
+        out(o) = b
+        o += 1
+        pendingSpace = false
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
+/** Native twin of
+  * [[graft.functions.TextFunctions.normalizeForDedup]] (see
+  * [[NormalizeUtil]] for the semantics contract). CorpusSpec pins
+  * equality against the retained regex-chain form.
+  */
+case class NormalizeForDedup(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_for_dedup"
+
+  override protected def nullSafeEval(t: Any): Any =
+    NormalizeUtil.normalize(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = org.apache.spark.sql.graft.NormalizeUtil.normalize($t);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeForDedup = copy(child = newChild)
+}
+
 object StringExpressions {
   import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -238,4 +450,16 @@ object StringExpressions {
   def hashFeatureBuckets(text: Column, dim: Int, grams: Seq[Int]): Column =
     ExpressionUtils.column(
       HashFeatureBuckets(ExpressionUtils.expression(text), dim, grams))
+
+  def scriptCharCounts(text: Column): Column =
+    ExpressionUtils.column(
+      ScriptCharCounts(ExpressionUtils.expression(text)))
+
+  def fingerprintFold(text: Column): Column =
+    ExpressionUtils.column(
+      FingerprintFold(ExpressionUtils.expression(text)))
+
+  def normalizeForDedup(text: Column): Column =
+    ExpressionUtils.column(
+      NormalizeForDedup(ExpressionUtils.expression(text)))
 }

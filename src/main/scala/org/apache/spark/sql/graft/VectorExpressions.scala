@@ -425,11 +425,23 @@ case class PqAdcDistance(left: Expression, right: Expression,
   * query broadcast already ships), so the corpus-side scan reduces
   * from `dim` multiply-adds over the full query vector to `m` array
   * lookups per candidate — and the scan's join no longer has to carry
-  * (and copy, per candidate row) the query vector at all, only the
-  * query id the table is keyed by.
+  * (and copy, per candidate row) the query vector at all, only a
+  * dense batch INDEX (`left`, int) assigned at collect time.
+  *
+  * Round-15 reshape (two round-14 advice/verdict items): (1) tables
+  * are keyed POSITIONALLY by that index, not by the qid's internal
+  * Catalyst value — id types without value equality in their internal
+  * form (binary, arrays, structs) previously missed every lookup and
+  * silently nulled the whole top-k; an index compares like-for-like
+  * for any id type. (2) The table array rides in a Spark BROADCAST
+  * variable, not inside the expression tree: the old HashMap
+  * serialized with the task binary — once per TASK — which at 100 TB
+  * task counts re-ships ~MBs of tables millions of times; the
+  * broadcast ships once per executor and the expression carries only
+  * the handle.
   *
   * Null semantics mirror [[PqAdcDistance]] exactly: null when the
-  * query id has no table (the query row was null / not `dim` long /
+  * index has no table (the query row was null / not `dim` long /
   * had null elements — the builder stores a null table for those),
   * when the codes array is null, wrong length, or has null entries,
   * when a code is out of range, or when the total is NaN (NaN query
@@ -439,23 +451,25 @@ case class PqAdcDistance(left: Expression, right: Expression,
   * The one deliberate divergence (scaladoc'd on
   * [[graft.operators.Pq.adcTopK]]): each table cell is the per-
   * subspace partial sum, so the total is a sum of m partials rather
-  * than one 64-term left fold — values can differ from the fused loop
+  * than one 64-term fold — values can differ from the fused loop
   * in the last ulp. PqSpec pins rank-identity on the bench fixture
   * shape; the decimal `exact` path (the oracle's) is untouched.
   */
 case class PqAdcLutDistance(left: Expression, right: Expression,
-    m: Int, ksub: Int, luts: java.util.HashMap[Any, Array[Double]])
+    m: Int, ksub: Int,
+    luts: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
     extends BinaryExpression with ExpectsInputTypes {
   require(m >= 1 && ksub >= 1, s"m ($m) and ksub ($ksub) must be positive")
 
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(AnyDataType, ArrayType(IntegerType))
+    Seq(IntegerType, ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
   /** Shared by eval and the generated code (called via reference). */
-  def distance(qid: Any, codes: ArrayData): Any = {
-    val lut = luts.get(qid)
+  def distance(idx: Int, codes: ArrayData): Any = {
+    val tables = luts.value
+    val lut = if (idx < 0 || idx >= tables.length) null else tables(idx)
     if (lut == null || codes.numElements() != m) return null
     var total = 0.0
     var j = 0
@@ -470,7 +484,7 @@ case class PqAdcLutDistance(left: Expression, right: Expression,
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    distance(a, b.asInstanceOf[ArrayData])
+    distance(a.asInstanceOf[Int], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -551,9 +565,9 @@ object VectorExpressions {
       ExpressionUtils.expression(codes), dim,
       books.map(_.map(_._2.toArray).toArray).toArray))
 
-  def pqAdcLutDistance(qid: Column, codes: Column, m: Int, ksub: Int,
-      luts: java.util.HashMap[Any, Array[Double]]): Column =
-    ExpressionUtils.column(PqAdcLutDistance(ExpressionUtils.expression(qid),
+  def pqAdcLutDistance(lutIdx: Column, codes: Column, m: Int, ksub: Int,
+      luts: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(PqAdcLutDistance(ExpressionUtils.expression(lutIdx),
       ExpressionUtils.expression(codes), m, ksub, luts))
 
   def oncePerRow(c: Column): Column =

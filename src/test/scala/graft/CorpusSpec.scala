@@ -46,6 +46,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("round-15 native text kernels == retired regex/tree forms, adversarial + corpus") {
+    import graft.functions.TextFunctions
+    // edges each kernel must replicate: empties/whitespace-only
+    // (0/0 → null fractions; split-of-empty = one empty token),
+    // interior/trailing space runs (empty tokens; \s+ collapse),
+    // tab/newline/vertical-tab/form-feed (Java \s vs the garbage
+    // class overlap on 0B/0C), control chars + U+FFFD (garbage), all
+    // six script ranges incl. mixed han+kana, a surrogate pair
+    // (supplementary cp matches NO class, counts once in length),
+    // Unicode one-to-many lowercasing (İ → i + combining dot), and
+    // accented-latin range boundaries (À = 0x00C0, ɏ = 0x024F)
+    val tricky = Seq("", " ", "\t\n", "a", "a  b ", " lead", "tail ",
+      "café naïve", "Àɏɐ",
+      "Вода water", "مرحبا",
+      "中文あア mixed", "한국어 ᄀ",
+      "ctrl� end",
+      new String(Character.toChars(0x1D11E)) + " clef",
+      "İstanbul UPPER Case", "123 mixed! pun.ct,u;at:ion?",
+      "a-b--c   d\te\nf")
+    val trickyDf = (tricky :+ null).toDF("t")
+    def diffOn(df: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column): Unit = {
+      val bad = df.filter(not(c)).count()
+      assert(bad === 0L)
+    }
+    val checks = trickyDf.select(col("t"),
+      TextFunctions.scriptFractions(col("t")).as("sf_n"),
+      TextFunctions.scriptFractionsTree(col("t")).as("sf_e"),
+      TextFunctions.fingerprint(col("t")).as("fp_n"),
+      TextFunctions.fingerprintTree(col("t")).as("fp_e"),
+      TextFunctions.normalizeForDedup(col("t")).as("nd_n"),
+      TextFunctions.normalizeForDedupTree(col("t")).as("nd_e"),
+      TextFunctions.langIdScript(col("t")).as("li_n"))
+    checks.collect().foreach { r =>
+      assert(r.get(1) === r.get(2), s"scriptFractions for '${r.get(0)}'")
+      assert(r.get(3) === r.get(4), s"fingerprint for '${r.get(0)}'")
+      assert(r.get(5) === r.get(6), s"normalizeForDedup for '${r.get(0)}'")
+    }
+    // langIdScript has no retained tree twin (it shares scriptCounts)
+    // — pin its verdicts directly on script-dominant rows
+    val lang = checks.select(col("li_n")).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(lang(9) === "ru" && lang(10) === "ar" && lang(12) === "ko")
+    assert(lang(11) === "ja") // kana present past 5% in the mixed row
+    // the real corpus: all three kernels agree row-for-row
+    diffOn(docs, TextFunctions.scriptFractions(col("text")) <=>
+      TextFunctions.scriptFractionsTree(col("text")))
+    diffOn(docs, TextFunctions.fingerprint(col("text")) <=>
+      TextFunctions.fingerprintTree(col("text")))
+    diffOn(docs, TextFunctions.normalizeForDedup(col("text")) <=>
+      TextFunctions.normalizeForDedupTree(col("text")))
+  }
+
   // ------------------------------------------------------------ snapshot
 
   test("corpusDiff: all four statuses, fingerprint-driven change detection") {

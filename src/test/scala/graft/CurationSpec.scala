@@ -141,6 +141,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "rank mass must stay 1")
   }
 
+  test("pageRank integer-keyed graphs take the long-key path: same ranks, long node column (round-14 advice)") {
+    // integer edges keep 8-byte keys (and the MERGE-pinned per-round
+    // joins) instead of casting to string — an API-visible schema
+    // change for integer-keyed graphs, pinned here with the same
+    // dense power-iteration oracle as the string test
+    val intEdges = Seq(1L -> 2L, 3L -> 2L, 2L -> 1L, 1L -> 4L,
+      5L -> 1L, 1L -> 2L)
+    val out = GraphOps.pageRank(intEdges.toDF("src", "dst"), iterations = 4)
+    assert(out.schema("node").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "integral ids must keep their long key type")
+    val got = out.collect().map(r => r.getLong(0).toString -> r.getDouble(1))
+      .toMap
+    val exp = scalaPr(intEdges.map { case (s, d) =>
+      s.toString -> d.toString }, 4, 0.85)
+    assert(got.keySet === exp.keySet)
+    for ((k, v) <- exp)
+      assert(math.abs(got(k) - v) < 1e-6, s"node $k: ${got(k)} vs $v")
+    // int-typed edges also stay integral (widen to the cast type)
+    val i32 = GraphOps.pageRank(
+      intEdges.map { case (s, d) => (s.toInt, d.toInt) }.toDF("src", "dst"),
+      iterations = 2)
+    assert(i32.schema("node").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("pageRank: two-node cycle is the uniform fixed point; checkpointing changes nothing") {
     val e = Seq("x" -> "y", "y" -> "x").toDF("src", "dst")
     val r = GraphOps.pageRank(e, iterations = 5).collect()

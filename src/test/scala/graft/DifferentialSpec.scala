@@ -295,6 +295,34 @@ class DifferentialSpec extends AnyFunSuite {
       assert(out === expected, s"size=$size overlap=$overlap")
     }
 
+    test(s"seed=$seed: native EwmVarFold bit-equals the declarative fold (all adjust x ignore_na x bias x minPeriods)") {
+      // round-15: Ewm.variance moved from the declarative aggregate
+      // lambda to the native EwmVarFold expression; the 6-field state
+      // is where operation-order risk concentrates, so the retired
+      // declarative form is pinned as the differential reference on
+      // this null-heavy randomized fixture (bit equality, not
+      // tolerance — the native fold claims the identical IEEE
+      // operation sequence)
+      import org.apache.spark.sql.graft.FoldExpressions
+      val arrDf = df.select(struct(col("ord").as("__ord"),
+          col("v").cast("double").as("__v")).as("s"))
+        .groupBy().agg(sort_array(collect_list(col("s"))).as("rows"))
+      def bits(xs: Seq[Any]): Seq[Long] = xs.map {
+        case null                  => Long.MinValue
+        case d: java.lang.Double   => java.lang.Double.doubleToRawLongBits(d)
+      }
+      for (adjust <- Seq(true, false); ignoreNa <- Seq(true, false);
+           bias <- Seq(true, false); minP <- Seq(0, 3)) {
+        val row = arrDf.select(
+          FoldExpressions.ewmVarFold(col("rows"), 0.25, adjust, ignoreNa,
+            bias, minP).as("n"),
+          graft.operators.Ewm.varianceOutsDeclarative(col("rows"), 0.25,
+            adjust, ignoreNa, bias, minP).as("d")).head()
+        assert(bits(row.getSeq[Any](0)) === bits(row.getSeq[Any](1)),
+          s"adjust=$adjust ignoreNa=$ignoreNa bias=$bias minPeriods=$minP")
+      }
+    }
+
     test(s"seed=$seed: shift/diff vs scala oracle") {
       val ops = new RollingOps(gb)
       val sh = ops.shift(col("v"), col("ord"), 1).collect()
